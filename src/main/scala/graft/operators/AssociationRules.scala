@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.ml.fpm.FPGrowth
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Association-rule mining — the reference's signature workload
+  * (SURVEY §2.10 R1–R4; `Website/market/dunnhumby/views.py:133-348`,
+  * `analytics.py:15-184`).
+  *
+  * Metric definitions (identical across the reference's three
+  * implementations, `views.py:271-339`):
+  *   support    = pair_baskets / total_baskets
+  *   confidence = pair_baskets / antecedent_baskets
+  *   lift       = confidence / (consequent_baskets / total_baskets)
+  *
+  * Spark-first design: instead of the reference's O(rows²) SQL self-join on
+  * basket_id (`views.py:206-216` J2), we group once per basket
+  * (`collect_set`) and explode ordered combinations with native array
+  * lambdas — ONE shuffle on the basket key, map-side partial aggregation on
+  * the pair key, and no join until the (tiny, broadcast) per-item counts
+  * attach. Per-basket combination count is bounded by basket size²;
+  * `maxBasketSize` caps pathological baskets (SURVEY §7.5#8) the way the
+  * reference caps candidates (TOP 2000, `views.py:199`).
+  */
+object AssociationRules {
+
+  final case class Params(
+      minSupport: Double = 0.01,
+      minConfidence: Double = 0.2,
+      maxRules: Int = 100,
+      pairLimit: Int = 2000,
+      maxBasketSize: Int = 500)
+
+  /** Distinct (basket, item) pairs — the grain at which the reference counts
+    * support (DISTINCT basket join, `views.py:218-233`). */
+  def itemsets(tx: DataFrame, basket: String, item: String): DataFrame =
+    tx.select(col(basket).as("basket"), col(item).as("item"))
+      .where(col(item).isNotNull)
+      .distinct()
+
+  /** Per-basket sorted distinct item arrays — the reference's streamed
+    * per-basket state machine (`views.py:461-479`) collapses to one
+    * `groupBy(basket).agg(collect_set)`. */
+  def basketItems(tx: DataFrame, basket: String, item: String,
+                  maxBasketSize: Int = 500): DataFrame =
+    itemsets(tx, basket, item)
+      .groupBy(col("basket"))
+      .agg(array_sort(collect_set(col("item"))).as("items"))
+      .where(size(col("items")).between(2, maxBasketSize))
+
+  /** Ordered-pair counts: for each basket explode all combinations (a < b)
+    * of its sorted item set — the Spark-native form of the reference's
+    * `itertools.combinations` loop (`views.py:456-459`) and of its
+    * pair-mining self-join (J2). Pure array lambdas → stays in whole-stage
+    * codegen; no UDF, no Generator class. */
+  def pairCounts(tx: DataFrame, basket: String, item: String,
+                 maxBasketSize: Int = 500): DataFrame =
+    basketItems(tx, basket, item, maxBasketSize)
+      .select(explode(expr(
+        """flatten(transform(items, (x, i) ->
+          |  transform(slice(items, i + 2, size(items)), y ->
+          |    named_struct('item_a', x, 'item_b', y))))""".stripMargin))
+        .as("p"))
+      .select(col("p.item_a"), col("p.item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("pair_baskets"))
+
+  /** Per-item distinct-basket counts (`views.py:218-233` J3 inputs). */
+  def itemBasketCounts(tx: DataFrame, basket: String, item: String): DataFrame =
+    itemsets(tx, basket, item)
+      .groupBy(col("item"))
+      .agg(count(lit(1)).as("item_baskets"))
+
+  /** Unrounded rule metrics plus the raw counts, a→b direction only.
+    * All ratio inputs are exact integer counts, so the double arithmetic is
+    * bit-deterministic. */
+  def rulesRaw(tx: DataFrame, basket: String, item: String,
+               params: Params = Params()): DataFrame = {
+    val totalBaskets =
+      itemsets(tx, basket, item).select(col("basket")).distinct().count()
+    // min_basket_count = max(1, floor(total * minSupport)) — views.py:163-189
+    val minPair =
+      math.max(1L, math.floor(totalBaskets * params.minSupport).toLong)
+
+    val pairs = pairCounts(tx, basket, item, params.maxBasketSize)
+      .where(col("pair_baskets") >= minPair)
+      .orderBy(col("pair_baskets").desc, col("item_a").asc, col("item_b").asc)
+      .limit(params.pairLimit)
+    val counts = itemBasketCounts(tx, basket, item)
+
+    pairs
+      .join(broadcast(counts.toDF("item_a", "a_baskets")), Seq("item_a"))
+      .join(broadcast(counts.toDF("item_b", "b_baskets")), Seq("item_b"))
+      .withColumn("total_baskets", lit(totalBaskets))
+      .withColumn("support", col("pair_baskets") * 1.0 / totalBaskets)
+      .withColumn("confidence", col("pair_baskets") * 1.0 / col("a_baskets"))
+      .withColumn("confidence_rev", col("pair_baskets") * 1.0 / col("b_baskets"))
+      .withColumn("lift",
+        (col("pair_baskets") * 1.0 / col("a_baskets")) /
+          (col("b_baskets") * 1.0 / totalBaskets))
+      .withColumn("lift_rev",
+        (col("pair_baskets") * 1.0 / col("b_baskets")) /
+          (col("a_baskets") * 1.0 / totalBaskets))
+  }
+
+  /** R1 — pairwise rules at any item granularity (product / commodity /
+    * department = whatever `item` column the caller passes,
+    * `analytics.py:50`), a→b direction, rounded, sorted by lift desc with
+    * deterministic tiebreaks, top maxRules (`views.py:341-344` T4). */
+  def rules(tx: DataFrame, basket: String, item: String,
+            params: Params = Params()): DataFrame =
+    rulesRaw(tx, basket, item, params)
+      .where(col("confidence") >= params.minConfidence)
+      .select(col("item_a"), col("item_b"),
+        col("pair_baskets"), col("a_baskets"), col("b_baskets"),
+        round(col("support"), 6).as("support"),
+        round(col("confidence"), 6).as("confidence"),
+        round(col("lift"), 6).as("lift"))
+      .orderBy(col("lift").desc, col("item_a").asc, col("item_b").asc)
+      .limit(params.maxRules)
+
+  /** Dual-direction emission: the reference emits a→b always and b→a only
+    * when the two confidences differ (`views.py:310`, `views.py:502` —
+    * bug-compatible per SURVEY §7.5#3). Input: `rulesRaw` output. */
+  def bothDirections(raw: DataFrame, minConfidence: Double): DataFrame = {
+    val fwd = raw.select(
+      col("item_a").as("antecedent"), col("item_b").as("consequent"),
+      col("support"), col("confidence"), col("lift"))
+    val rev = raw
+      .where(col("confidence_rev") =!= col("confidence"))
+      .select(
+        col("item_b").as("antecedent"), col("item_a").as("consequent"),
+        col("support"),
+        col("confidence_rev").as("confidence"),
+        col("lift_rev").as("lift"))
+    fwd.unionByName(rev).where(col("confidence") >= minConfidence)
+  }
+
+  /** R3 — full multi-itemset mining via MLlib's parallel FP-Growth
+    * (Han et al. SIGMOD'00; PFP, Li et al. RecSys'08) replacing the
+    * reference's in-memory Apriori (`analytics.py:15-184`). */
+  def fpGrowthRules(tx: DataFrame, basket: String, item: String,
+                    params: Params = Params()): DataFrame = {
+    val baskets = basketItems(tx, basket, item, params.maxBasketSize)
+    new FPGrowth()
+      .setItemsCol("items")
+      .setMinSupport(params.minSupport)
+      .setMinConfidence(params.minConfidence)
+      .fit(baskets)
+      .associationRules
+  }
+}

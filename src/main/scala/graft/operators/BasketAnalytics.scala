@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Basket-level analytics (SURVEY §2.4 A1–A4, §2.6 T1).
+  *
+  * Re-expresses the reference's dashboard aggregations
+  * (`Website/market/dunnhumby/views.py:876-930`, `views.py:90-95`) as
+  * single-pass declarative aggregations. All of these are one
+  * shuffle-on-the-group-key hash aggregations with map-side partials —
+  * the shape that scales linearly with executors at 100 TB. Distinct
+  * counts are exact (the reference's semantic baseline, SURVEY §2.4);
+  * callers can swap `countDistinct` for `approx_count_distinct` at scale.
+  */
+object BasketAnalytics {
+
+  /** A1 — whole-table stats: COUNT, COUNT DISTINCT basket/product/household,
+    * SUM/AVG of sales (`views.py:876-888`). One job, no joins. */
+  def tableStats(tx: DataFrame, basket: String, item: String,
+                 customer: String, sales: String): DataFrame = {
+    val totalSales = round(sum(col(sales)), 2)
+    tx.agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col(basket)).as("n_baskets"),
+      countDistinct(col(item)).as("n_items"),
+      countDistinct(col(customer)).as("n_customers"),
+      totalSales.as("total_sales"),
+      round(totalSales / count(lit(1)), 6).as("avg_sales"))
+  }
+
+  /** A2 + T1 — per-basket totals, top-k by value (`views.py:890-903`).
+    * Group key is the basket id, so the single shuffle partitions by the
+    * natural key; ties broken by basket id for deterministic top-k. */
+  def basketTotals(tx: DataFrame, basket: String, qty: String,
+                   sales: String, item: String): DataFrame =
+    tx.groupBy(col(basket))
+      .agg(
+        sum(col(qty)).as("total_items"),
+        round(sum(col(sales)), 2).as("total_value"),
+        countDistinct(col(item)).as("n_products"),
+        count(lit(1)).as("n_lines"))
+
+  /** A3 — per-category sales after dimension enrichment (`views.py:905-919`).
+    * `dim` is broadcast (product table ≈ 92K rows in the reference —
+    * SURVEY §2.3 J1). */
+  def categorySales(tx: DataFrame, dim: DataFrame, key: String,
+                    category: String, sales: String, qty: String): DataFrame =
+    tx.join(broadcast(dim.select(col(key), col(category))), Seq(key), "left")
+      .groupBy(col(category))
+      .agg(
+        count(lit(1)).as("n_tx"),
+        round(sum(col(sales)), 2).as("total_sales"),
+        sum(col(qty)).as("total_qty"),
+        countDistinct(col(key)).as("n_products"))
+
+  /** A4 — per-product frequency / totals / derived average
+    * (`views.py:921-930`: `Sum/Count` expression alias). */
+  def productStats(tx: DataFrame, item: String, sales: String,
+                   qty: String): DataFrame = {
+    val total = round(sum(col(sales)), 2)
+    tx.groupBy(col(item))
+      .agg(
+        count(lit(1)).as("frequency"),
+        total.as("total_sales"),
+        sum(col(qty)).as("total_qty"),
+        round(total / count(lit(1)), 6).as("avg_sales"))
+  }
+
+  /** T1/T2-style deterministic top-k: order by metric desc with the group
+    * key as tiebreak, then limit (`views.py:890-930` `ORDER BY ... DESC
+    * TOP N`). */
+  def topK(df: DataFrame, metric: String, key: String, k: Int): DataFrame =
+    df.orderBy(col(metric).desc, col(key).asc).limit(k)
+}

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators (SURVEY §2.7 U1–U2;
+  * `management/commands/clean_transactions.py:24-31`,
+  * `remove_duplicates.py:85-113`) plus the exact-dedup half of the
+  * training-data pipeline surface (near-dup variants live in
+  * [[graft.operators.NearDup]]).
+  *
+  * The reference's dedup is a temp-table + `DELETE ... NOT IN (SELECT
+  * MAX(id))` — quadratic-ish in SQL Server. Spark-first: one window per
+  * key partition (single shuffle on the dedup key), keep rank 1. We use the
+  * explicit window form, not `dropDuplicates`, because the reference keeps
+  * MAX(id) and `dropDuplicates` keeps an arbitrary row (SURVEY U1).
+  */
+object Dedup {
+
+  /** U1 — keep exactly one row per key, the one with the greatest
+    * `keeper` value (reference: MAX(id)). Deterministic. */
+  def keepLatest(df: DataFrame, keys: Seq[String], keeper: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(keeper).desc)
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** U2 — distinct combination count (`clean_transactions.py:40-46`). */
+  def distinctKeyCount(df: DataFrame, keys: Seq[String]): Long =
+    df.select(keys.map(col): _*).distinct().count()
+
+  /** Duplicate-group report: keys occurring more than once with counts
+    * (`remove_duplicates.py:64-70` A19). */
+  def duplicateGroups(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_dups"))
+      .where(col("n_dups") > 1)
+
+  /** Exact content dedup for a document corpus: group by a content hash and
+    * keep the smallest id. Hashing first (xxhash64) means the shuffle key is
+    * 8 bytes instead of the full text — the 100 TB-friendly form: shuffle
+    * carries (hash, id), never the document bodies. */
+  def exactByContent(docs: DataFrame, id: String, content: String): DataFrame =
+    docs.select(col(id), xxhash64(col(content)).as("content_hash"))
+      .groupBy(col("content_hash"))
+      .agg(min(col(id)).as(id), count(lit(1)).as("n_copies"))
+}

@@ -1,0 +1,40 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table loaders for the driver test-data layout
+  * (`{dir}/{name}.parquet`, see /root/repo/TESTDATA.md).
+  *
+  * Mirrors the reference's table-scan surface (SURVEY §2.1 S2:
+  * `Website/market/dunnhumby/analytics.py:448-449`,
+  * `collab_filter.py:28-31`) — every analysis starts from a full-table
+  * scan that the storage engine prunes. On Spark the parquet reader gives
+  * us column pruning + predicate pushdown for free as long as callers keep
+  * plans declarative (no early collect), so these loaders return lazy
+  * DataFrames and never cache.
+  *
+  * Scale note (100 TB): at cluster scale these would be catalog tables
+  * (partitioned by date / bucketed by join key). The loader API is the
+  * single seam where that swap happens — operators only ever see
+  * DataFrames.
+  */
+final case class Tables(spark: SparkSession, dir: String) {
+  def table(name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  // TPC-H-ish star schema
+  def region: DataFrame = table("region")
+  def nation: DataFrame = table("nation")
+  def customer: DataFrame = table("customer")
+  def supplier: DataFrame = table("supplier")
+  def part: DataFrame = table("part")
+  def orders: DataFrame = table("orders")
+  def lineitem: DataFrame = table("lineitem")
+
+  // event stream table (timestamps)
+  def events: DataFrame = table("events")
+
+  // training-data pipeline tables
+  def documents: DataFrame = table("documents")
+  def embeddings: DataFrame = table("embeddings")
+}
