@@ -1,0 +1,630 @@
+package graft
+
+import graft.functions.ColumnFns
+import graft.functions.ColumnFns.moneySum
+import graft.operators._
+import graft.sources.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Central query registry: every implemented operator from SURVEY §2 gets a
+  * named query over the driver testdata plus (where ANSI-SQL-expressible) a
+  * DuckDB oracle with IDENTICAL column names and arithmetic. This is the
+  * correctness gate (CORRECTNESS_r{N}.json).
+  *
+  * Cross-engine exactness rules used throughout:
+  *  - money sums: cast to DECIMAL(18,2) before SUM (exact, order-free),
+  *    cast the result to double — bit-identical in Spark and DuckDB.
+  *  - averages/ratios: double division of already-exact operands (same
+  *    IEEE-754 ops both sides); ROUND only at 6 digits where midpoints are
+  *    unreachable for count ratios.
+  *  - computed ints: cast to BIGINT on both sides (DuckDB's SUM(int) is
+  *    HUGEINT, Spark's window fns are INT — normalize both).
+  *  - every result is totally ordered by a unique key set.
+  */
+object Queries {
+
+  final case class Spec(name: String,
+                        fn: (SparkSession, String) => DataFrame,
+                        oracle: Option[String])
+
+  /** `CAST(SUM(CAST(c AS DECIMAL(18,2))) AS DOUBLE)` — DuckDB mirror of
+    * [[graft.functions.ColumnFns.moneySum]]. */
+  private def m(c: String) = s"CAST(SUM(CAST($c AS DECIMAL(18,2))) AS DOUBLE)"
+
+  private def t(s: SparkSession, dir: String) = Tables(s, dir)
+
+  // Orders with the day axis pre-cast to date — the RFM/churn "transactions"
+  // view of the testdata (customer=o_custkey, basket=o_orderkey,
+  // sales=o_totalprice, day=o_orderdate).
+  private def ordersTx(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).orders.select(col("o_custkey"), col("o_orderkey"),
+      col("o_totalprice"), col("o_orderdate").cast("date").as("day"))
+
+  val specs: Seq[Spec] = Seq(
+
+    // ---------------------------------------------------------- A1
+    Spec("q_table_stats",
+      (s, dir) => BasketAnalytics.tableStats(t(s, dir).lineitem,
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice"),
+      Some("""SELECT COUNT(*) AS n_rows,
+        COUNT(DISTINCT l_orderkey) AS n_baskets,
+        COUNT(DISTINCT l_partkey) AS n_items,
+        COUNT(DISTINCT l_suppkey) AS n_customers,
+        """ + m("l_extendedprice") + """ AS total_sales,
+        """ + m("l_extendedprice") + """ / COUNT(*) AS avg_sales
+        FROM lineitem""")),
+
+    // ---------------------------------------------------------- A2+T1
+    Spec("q_basket_totals_top100",
+      (s, dir) => BasketAnalytics.topK(
+        BasketAnalytics.basketTotals(t(s, dir).lineitem,
+          "l_orderkey", "l_quantity", "l_extendedprice", "l_partkey"),
+        "total_value", "l_orderkey", 100),
+      Some("""SELECT l_orderkey, SUM(l_quantity) AS total_items,
+        """ + m("l_extendedprice") + """ AS total_value,
+        COUNT(DISTINCT l_partkey) AS n_products, COUNT(*) AS n_lines
+        FROM lineitem GROUP BY l_orderkey
+        ORDER BY total_value DESC, l_orderkey LIMIT 100""")),
+
+    // ---------------------------------------------------------- A3/J1
+    Spec("q_category_sales",
+      (s, dir) => BasketAnalytics.categorySales(t(s, dir).lineitem,
+        t(s, dir).part.select(col("p_partkey").as("l_partkey"), col("p_brand")),
+        "l_partkey", "p_brand", "l_extendedprice", "l_quantity")
+        .orderBy(col("p_brand")),
+      Some("""SELECT p_brand, COUNT(*) AS n_tx,
+        """ + m("l_extendedprice") + """ AS total_sales,
+        SUM(l_quantity) AS total_qty,
+        COUNT(DISTINCT l_partkey) AS n_products
+        FROM lineitem LEFT JOIN part ON p_partkey = l_partkey
+        GROUP BY p_brand ORDER BY p_brand""")),
+
+    // ---------------------------------------------------------- A4
+    Spec("q_product_stats",
+      (s, dir) => BasketAnalytics.productStats(t(s, dir).lineitem,
+        "l_partkey", "l_extendedprice", "l_quantity").orderBy(col("l_partkey")),
+      Some("""SELECT l_partkey, COUNT(*) AS frequency,
+        """ + m("l_extendedprice") + """ AS total_sales,
+        SUM(l_quantity) AS total_qty,
+        """ + m("l_extendedprice") + """ / COUNT(*) AS avg_sales
+        FROM lineitem GROUP BY l_partkey ORDER BY l_partkey""")),
+
+    // ---------------------------------------------------------- F10 share-of-total
+    Spec("q_category_share",
+      (s, dir) => {
+        val cs = BasketAnalytics.categorySales(t(s, dir).lineitem,
+          t(s, dir).part.select(col("p_partkey").as("l_partkey"),
+            col("p_brand")),
+          "l_partkey", "p_brand", "l_extendedprice", "l_quantity")
+        val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+        val total = sum(col("total_sales").cast(dec))
+          .over(Window.partitionBy()).cast("double")
+        cs.select(col("p_brand"), col("total_sales"),
+            round(col("total_sales") / total * 100, 2).as("share_pct"))
+          .orderBy(col("p_brand"))
+      },
+      Some("""WITH cs AS (
+          SELECT p_brand, """ + m("l_extendedprice") + """ AS total_sales
+          FROM lineitem LEFT JOIN part ON p_partkey = l_partkey
+          GROUP BY p_brand)
+        SELECT p_brand, total_sales,
+          ROUND(total_sales / CAST((SELECT SUM(CAST(total_sales AS
+            DECIMAL(18,2))) FROM cs) AS DOUBLE) * 100, 2) AS share_pct
+        FROM cs ORDER BY p_brand""")),
+
+    // ---------------------------------------------------------- A5
+    Spec("q_rfm_base",
+      (s, dir) => Rfm.base(ordersTx(s, dir),
+        "o_custkey", "o_orderkey", "o_totalprice", "day")
+        .orderBy(col("customer")),
+      Some("""SELECT o_custkey AS customer,
+        MAX(CAST(o_orderdate AS DATE)) AS last_day,
+        COUNT(DISTINCT o_orderkey) AS frequency,
+        """ + m("o_totalprice") + """ AS monetary
+        FROM orders GROUP BY o_custkey ORDER BY customer""")),
+
+    // ---------------------------------------------------------- W3 + A5
+    Spec("q_rfm_scores",
+      (s, dir) => Rfm.scores(ordersTx(s, dir),
+        "o_custkey", "o_orderkey", "o_totalprice", "day")
+        .orderBy(col("customer")),
+      Some(rfmScoresSql + " ORDER BY customer")),
+
+    // ---------------------------------------------------------- §2.11
+    Spec("q_rfm_segments",
+      (s, dir) => Rfm.segments(ordersTx(s, dir),
+        "o_custkey", "o_orderkey", "o_totalprice", "day")
+        .orderBy(col("customer")),
+      Some("""WITH scored AS (""" + rfmScoresSql + """)
+        SELECT *,
+          CASE
+            WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'Champions'
+            WHEN f_score >= 4 AND m_score >= 3 THEN 'Loyal Customers'
+            WHEN r_score >= 4 AND f_score >= 3 THEN 'Potential Loyalists'
+            WHEN r_score >= 4 AND f_score <= 2 THEN 'New Customers'
+            WHEN m_score >= 4 THEN 'Big Spenders'
+            WHEN f_score >= 3 AND r_score >= 3 THEN 'Regular Customers'
+            WHEN r_score <= 2 AND f_score >= 3 AND m_score >= 3 THEN 'Need Attention'
+            WHEN r_score <= 2 AND f_score >= 2 AND m_score >= 2 THEN 'At Risk'
+            WHEN r_score <= 2 AND f_score >= 4 AND m_score >= 4 THEN 'Can''t Lose Them'
+            WHEN r_score <= 2 THEN 'Hibernating'
+            ELSE 'Lost' END AS rfm_segment,
+          CASE WHEN frequency > 0 THEN monetary / frequency ELSE 0.0 END
+            AS avg_basket_value
+        FROM scored ORDER BY customer""")),
+
+    // ---------------------------------------------------------- A16/A10
+    Spec("q_rfm_segment_summary",
+      (s, dir) => Rfm.segmentSummary(Rfm.segments(ordersTx(s, dir),
+        "o_custkey", "o_orderkey", "o_totalprice", "day"))
+        .orderBy(col("rfm_segment")),
+      Some("""WITH scored AS (""" + rfmScoresSql + """),
+        seg AS (SELECT *,
+          CASE
+            WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'Champions'
+            WHEN f_score >= 4 AND m_score >= 3 THEN 'Loyal Customers'
+            WHEN r_score >= 4 AND f_score >= 3 THEN 'Potential Loyalists'
+            WHEN r_score >= 4 AND f_score <= 2 THEN 'New Customers'
+            WHEN m_score >= 4 THEN 'Big Spenders'
+            WHEN f_score >= 3 AND r_score >= 3 THEN 'Regular Customers'
+            WHEN r_score <= 2 AND f_score >= 3 AND m_score >= 3 THEN 'Need Attention'
+            WHEN r_score <= 2 AND f_score >= 2 AND m_score >= 2 THEN 'At Risk'
+            WHEN r_score <= 2 AND f_score >= 4 AND m_score >= 4 THEN 'Can''t Lose Them'
+            WHEN r_score <= 2 THEN 'Hibernating'
+            ELSE 'Lost' END AS rfm_segment
+          FROM scored)
+        SELECT rfm_segment, COUNT(*) AS n_customers,
+          CAST(SUM(recency) AS DOUBLE) / COUNT(*) AS avg_recency,
+          CAST(SUM(frequency) AS DOUBLE) / COUNT(*) AS avg_frequency,
+          """ + m("monetary") + """ / COUNT(*) AS avg_monetary,
+          """ + m("monetary") + """ AS total_monetary
+        FROM seg GROUP BY rfm_segment ORDER BY rfm_segment""")),
+
+    // ---------------------------------------------------------- J2 pair mining
+    Spec("q_pair_counts",
+      (s, dir) => AssociationRules.pairCounts(t(s, dir).lineitem,
+        "l_orderkey", "l_partkey")
+        .orderBy(col("pair_baskets").desc, col("item_a"), col("item_b"))
+        .limit(2000),
+      Some(biSql + """
+        SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS pair_baskets
+        FROM bi a JOIN bi b ON a.basket = b.basket AND a.item < b.item
+        GROUP BY 1, 2
+        ORDER BY pair_baskets DESC, item_a, item_b LIMIT 2000""")),
+
+    // ---------------------------------------------------------- R1/J3/T4
+    Spec("q_rules",
+      (s, dir) => AssociationRules.rules(t(s, dir).lineitem,
+        "l_orderkey", "l_partkey", rulesParams),
+      Some(rulesRawSql + """
+        SELECT item_a, item_b, pair_baskets, a_baskets, b_baskets,
+          ROUND(support, 6) AS support,
+          ROUND(confidence, 6) AS confidence,
+          ROUND(lift, 6) AS lift
+        FROM raw
+        ORDER BY lift DESC, item_a, item_b LIMIT 500""")),
+
+    // ---------------------------------------------------------- R1 both directions
+    Spec("q_rules_both",
+      (s, dir) => AssociationRules.bothDirections(
+        AssociationRules.rulesRaw(t(s, dir).lineitem,
+          "l_orderkey", "l_partkey", rulesParams), 0.0)
+        .select(col("antecedent"), col("consequent"),
+          round(col("support"), 6).as("support"),
+          round(col("confidence"), 6).as("confidence"),
+          round(col("lift"), 6).as("lift"))
+        .orderBy(col("lift").desc, col("antecedent"), col("consequent")),
+      Some(rulesRawSql + """
+        SELECT antecedent, consequent, ROUND(support, 6) AS support,
+          ROUND(confidence, 6) AS confidence, ROUND(lift, 6) AS lift
+        FROM (
+          SELECT item_a AS antecedent, item_b AS consequent,
+            support, confidence, lift FROM raw
+          UNION ALL
+          SELECT item_b, item_a, support, confidence_rev, lift_rev
+          FROM raw WHERE confidence_rev <> confidence)
+        ORDER BY lift DESC, antecedent, consequent""")),
+
+    // ---------------------------------------------------------- R3 (rows-only)
+    Spec("q_fpgrowth_rules",
+      (s, dir) => {
+        val items = t(s, dir).lineitem.join(
+          broadcast(t(s, dir).part
+            .select(col("p_partkey").as("l_partkey"), col("p_brand"))),
+          Seq("l_partkey"), "left")
+        AssociationRules.fpGrowthRules(items, "l_orderkey", "p_brand",
+            AssociationRules.Params(minSupport = 0.02, minConfidence = 0.05))
+          .select(concat_ws(",", col("antecedent")).as("antecedent"),
+            concat_ws(",", col("consequent")).as("consequent"),
+            round(col("confidence"), 6).as("confidence"),
+            round(col("lift"), 6).as("lift"),
+            round(col("support"), 6).as("support"))
+          .orderBy(col("antecedent"), col("consequent"))
+      },
+      None),
+
+    // ---------------------------------------------------------- U1/J12
+    Spec("q_dedup_keep_latest",
+      (s, dir) => Dedup.keepLatest(
+        t(s, dir).lineitem.select(col("l_orderkey"), col("l_partkey"),
+          col("l_suppkey"), col("l_linenumber"), col("l_quantity")),
+        Seq("l_orderkey", "l_partkey"), "l_linenumber",
+        Seq(col("l_suppkey").desc))
+        .orderBy(col("l_orderkey"), col("l_partkey")),
+      Some("""SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+          l_quantity
+        FROM lineitem
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_partkey
+          ORDER BY l_linenumber DESC, l_suppkey DESC) = 1
+        ORDER BY l_orderkey, l_partkey""")),
+
+    // ---------------------------------------------------------- A19
+    Spec("q_dup_groups",
+      (s, dir) => Dedup.duplicateGroups(t(s, dir).lineitem, Seq("l_orderkey"))
+        .orderBy(col("l_orderkey")),
+      Some("""SELECT l_orderkey, COUNT(*) AS n_dups FROM lineitem
+        GROUP BY l_orderkey HAVING COUNT(*) > 1 ORDER BY l_orderkey""")),
+
+    // ---------------------------------------------------------- U2
+    Spec("q_distinct_combo_count",
+      (s, dir) => t(s, dir).lineitem.agg(
+        countDistinct(col("l_orderkey"), col("l_partkey")).as("n_combos")),
+      Some("""SELECT COUNT(*) AS n_combos FROM
+        (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)""")),
+
+    // ---------------------------------------------------------- exact doc dedup
+    Spec("q_doc_exact_dedup",
+      (s, dir) => Dedup.exactByContent(t(s, dir).documents, "doc_id", "text")
+        .select(col("doc_id").as("keep_id"), col("n_copies"))
+        .orderBy(col("keep_id")),
+      Some("""SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        FROM documents GROUP BY text ORDER BY keep_id""")),
+
+    // ---------------------------------------------------------- A18
+    Spec("q_monthly_trend",
+      (s, dir) => Trends.monthlyTrend(t(s, dir).lineitem, col("l_shipdate"),
+        col("l_extendedprice"), col("l_suppkey"), col("l_orderkey"))
+        .orderBy(col("month")),
+      Some("""SELECT CAST(date_trunc('month', CAST(l_shipdate AS DATE))
+          AS DATE) AS month,
+        COUNT(*) AS n_rows, """ + m("l_extendedprice") + """ AS total_sales,
+        COUNT(DISTINCT l_suppkey) AS n_actors,
+        COUNT(DISTINCT l_orderkey) AS n_baskets
+        FROM lineitem GROUP BY 1 ORDER BY month""")),
+
+    // ---------------------------------------------------------- P5
+    Spec("q_last30_by_flag",
+      (s, dir) => Trends.lastNDays(t(s, dir).lineitem, col("l_shipdate"), 30)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          moneySum(col("l_extendedprice")).as("total_sales"))
+        .orderBy(col("l_returnflag")),
+      Some("""WITH mx AS (SELECT MAX(CAST(l_shipdate AS DATE)) AS mday
+          FROM lineitem)
+        SELECT l_returnflag, COUNT(*) AS n,
+          """ + m("l_extendedprice") + """ AS total_sales
+        FROM lineitem, mx WHERE CAST(l_shipdate AS DATE) >= mx.mday - 29
+        GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---------------------------------------------------------- F9/A7
+    Spec("q_period_comparison",
+      (s, dir) => Trends.periodComparison(t(s, dir).lineitem,
+        col("l_shipdate"), col("l_extendedprice"), 90),
+      Some("""WITH mx AS (SELECT MAX(CAST(l_shipdate AS DATE)) AS mday
+          FROM lineitem),
+        sums AS (SELECT
+          CAST(SUM(CAST(CASE WHEN CAST(l_shipdate AS DATE) >= mx.mday - 89
+            THEN l_extendedprice ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE)
+            AS recent_sales,
+          CAST(SUM(CAST(CASE WHEN CAST(l_shipdate AS DATE) >= mx.mday - 179
+            AND CAST(l_shipdate AS DATE) < mx.mday - 89
+            THEN l_extendedprice ELSE 0.0 END AS DECIMAL(18,2))) AS DOUBLE)
+            AS prev_sales
+          FROM lineitem, mx WHERE CAST(l_shipdate AS DATE) >= mx.mday - 179)
+        SELECT recent_sales, prev_sales,
+          ROUND(CASE WHEN prev_sales <> 0
+            THEN (recent_sales - prev_sales) / prev_sales * 100
+            ELSE 0.0 END, 6) AS pct_change
+        FROM sums""")),
+
+    // ---------------------------------------------------------- A17/F1
+    Spec("q_quarter_rollup",
+      (s, dir) => Trends.quarterRollup(t(s, dir).lineitem,
+        col("l_returnflag"), col("l_shipdate"), col("l_extendedprice"))
+        .orderBy(col("category"), col("quarter")),
+      Some("""SELECT l_returnflag AS category,
+        'Q' || CAST(quarter(CAST(l_shipdate AS DATE)) AS VARCHAR) AS quarter,
+        COUNT(*) AS n_rows, """ + m("l_extendedprice") + """ AS total_sales
+        FROM lineitem GROUP BY 1, 2 ORDER BY category, quarter""")),
+
+    // ---------------------------------------------------------- A7 multi-window
+    Spec("q_multi_window_stats",
+      (s, dir) => Trends.multiWindowStats(t(s, dir).lineitem,
+        col("l_returnflag"), col("l_shipdate"), col("l_extendedprice"),
+        col("l_suppkey"),
+        Seq("30d" -> 30, "90d" -> 90, "180d" -> 180, "365d" -> 365))
+        .orderBy(col("l_returnflag")),
+      Some("""WITH mx AS (SELECT MAX(CAST(l_shipdate AS DATE)) AS mday
+          FROM lineitem)
+        SELECT l_returnflag, """ +
+        Seq(30, 90, 180, 365).map { n =>
+          val nm = s"${n}d"
+          val cond = s"CAST(l_shipdate AS DATE) >= mx.mday - ${n - 1}"
+          s"""CAST(SUM(CAST(CASE WHEN $cond THEN l_extendedprice ELSE 0.0 END
+             AS DECIMAL(18,2))) AS DOUBLE) AS sales_$nm,
+           COUNT(DISTINCT CASE WHEN $cond THEN l_suppkey END) AS actors_$nm,
+           CAST(SUM(CASE WHEN $cond THEN 1 ELSE 0 END) AS BIGINT) AS tx_$nm"""
+        }.mkString(",\n") + """
+        FROM lineitem, mx GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // ---------------------------------------------------------- T5/T8
+    Spec("q_top_per_group",
+      (s, dir) => Windows.topKPerGroup(t(s, dir).part, col("p_brand"),
+        col("p_retailprice"), col("p_partkey"), 3)
+        .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
+          col("rn"))
+        .orderBy(col("p_brand"), col("rn")),
+      Some("""SELECT p_brand, p_partkey, p_retailprice, rn FROM (
+          SELECT p_brand, p_partkey, p_retailprice,
+            CAST(ROW_NUMBER() OVER (PARTITION BY p_brand
+              ORDER BY p_retailprice DESC, p_partkey) AS BIGINT) AS rn
+          FROM part)
+        WHERE rn <= 3 ORDER BY p_brand, rn""")),
+
+    // ---------------------------------------------------------- T9/T10
+    Spec("q_page",
+      (s, dir) => TableService.page(
+        t(s, dir).lineitem.select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_quantity")),
+        Seq(col("l_orderkey").asc, col("l_linenumber").asc), 20, 2),
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, l_quantity
+        FROM lineitem ORDER BY l_orderkey, l_linenumber
+        LIMIT 20 OFFSET 40""")),
+
+    // ---------------------------------------------------------- P3
+    Spec("q_search",
+      (s, dir) => TableService.search(t(s, dir).part, "red",
+        Seq("p_name", "p_type"), Seq("p_partkey"))
+        .select(col("p_partkey"), col("p_name"), col("p_type"))
+        .orderBy(col("p_partkey")),
+      Some("""SELECT p_partkey, p_name, p_type FROM part
+        WHERE lower(p_name) LIKE '%red%' OR lower(p_type) LIKE '%red%'
+        ORDER BY p_partkey""")),
+
+    // ---------------------------------------------------------- P2
+    Spec("q_range_filter",
+      (s, dir) => TableService.rangeFilter(
+        t(s, dir).orders.select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice")),
+        Map("o_totalprice" -> (Some(1000.0), Some(50000.0))))
+        .orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        WHERE o_totalprice >= 1000.0 AND o_totalprice <= 50000.0
+        ORDER BY o_orderkey""")),
+
+    // ---------------------------------------------------------- A9
+    Spec("q_string_agg_flags",
+      (s, dir) => t(s, dir).lineitem.groupBy(col("l_orderkey"))
+        .agg(concat_ws(",", array_sort(collect_set(col("l_returnflag"))))
+          .as("flags"))
+        .orderBy(col("l_orderkey")),
+      Some("""SELECT l_orderkey,
+        string_agg(DISTINCT l_returnflag, ',' ORDER BY l_returnflag) AS flags
+        FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""")),
+
+    // ---------------------------------------------------------- W2
+    Spec("q_purchase_gaps",
+      (s, dir) => Windows.purchaseGaps(t(s, dir).orders, "o_custkey",
+        col("o_orderdate").cast("date")).orderBy(col("o_custkey")),
+      Some("""WITH days AS (SELECT DISTINCT o_custkey,
+          CAST(o_orderdate AS DATE) AS d FROM orders),
+        g AS (SELECT o_custkey, CAST(date_diff('day',
+            lag(d) OVER (PARTITION BY o_custkey ORDER BY d), d) AS BIGINT)
+            AS gap
+          FROM days)
+        SELECT o_custkey, CAST(SUM(gap) AS DOUBLE) / COUNT(*) AS avg_gap,
+          COUNT(*) AS n_gaps
+        FROM g WHERE gap IS NOT NULL GROUP BY o_custkey
+        ORDER BY o_custkey""")),
+
+    // ---------------------------------------------------------- W4
+    Spec("q_lifetime",
+      (s, dir) => Windows.lifetime(t(s, dir).orders, "o_custkey",
+        col("o_orderdate").cast("date")).orderBy(col("o_custkey")),
+      Some("""SELECT o_custkey, CAST(date_diff('day',
+          MIN(CAST(o_orderdate AS DATE)), MAX(CAST(o_orderdate AS DATE)))
+          AS BIGINT) AS lifetime_days
+        FROM orders GROUP BY o_custkey ORDER BY o_custkey""")),
+
+    // ---------------------------------------------------------- W1
+    Spec("q_stratified_sample",
+      (s, dir) => Windows.stratifiedSample(
+        t(s, dir).orders.select(col("o_orderkey"), col("o_orderdate")),
+        date_format(col("o_orderdate"), "yyyy-MM"), col("o_orderkey"), 5)
+        .select(col("bucket"), col("o_orderkey"), col("rn"))
+        .orderBy(col("bucket"), col("rn")),
+      Some("""SELECT bucket, o_orderkey, rn FROM (
+          SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS bucket,
+            o_orderkey,
+            CAST(ROW_NUMBER() OVER (
+              PARTITION BY strftime(CAST(o_orderdate AS DATE), '%Y-%m')
+              ORDER BY (o_orderkey * 2654435761) % 1000003, o_orderkey)
+              AS BIGINT) AS rn
+          FROM orders)
+        WHERE rn <= 5 ORDER BY bucket, rn""")),
+
+    // ---------------------------------------------------------- F14/P7/A8
+    Spec("q_risk_bands",
+      (s, dir) => t(s, dir).customer
+        .groupBy(ColumnFns.riskBand((col("c_acctbal") + 1000.0) / 11000.0)
+          .as("risk_band"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("risk_band")),
+      Some("""SELECT CASE WHEN p <= 0.25 THEN 'Low'
+          WHEN p <= 0.5 THEN 'Medium' WHEN p <= 0.75 THEN 'High'
+          ELSE 'Critical' END AS risk_band, COUNT(*) AS n
+        FROM (SELECT (c_acctbal + 1000.0) / 11000.0 AS p FROM customer)
+        GROUP BY 1 ORDER BY risk_band""")),
+
+    // ---------------------------------------------------------- F7
+    Spec("q_hhmm_format",
+      (s, dir) => t(s, dir).events
+        .select(col("event_id"),
+          ColumnFns.formatHhmm((col("event_id") % 2400).cast("double"))
+            .as("hhmm"))
+        .orderBy(col("event_id")).limit(1000),
+      Some("""WITH sfmt AS (SELECT event_id,
+          lpad(CAST(CAST(event_id % 2400 AS INTEGER) AS VARCHAR), 4, '0')
+            AS tstr
+          FROM events)
+        SELECT event_id,
+          substr(tstr, 1, 2) || ':' || substr(tstr, 3, 2) AS hhmm
+        FROM sfmt ORDER BY event_id LIMIT 1000""")),
+
+    // ---------------------------------------------------------- F6
+    Spec("q_normalize_labels",
+      (s, dir) => t(s, dir).part
+        .select(ColumnFns.normalizeLabel(col("p_type")).as("label"))
+        .distinct().orderBy(col("label")),
+      Some("""SELECT DISTINCT trim(regexp_replace(regexp_replace(
+          lower(p_type), '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g')) AS label
+        FROM part ORDER BY label""")),
+
+    // ---------------------------------------------------------- F4
+    Spec("q_weekend_season",
+      (s, dir) => {
+        val day = datediff(col("ts").cast("date"),
+          to_date(lit("1970-01-01")))
+        t(s, dir).events
+          .select(ColumnFns.isWeekend(day).as("is_weekend"),
+            (floor(floor(day / 7) / 13) % 4).cast("long").as("season"))
+          .groupBy(col("is_weekend"), col("season"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("is_weekend"), col("season"))
+      },
+      Some("""WITH e AS (SELECT date_diff('day', DATE '1970-01-01',
+          CAST(ts AS DATE)) AS day FROM events)
+        SELECT (day % 7) >= 5 AS is_weekend,
+          CAST(floor(floor(day / 7) / 13) % 4 AS BIGINT) AS season,
+          COUNT(*) AS n
+        FROM e GROUP BY 1, 2 ORDER BY is_weekend, season""")),
+
+    // ---------------------------------------------------------- P9/P6
+    Spec("q_clean_events",
+      (s, dir) => TableService.clean(t(s, dir).events,
+        Seq("value"), Seq("event_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          moneySum(col("value")).as("total_value")),
+      Some("""SELECT COUNT(*) AS n_rows,
+        CAST(SUM(CAST(CASE WHEN value < 0 THEN 0.0 ELSE value END
+          AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM events WHERE event_type IS NOT NULL""")),
+
+    // ---------------------------------------------------------- J8 semi
+    Spec("q_fk_exists_count",
+      (s, dir) => Joins.fkExists(t(s, dir).events, "user_id",
+        t(s, dir).customer, "c_custkey").agg(count(lit(1)).as("n")),
+      Some("""SELECT COUNT(*) AS n FROM events e WHERE EXISTS
+        (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)""")),
+
+    // ---------------------------------------------------------- J8 anti
+    Spec("q_fk_violations_count",
+      (s, dir) => Joins.fkViolations(t(s, dir).events, "user_id",
+        t(s, dir).customer, "c_custkey").agg(count(lit(1)).as("n")),
+      Some("""SELECT COUNT(*) AS n FROM events e WHERE NOT EXISTS
+        (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)""")),
+
+    // ---------------------------------------------------------- J7 EXISTS both
+    Spec("q_exists_both_types",
+      (s, dir) => {
+        val items = t(s, dir).lineitem.join(
+          broadcast(t(s, dir).part
+            .select(col("p_partkey").as("l_partkey"), col("p_type"))),
+          Seq("l_partkey"), "left")
+        Joins.basketsContainingAll(items, "l_orderkey",
+          Seq(col("p_type").contains("ECONOMY"),
+            col("p_type").contains("PROMO")))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("""SELECT COUNT(*) AS n FROM
+        (SELECT DISTINCT l_orderkey FROM lineitem) o
+        WHERE EXISTS (SELECT 1 FROM lineitem l JOIN part p
+            ON p.p_partkey = l.l_partkey
+          WHERE l.l_orderkey = o.l_orderkey AND p.p_type LIKE '%ECONOMY%')
+        AND EXISTS (SELECT 1 FROM lineitem l JOIN part p
+            ON p.p_partkey = l.l_partkey
+          WHERE l.l_orderkey = o.l_orderkey AND p.p_type LIKE '%PROMO%')""")),
+
+    // ---------------------------------------------------------- U3 churn label
+    Spec("q_churn_labels",
+      (s, dir) => {
+        val o = t(s, dir).orders
+        val recent = Trends.lastNDays(o, col("o_orderdate"), 90)
+        Joins.absenceLabel(o.select(col("o_custkey")).distinct(),
+          "o_custkey", recent, "is_churn").orderBy(col("o_custkey"))
+      },
+      Some("""SELECT o_custkey, CAST(CASE WHEN MAX(CAST(o_orderdate AS DATE))
+          >= (SELECT MAX(CAST(o_orderdate AS DATE)) - 89 FROM orders)
+          THEN 0 ELSE 1 END AS BIGINT) AS is_churn
+        FROM orders GROUP BY o_custkey ORDER BY o_custkey"""))
+  )
+
+  // Shared SQL fragments ----------------------------------------------------
+
+  /** Distinct (basket, item) grain over lineitem — mirror of
+    * [[AssociationRules.itemsets]]. */
+  private def biSql =
+    """WITH bi AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+      FROM lineitem WHERE l_partkey IS NOT NULL)"""
+
+  private def rulesParams = AssociationRules.Params(
+    minSupport = 0.0, minConfidence = 0.0, maxRules = 500,
+    pairLimit = 2000, maxBasketSize = 500)
+
+  /** Mirror of [[AssociationRules.rulesRaw]] with [[rulesParams]]:
+    * pair counting, TOP-2000 candidate clamp, per-item counts, metrics. */
+  private def rulesRawSql = biSql + """,
+    tot AS (SELECT COUNT(DISTINCT basket) AS n FROM bi),
+    cnt AS (SELECT item, COUNT(*) AS c FROM bi GROUP BY item),
+    pairs AS (
+      SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS pair_baskets
+      FROM bi a JOIN bi b ON a.basket = b.basket AND a.item < b.item
+      GROUP BY 1, 2
+      ORDER BY pair_baskets DESC, item_a, item_b LIMIT 2000),
+    raw AS (
+      SELECT p.item_a, p.item_b, p.pair_baskets,
+        ca.c AS a_baskets, cb.c AS b_baskets, t.n AS total_baskets,
+        CAST(p.pair_baskets AS DOUBLE) / t.n AS support,
+        CAST(p.pair_baskets AS DOUBLE) / ca.c AS confidence,
+        CAST(p.pair_baskets AS DOUBLE) / cb.c AS confidence_rev,
+        (CAST(p.pair_baskets AS DOUBLE) / ca.c)
+          / (CAST(cb.c AS DOUBLE) / t.n) AS lift,
+        (CAST(p.pair_baskets AS DOUBLE) / cb.c)
+          / (CAST(ca.c AS DOUBLE) / t.n) AS lift_rev
+      FROM pairs p CROSS JOIN tot t
+      JOIN cnt ca ON ca.item = p.item_a
+      JOIN cnt cb ON cb.item = p.item_b)"""
+
+  /** Mirror of [[Rfm.scores]] over `orders`. */
+  private def rfmScoresSql =
+    """SELECT customer, last_day, frequency, monetary, recency,
+      CAST(6 - ntile(5) OVER (ORDER BY recency, customer) AS BIGINT)
+        AS r_score,
+      CAST(ntile(5) OVER (ORDER BY frequency, customer) AS BIGINT)
+        AS f_score,
+      CAST(ntile(5) OVER (ORDER BY monetary, customer) AS BIGINT)
+        AS m_score
+    FROM (
+      SELECT *, CAST(date_diff('day', last_day,
+          (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders)) AS BIGINT)
+        AS recency
+      FROM (
+        SELECT o_custkey AS customer,
+          MAX(CAST(o_orderdate AS DATE)) AS last_day,
+          COUNT(DISTINCT o_orderkey) AS frequency,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS monetary
+        FROM orders GROUP BY o_custkey))"""
+}

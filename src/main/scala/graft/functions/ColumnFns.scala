@@ -58,12 +58,15 @@ object ColumnFns {
       .when(p <= 0.75, "High")
       .otherwise("Critical")
 
-  /** Canonicalize an aggregated money sum: the inputs carry exactly two
-    * decimals, so `round(sum, 2)` recovers the exact decimal value and makes
-    * downstream ratio arithmetic bit-deterministic across engines (the
-    * reference sums Decimal(10,2) exactly then floats —
-    * `analytics.py:216`, SURVEY §7.5#2). */
-  def moneySum(c: Column): Column = round(sum(c), 2)
+  /** Canonical money sum: cast to Decimal(18,2) BEFORE summing (exact,
+    * order-independent — parallel partial aggregation cannot perturb it),
+    * then cast the exact decimal result back to double. This is how the
+    * reference gets exact sums (SQL Decimal(10,2)) before floating at the
+    * analysis boundary (`analytics.py:216`, SURVEY §7.5#2), and it makes
+    * the sum bit-identical across engines regardless of row order —
+    * double-summation would be partitioning-dependent. */
+  def moneySum(c: Column): Column =
+    sum(c.cast(org.apache.spark.sql.types.DecimalType(18, 2))).cast("double")
 
   /** Safe ratio with divide-by-zero guard returning 0
     * (`analytics.py:312` avg_basket_value). */

@@ -56,15 +56,7 @@ object AssociationRules {
     * codegen; no UDF, no Generator class. */
   def pairCounts(tx: DataFrame, basket: String, item: String,
                  maxBasketSize: Int = 500): DataFrame =
-    basketItems(tx, basket, item, maxBasketSize)
-      .select(explode(expr(
-        """flatten(transform(items, (x, i) ->
-          |  transform(slice(items, i + 2, size(items)), y ->
-          |    named_struct('item_a', x, 'item_b', y))))""".stripMargin))
-        .as("p"))
-      .select(col("p.item_a"), col("p.item_b"))
-      .groupBy(col("item_a"), col("item_b"))
-      .agg(count(lit(1)).as("pair_baskets"))
+    explodePairs(basketItems(tx, basket, item, maxBasketSize))
 
   /** Per-item distinct-basket counts (`views.py:218-233` J3 inputs). */
   def itemBasketCounts(tx: DataFrame, basket: String, item: String): DataFrame =
@@ -77,32 +69,56 @@ object AssociationRules {
     * bit-deterministic. */
   def rulesRaw(tx: DataFrame, basket: String, item: String,
                params: Params = Params()): DataFrame = {
-    val totalBaskets =
-      itemsets(tx, basket, item).select(col("basket")).distinct().count()
+    // One materialization of the (basket, item) grain feeds all three
+    // consumers (total count, pair counts, item counts) — without the cache
+    // this input would be scanned and shuffled three times (a 3× tax at
+    // 100 TB). Spark LRU-evicts the block when memory is needed.
+    val is = itemsets(tx, basket, item).cache()
+    val totalBaskets = is.select(col("basket")).distinct().count()
     // min_basket_count = max(1, floor(total * minSupport)) — views.py:163-189
     val minPair =
       math.max(1L, math.floor(totalBaskets * params.minSupport).toLong)
 
-    val pairs = pairCounts(tx, basket, item, params.maxBasketSize)
+    val baskets = is
+      .groupBy(col("basket"))
+      .agg(array_sort(collect_set(col("item"))).as("items"))
+      .where(size(col("items")).between(2, params.maxBasketSize))
+    val pairs = explodePairs(baskets)
       .where(col("pair_baskets") >= minPair)
       .orderBy(col("pair_baskets").desc, col("item_a").asc, col("item_b").asc)
       .limit(params.pairLimit)
-    val counts = itemBasketCounts(tx, basket, item)
+    val counts = is.groupBy(col("item")).agg(count(lit(1)).as("item_baskets"))
 
+    val tot = lit(totalBaskets)
     pairs
       .join(broadcast(counts.toDF("item_a", "a_baskets")), Seq("item_a"))
       .join(broadcast(counts.toDF("item_b", "b_baskets")), Seq("item_b"))
-      .withColumn("total_baskets", lit(totalBaskets))
-      .withColumn("support", col("pair_baskets") * 1.0 / totalBaskets)
-      .withColumn("confidence", col("pair_baskets") * 1.0 / col("a_baskets"))
-      .withColumn("confidence_rev", col("pair_baskets") * 1.0 / col("b_baskets"))
+      .withColumn("total_baskets", tot)
+      .withColumn("support", col("pair_baskets").cast("double") / tot)
+      .withColumn("confidence",
+        col("pair_baskets").cast("double") / col("a_baskets"))
+      .withColumn("confidence_rev",
+        col("pair_baskets").cast("double") / col("b_baskets"))
       .withColumn("lift",
-        (col("pair_baskets") * 1.0 / col("a_baskets")) /
-          (col("b_baskets") * 1.0 / totalBaskets))
+        (col("pair_baskets").cast("double") / col("a_baskets")) /
+          (col("b_baskets").cast("double") / tot))
       .withColumn("lift_rev",
-        (col("pair_baskets") * 1.0 / col("b_baskets")) /
-          (col("a_baskets") * 1.0 / totalBaskets))
+        (col("pair_baskets").cast("double") / col("b_baskets")) /
+          (col("a_baskets").cast("double") / tot))
   }
+
+  /** Explode each basket's sorted item array into ordered (a < b) pairs and
+    * count — shared by [[pairCounts]] and [[rulesRaw]]. */
+  private def explodePairs(baskets: DataFrame): DataFrame =
+    baskets
+      .select(explode(expr(
+        """flatten(transform(items, (x, i) ->
+          |  transform(slice(items, i + 2, size(items)), y ->
+          |    named_struct('item_a', x, 'item_b', y))))""".stripMargin))
+        .as("p"))
+      .select(col("p.item_a"), col("p.item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("pair_baskets"))
 
   /** R1 — pairwise rules at any item granularity (product / commodity /
     * department = whatever `item` column the caller passes,

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import graft.functions.ColumnFns.moneySum
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Basket-level analytics (SURVEY §2.4 A1–A4, §2.6 T1).
@@ -12,6 +13,8 @@ import org.apache.spark.sql.functions._
   * the shape that scales linearly with executors at 100 TB. Distinct
   * counts are exact (the reference's semantic baseline, SURVEY §2.4);
   * callers can swap `countDistinct` for `approx_count_distinct` at scale.
+  * Money sums go through [[graft.functions.ColumnFns.moneySum]] so the
+  * result is exact and partitioning-independent.
   */
 object BasketAnalytics {
 
@@ -19,14 +22,14 @@ object BasketAnalytics {
     * SUM/AVG of sales (`views.py:876-888`). One job, no joins. */
   def tableStats(tx: DataFrame, basket: String, item: String,
                  customer: String, sales: String): DataFrame = {
-    val totalSales = round(sum(col(sales)), 2)
+    val totalSales = moneySum(col(sales))
     tx.agg(
       count(lit(1)).as("n_rows"),
       countDistinct(col(basket)).as("n_baskets"),
       countDistinct(col(item)).as("n_items"),
       countDistinct(col(customer)).as("n_customers"),
       totalSales.as("total_sales"),
-      round(totalSales / count(lit(1)), 6).as("avg_sales"))
+      (totalSales / count(lit(1))).as("avg_sales"))
   }
 
   /** A2 + T1 — per-basket totals, top-k by value (`views.py:890-903`).
@@ -37,7 +40,7 @@ object BasketAnalytics {
     tx.groupBy(col(basket))
       .agg(
         sum(col(qty)).as("total_items"),
-        round(sum(col(sales)), 2).as("total_value"),
+        moneySum(col(sales)).as("total_value"),
         countDistinct(col(item)).as("n_products"),
         count(lit(1)).as("n_lines"))
 
@@ -50,7 +53,7 @@ object BasketAnalytics {
       .groupBy(col(category))
       .agg(
         count(lit(1)).as("n_tx"),
-        round(sum(col(sales)), 2).as("total_sales"),
+        moneySum(col(sales)).as("total_sales"),
         sum(col(qty)).as("total_qty"),
         countDistinct(col(key)).as("n_products"))
 
@@ -58,13 +61,13 @@ object BasketAnalytics {
     * (`views.py:921-930`: `Sum/Count` expression alias). */
   def productStats(tx: DataFrame, item: String, sales: String,
                    qty: String): DataFrame = {
-    val total = round(sum(col(sales)), 2)
+    val total = moneySum(col(sales))
     tx.groupBy(col(item))
       .agg(
         count(lit(1)).as("frequency"),
         total.as("total_sales"),
         sum(col(qty)).as("total_qty"),
-        round(total / count(lit(1)), 6).as("avg_sales"))
+        (total / count(lit(1))).as("avg_sales"))
   }
 
   /** T1/T2-style deterministic top-k: order by metric desc with the group

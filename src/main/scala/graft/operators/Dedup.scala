@@ -19,9 +19,13 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** U1 — keep exactly one row per key, the one with the greatest
-    * `keeper` value (reference: MAX(id)). Deterministic. */
-  def keepLatest(df: DataFrame, keys: Seq[String], keeper: String): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(keeper).desc)
+    * `keeper` value (reference: MAX(id)). Pass `tiebreaks` when the keeper
+    * alone is not unique within a key — without a total order the kept row
+    * is partitioning-dependent. */
+  def keepLatest(df: DataFrame, keys: Seq[String], keeper: String,
+                 tiebreaks: Seq[Column] = Nil): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(keeper).desc +: tiebreaks: _*)
     df.withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1)
       .drop("__rn")

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.ColumnFns.moneySum
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -12,13 +13,13 @@ import org.apache.spark.sql.functions._
   * (`qcut`); here the whole thing is one aggregation plus three window
   * functions plus a `when` chain — no driver materialization.
   *
-  * Scale note: `ntile` over a global ORDER BY is a single-partition window
-  * — fine for the reference's 2.5K households, a bottleneck at 10⁹
-  * customers. At that scale swap `scoreByNtile` for quantile-edge scoring
-  * (`approxQuantile` edges + a `when` chain), which is embarrassingly
-  * parallel. Tie semantics of qcut vs ntile are documented in SURVEY §7.5#1;
-  * the F score uses rank(method='first') in the reference = our row_number
-  * ordering, so ntile matches it exactly given a deterministic tiebreak.
+  * Two scoring backends:
+  *  - [[scoreByNtile]] — exact parity with the reference's
+  *    `qcut(rank(method='first'))` semantics, but a GLOBAL window (one
+  *    task). Fine to ~10⁷ customers, a bottleneck beyond.
+  *  - [[scoresByQuantileEdges]] — `approxQuantile(…, 0)` edges + a `when`
+  *    chain: embarrassingly parallel, no global sort, the 100 TB path.
+  *    Tie semantics can diverge from qcut on heavy ties (SURVEY §7.5#1).
   */
 object Rfm {
 
@@ -30,7 +31,7 @@ object Rfm {
       .agg(
         max(col(day)).as("last_day"),
         countDistinct(col(basket)).as("frequency"),
-        round(sum(col(sales)), 2).as("monetary"))
+        moneySum(col(sales)).as("monetary"))
 
   /** Quintile score 1..5 by `ntile(5)` with a deterministic tiebreak
     * (`analytics.py:223-230` W3). `reversed` flips labels — the reference
@@ -40,27 +41,67 @@ object Rfm {
     if (reversed) lit(6) - n else n
   }
 
-  /** Full RFM scoring: recency (days since last activity, lower = better),
-    * frequency, monetary → r/f/m scores 1..5 (`analytics.py:208-230`). */
-  def scores(tx: DataFrame, customer: String, basket: String, sales: String,
-             day: String): DataFrame = {
+  /** Base + recency (days since last activity). Works on either an integer
+    * day axis (the reference, `analytics.py:219-220`) or a date/timestamp
+    * axis (testdata). */
+  def withRecency(tx: DataFrame, customer: String, basket: String,
+                  sales: String, day: String): DataFrame = {
     val b = base(tx, customer, basket, sales, day)
     val maxDay = b.agg(max(col("last_day"))).head().get(0)
-    // recency = max_day - last_day (analytics.py:219-220); works on either an
-    // integer day axis (the reference) or a date/timestamp axis (testdata)
     val recency = b.schema("last_day").dataType match {
-      case _: org.apache.spark.sql.types.NumericType => lit(maxDay) - col("last_day")
+      case _: org.apache.spark.sql.types.NumericType =>
+        lit(maxDay) - col("last_day")
       case _ => datediff(lit(maxDay).cast("date"), col("last_day").cast("date"))
     }
-    b.withColumn("recency", recency)
+    b.withColumn("recency", recency.cast("long"))
+  }
+
+  /** Full RFM scoring: recency (lower = better), frequency, monetary →
+    * r/f/m scores 1..5 (`analytics.py:208-230`), ntile backend. */
+  def scores(tx: DataFrame, customer: String, basket: String, sales: String,
+             day: String): DataFrame =
+    withRecency(tx, customer, basket, sales, day)
       // R: small recency → high score (labels [5..1] on ascending recency)
       .withColumn("r_score",
-        scoreByNtile(col("recency").asc, col("customer").asc, reversed = true))
+        scoreByNtile(col("recency").asc, col("customer").asc, reversed = true)
+          .cast("long"))
       // F: rank(method='first') ascending → ntile ascending
       .withColumn("f_score",
-        scoreByNtile(col("frequency").asc, col("customer").asc, reversed = false))
+        scoreByNtile(col("frequency").asc, col("customer").asc,
+          reversed = false).cast("long"))
       .withColumn("m_score",
-        scoreByNtile(col("monetary").asc, col("customer").asc, reversed = false))
+        scoreByNtile(col("monetary").asc, col("customer").asc,
+          reversed = false).cast("long"))
+
+  /** Scale path: score 1..5 from approxQuantile(relativeError=0) edges —
+    * no global window, no single-task sort; the scoring itself is a
+    * codegen'd `when` chain. At 100 TB run approxQuantile with a small
+    * nonzero relativeError (still one pass) and identical downstream. */
+  def scoresByQuantileEdges(tx: DataFrame, customer: String, basket: String,
+                            sales: String, day: String): DataFrame = {
+    val b = withRecency(tx, customer, basket, sales, day).cache()
+    def edgeScore(c: Column, edges: Array[Double], reversed: Boolean): Column = {
+      // qcut semantics: bins are (e0,e1],(e1,e2]... ties share a bin
+      val s = when(c <= edges(0), 1)
+        .when(c <= edges(1), 2)
+        .when(c <= edges(2), 3)
+        .when(c <= edges(3), 4)
+        .otherwise(5)
+      if (reversed) lit(6) - s else s
+    }
+    val cols = Seq("recency", "frequency", "monetary")
+    val probe = b.select(
+      col("recency").cast("double"),
+      col("frequency").cast("double"),
+      col("monetary").cast("double"))
+    val quantiles = probe.stat.approxQuantile(
+      cols.toArray, Array(0.2, 0.4, 0.6, 0.8), 0.0)
+    b.withColumn("r_score",
+        edgeScore(col("recency"), quantiles(0), reversed = true).cast("long"))
+      .withColumn("f_score",
+        edgeScore(col("frequency"), quantiles(1), reversed = false).cast("long"))
+      .withColumn("m_score",
+        edgeScore(col("monetary"), quantiles(2), reversed = false).cast("long"))
   }
 
   /** 11-way ordered segment assignment — MUST keep the reference's exact
@@ -89,6 +130,17 @@ object Rfm {
       .withColumn("rfm_segment",
         segmentExpr(col("r_score"), col("f_score"), col("m_score")))
       .withColumn("avg_basket_value",
-        round(when(col("frequency") > 0, col("monetary") / col("frequency"))
-          .otherwise(lit(0.0)), 6))
+        when(col("frequency") > 0, col("monetary") / col("frequency"))
+          .otherwise(lit(0.0)))
+
+  /** A16/A10 — per-segment summary stats (`analytics.py:320-328`,
+    * `views.py:3447-3451`). */
+  def segmentSummary(segments: DataFrame): DataFrame =
+    segments.groupBy(col("rfm_segment"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        (sum(col("recency")) / count(lit(1))).as("avg_recency"),
+        (sum(col("frequency")) / count(lit(1))).as("avg_frequency"),
+        (moneySum(col("monetary")) / count(lit(1))).as("avg_monetary"),
+        moneySum(col("monetary")).as("total_monetary"))
 }

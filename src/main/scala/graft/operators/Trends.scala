@@ -1,48 +1,85 @@
 package graft.operators
 
+import graft.functions.ColumnFns.moneySum
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, NumericType}
 
-/** Time-window analytics (SURVEY §2.2 P5, §2.4 A17–A18, §2.8 F9;
+/** Time-window analytics (SURVEY §2.2 P5, §2.4 A17–A18, §2.8 F3/F9;
   * `Website/market/dunnhumby/views.py:146-161`, `views.py:694-729`,
   * `views.py:769-782`, `views.py:1943-1964`).
   *
-  * The reference's time axis is an integer `day`; the testdata's is a
-  * date/timestamp. Operators take the day column as a [[Column]] so either
-  * axis works. "Last N days" is a predicate (P5), not a sliding window —
-  * it pushes to the parquet scan once the max-day literal is resolved (one
-  * tiny agg job, then a pushed filter).
+  * The reference's time axis is an integer `day` (1..711); the testdata's
+  * is a date/timestamp. Every operator here branches on the axis dtype so
+  * BOTH work: numeric axes use the reference's literal arithmetic
+  * (`max_day - N + 1`), date axes use date functions. "Last N days" is a
+  * predicate (P5), not a sliding window — the max-day probe is one
+  * single-row agg job, after which the main scan gets a pushable literal
+  * predicate (shows up as PushedFilters in the parquet scan).
   */
 object Trends {
 
-  /** P5 — the reference's period window: `day >= max_day - N + 1`
-    * (`views.py:146-161`). Resolves max(day) eagerly (single-row agg) so
-    * the main scan gets a pushable literal predicate instead of a
-    * non-pushable scalar subquery. */
-  def lastNDays(df: DataFrame, dayCol: Column, n: Int): DataFrame = {
-    val maxDay = df.agg(max(dayCol.cast("date"))).head().getDate(0)
-    df.where(dayCol.cast("date") >= date_sub(lit(maxDay), n - 1))
-  }
+  private def axisType(df: DataFrame, dayCol: Column): DataType =
+    df.select(dayCol).schema.head.dataType
 
-  /** A18 — monthly trend buckets over a date axis: per-month counts, sales,
-    * distinct actors (`views.py:769-782` uses `((day-352)/30)+1`; on dates
-    * the bucket is the calendar month). */
+  /** Lower bound of the `last n days` window as a literal Column, resolved
+    * eagerly (P5, `views.py:146-161`). */
+  def windowStart(df: DataFrame, dayCol: Column, n: Int): Column =
+    axisType(df, dayCol) match {
+      case _: NumericType =>
+        val maxDay = df.agg(max(dayCol)).head().get(0).toString.toDouble
+        lit(maxDay - (n - 1))
+      case _ =>
+        val maxDay = df.agg(max(dayCol.cast("date"))).head().getDate(0)
+        date_sub(lit(maxDay), n - 1)
+    }
+
+  /** P5 — the reference's period window: `day >= max_day - N + 1`
+    * (`views.py:146-161`). Works on integer and date axes. */
+  def lastNDays(df: DataFrame, dayCol: Column, n: Int): DataFrame =
+    axisType(df, dayCol) match {
+      case _: NumericType => df.where(dayCol >= windowStart(df, dayCol, n))
+      case _ => df.where(dayCol.cast("date") >= windowStart(df, dayCol, n))
+    }
+
+  /** F3 — the reference's month bucket for an integer day axis:
+    * `((day - origin) / 30) + 1` (`views.py:769-782`, origin 352). */
+  def monthBucket(day: Column, origin: Int): Column =
+    (((day - origin) / 30).cast("long") + 1)
+
+  /** A18 — monthly trend buckets: per-month counts, sales, distinct actors
+    * (`views.py:769-782`). Date axis buckets by calendar month; numeric
+    * axis by the reference's `((day-origin)/30)+1` arithmetic. */
   def monthlyTrend(df: DataFrame, dayCol: Column, sales: Column,
-                   actor: Column, basket: Column): DataFrame =
-    df.groupBy(date_trunc("month", dayCol).cast("date").as("month"))
+                   actor: Column, basket: Column): DataFrame = {
+    val bucket = axisType(df, dayCol) match {
+      case _: NumericType => monthBucket(dayCol, 352).as("month")
+      case _ => date_trunc("month", dayCol).cast("date").as("month")
+    }
+    df.groupBy(bucket)
       .agg(
         count(lit(1)).as("n_rows"),
-        round(sum(sales), 2).as("total_sales"),
+        moneySum(sales).as("total_sales"),
         countDistinct(actor).as("n_actors"),
         countDistinct(basket).as("n_baskets"))
+  }
 
-  /** A17/F1 — quarter-bucket rollup: group by (category, quarter-of-year)
-    * (`views.py:1943-1964`). */
+  /** A17/F1 — quarter-bucket rollup: group by (category, quarter)
+    * (`views.py:1943-1964`; integer-axis ranges `views.py:1548-1553`). */
   def quarterRollup(df: DataFrame, category: Column, dayCol: Column,
-                    sales: Column): DataFrame =
-    df.groupBy(category.as("category"),
-        concat(lit("Q"), quarter(dayCol)).as("quarter"))
-      .agg(count(lit(1)).as("n_rows"), round(sum(sales), 2).as("total_sales"))
+                    sales: Column): DataFrame = {
+    val q = axisType(df, dayCol) match {
+      case _: NumericType =>
+        // reference buckets days 1-91/92-182/183-273/274+ (views.py:1946-1951)
+        when(dayCol.between(1, 91), "Q1")
+          .when(dayCol.between(92, 182), "Q2")
+          .when(dayCol.between(183, 273), "Q3")
+          .otherwise("Q4")
+      case _ => concat(lit("Q"), quarter(dayCol))
+    }
+    df.groupBy(category.as("category"), q.as("quarter"))
+      .agg(count(lit(1)).as("n_rows"), moneySum(sales).as("total_sales"))
+  }
 
   /** F9 — period-over-period KPI: recent window vs the previous window of
     * equal length, percent change with zero-guard (`views.py:694-729`).
@@ -50,17 +87,43 @@ object Trends {
     * `ml_models.py:806-813`) instead of two separate scans. */
   def periodComparison(df: DataFrame, dayCol: Column, sales: Column,
                        n: Int): DataFrame = {
-    val maxDay = df.agg(max(dayCol.cast("date"))).head().getDate(0)
-    val d = dayCol.cast("date")
-    val recentLo = date_sub(lit(maxDay), n - 1)
-    val prevLo = date_sub(lit(maxDay), 2 * n - 1)
-    val recent = round(sum(when(d >= recentLo, sales).otherwise(lit(0.0))), 2)
-    val prev = round(sum(
-      when(d >= prevLo && d < recentLo, sales).otherwise(lit(0.0))), 2)
+    val (d, recentLo, prevLo) = axisType(df, dayCol) match {
+      case _: NumericType =>
+        val maxDay = df.agg(max(dayCol)).head().get(0).toString.toDouble
+        (dayCol, lit(maxDay - (n - 1)), lit(maxDay - (2 * n - 1)))
+      case _ =>
+        val maxDay = df.agg(max(dayCol.cast("date"))).head().getDate(0)
+        (dayCol.cast("date"),
+          date_sub(lit(maxDay), n - 1), date_sub(lit(maxDay), 2 * n - 1))
+    }
+    val recent = moneySum(when(d >= recentLo, sales).otherwise(lit(0.0)))
+    val prev = moneySum(
+      when(d >= prevLo && d < recentLo, sales).otherwise(lit(0.0)))
     df.where(d >= prevLo).agg(
       recent.as("recent_sales"),
       prev.as("prev_sales"),
       round(when(prev =!= 0, (recent - prev) / prev * 100)
         .otherwise(lit(0.0)), 6).as("pct_change"))
+  }
+
+  /** A7 — multi-window conditional aggregation: one scan, per-key sums and
+    * distinct-actor counts for each trailing window (`ml_models.py:806-813`,
+    * `ml_models.py:984-995`). `windows` maps a label suffix to the window
+    * length in days. */
+  def multiWindowStats(df: DataFrame, key: Column, dayCol: Column,
+                       sales: Column, actor: Column,
+                       windows: Seq[(String, Int)]): DataFrame = {
+    val starts = windows.map { case (nm, n) => nm -> windowStart(df, dayCol, n) }
+    val d = axisType(df, dayCol) match {
+      case _: NumericType => dayCol
+      case _ => dayCol.cast("date")
+    }
+    val aggs = starts.flatMap { case (nm, lo) =>
+      Seq(
+        moneySum(when(d >= lo, sales).otherwise(lit(0.0))).as(s"sales_$nm"),
+        count_distinct(when(d >= lo, actor)).as(s"actors_$nm"),
+        sum(when(d >= lo, 1L).otherwise(0L)).as(s"tx_$nm"))
+    }
+    df.groupBy(key).agg(aggs.head, aggs.tail: _*)
   }
 }

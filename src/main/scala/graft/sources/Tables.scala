@@ -31,8 +31,16 @@ final case class Tables(spark: SparkSession, dir: String) {
   def orders: DataFrame = table("orders")
   def lineitem: DataFrame = table("lineitem")
 
-  // event stream table (timestamps)
-  def events: DataFrame = table("events")
+  // Event stream table. The driver writes `ts` as parquet TIMESTAMP(NANOS),
+  // which Spark's vectorized reader rejects; read nanos as long
+  // (legacy conf) and rebuild a microsecond TimestampType column with
+  // integer `div` (a double division would lose precision at 1e18 nanos).
+  def events: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table("events").withColumn("ts",
+      org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
 
   // training-data pipeline tables
   def documents: DataFrame = table("documents")
