@@ -42,7 +42,7 @@ object Queries {
     t(s, dir).orders.select(col("o_custkey"), col("o_orderkey"),
       col("o_totalprice"), col("o_orderdate").cast("date").as("day"))
 
-  val specs: Seq[Spec] = Seq(
+  private def coreSpecs: Seq[Spec] = Seq(
 
     // ---------------------------------------------------------- A1
     Spec("q_table_stats",
@@ -571,6 +571,323 @@ object Queries {
         FROM orders GROUP BY o_custkey ORDER BY o_custkey"""))
   )
 
+  // ======================================================== stats (X1–X5)
+
+  /** orders ⋈ customer with group/value columns — input to the stat tests
+    * (reference inputs are per-basket totals per segment/store,
+    * `views.py:1708-1754`). */
+  private def ordersCust(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).orders.join(
+      broadcast(t(s, dir).customer
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))),
+      Seq("o_custkey"), "inner")
+
+  private def ordersCustSql =
+    """SELECT c_mktsegment AS g, o_totalprice AS v, o_orderpriority AS pri
+      FROM orders JOIN customer ON c_custkey = o_custkey"""
+
+  private def statsSpecs: Seq[Spec] = Seq(
+
+    // ---------------------------------------------------------- X1
+    Spec("q_chi2",
+      (s, dir) => Stats.chiSquare(ordersCust(s, dir),
+        col("c_mktsegment"), col("o_orderpriority")),
+      Some("""WITH cont AS (SELECT g, pri AS c, COUNT(*) AS n
+          FROM (""" + ordersCustSql + """) GROUP BY 1, 2),
+        cells AS (SELECT g, c, n,
+          CAST(SUM(n) OVER (PARTITION BY g) AS BIGINT) AS rt,
+          CAST(SUM(n) OVER (PARTITION BY c) AS BIGINT) AS ct,
+          CAST(SUM(n) OVER () AS BIGINT) AS total FROM cont),
+        agg AS (SELECT
+          SUM((n - (rt*ct)/total) * (n - (rt*ct)/total) / ((rt*ct)/total))
+            AS chi2raw,
+          COUNT(DISTINCT g) AS ng, COUNT(DISTINCT c) AS nc,
+          MAX(total) AS total FROM cells)
+        SELECT ROUND(chi2raw, 6) AS chi2,
+          CAST((ng-1)*(nc-1) AS BIGINT) AS dof,
+          ROUND(sqrt(chi2raw / (total * least(ng-1, nc-1))), 6) AS cramers_v,
+          ROUND(sqrt(chi2raw / total), 6) AS cohens_w, total
+        FROM agg""")),
+
+    // ---------------------------------------------------------- X2
+    Spec("q_welch_t",
+      (s, dir) => Stats.welchT(ordersCust(s, dir), col("c_mktsegment"),
+        col("o_totalprice"), "BUILDING", "MACHINERY"),
+      Some("""WITH j AS (""" + ordersCustSql + """),
+        agg AS (SELECT
+          COUNT(CASE WHEN g = 'BUILDING' THEN 1 END) AS n1,
+          CAST(SUM(CAST(CASE WHEN g = 'BUILDING' THEN v ELSE 0.0 END
+            AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+          CAST(SUM(CAST(CASE WHEN g = 'BUILDING' THEN v*v ELSE 0.0 END
+            AS DECIMAL(30,4))) AS DOUBLE) AS ss1,
+          COUNT(CASE WHEN g = 'MACHINERY' THEN 1 END) AS n2,
+          CAST(SUM(CAST(CASE WHEN g = 'MACHINERY' THEN v ELSE 0.0 END
+            AS DECIMAL(18,2))) AS DOUBLE) AS s2,
+          CAST(SUM(CAST(CASE WHEN g = 'MACHINERY' THEN v*v ELSE 0.0 END
+            AS DECIMAL(30,4))) AS DOUBLE) AS ss2
+          FROM j),
+        mo AS (SELECT *, s1/n1 AS m1, s2/n2 AS m2,
+          (ss1 - s1*s1/n1)/(n1-1) AS v1,
+          (ss2 - s2*s2/n2)/(n2-1) AS v2 FROM agg),
+        se AS (SELECT *, v1/n1 + v2/n2 AS se2 FROM mo)
+        SELECT n1, n2, m1 AS mean1, m2 AS mean2,
+          ROUND((m1-m2)/sqrt(se2), 6) AS t_stat,
+          ROUND(se2*se2 / ((v1/n1)*(v1/n1)/(n1-1)
+            + (v2/n2)*(v2/n2)/(n2-1)), 6) AS dof,
+          ROUND((m1-m2)/sqrt(((n1-1)*v1 + (n2-1)*v2)/(n1+n2-2)), 6)
+            AS cohens_d
+        FROM se""")),
+
+    // ---------------------------------------------------------- X3
+    Spec("q_mannwhitney_u",
+      (s, dir) => Stats.mannWhitneyU(ordersCust(s, dir), col("c_mktsegment"),
+        col("o_totalprice"), "BUILDING", "MACHINERY"),
+      Some("""WITH j AS (SELECT g, v FROM (""" + ordersCustSql + """)
+          WHERE g IN ('BUILDING', 'MACHINERY')),
+        r AS (SELECT g, rank() OVER (ORDER BY v) AS rk,
+          COUNT(*) OVER (PARTITION BY v) AS cnt FROM j),
+        a AS (SELECT
+          SUM(CASE WHEN g = 'BUILDING' THEN rk + (cnt-1)/2.0 END) AS r1,
+          COUNT(CASE WHEN g = 'BUILDING' THEN 1 END) AS n1,
+          COUNT(CASE WHEN g = 'MACHINERY' THEN 1 END) AS n2 FROM r)
+        SELECT n1, n2,
+          ROUND(r1 - n1*(n1+1)/2.0, 6) AS u_stat,
+          ROUND(1.0 - 2.0*(r1 - n1*(n1+1)/2.0)/(n1*n2), 6) AS rank_biserial
+        FROM a""")),
+
+    // ---------------------------------------------------------- X4
+    Spec("q_ks2",
+      (s, dir) => Stats.ks2(ordersCust(s, dir), col("c_mktsegment"),
+        col("o_totalprice"), "BUILDING", "MACHINERY"),
+      Some("""WITH j AS (SELECT g, v FROM (""" + ordersCustSql + """)
+          WHERE g IN ('BUILDING', 'MACHINERY')),
+        pv AS (SELECT v,
+          CAST(SUM(CASE WHEN g = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT)
+            AS c1,
+          CAST(SUM(CASE WHEN g = 'MACHINERY' THEN 1 ELSE 0 END) AS BIGINT)
+            AS c2
+          FROM j GROUP BY v),
+        cdf AS (SELECT
+          CAST(SUM(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT)
+            AS cum1,
+          CAST(SUM(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS BIGINT)
+            AS cum2,
+          CAST(SUM(c1) OVER () AS BIGINT) AS t1,
+          CAST(SUM(c2) OVER () AS BIGINT) AS t2 FROM pv)
+        SELECT ROUND(MAX(abs(CAST(cum1 AS DOUBLE)/t1
+            - CAST(cum2 AS DOUBLE)/t2)), 6) AS ks_stat,
+          MAX(t1) AS n1, MAX(t2) AS n2
+        FROM cdf""")),
+
+    // ---------------------------------------------------------- X5
+    Spec("q_mean_diff",
+      (s, dir) => Stats.meanDiff(ordersCust(s, dir), col("c_mktsegment"),
+        col("o_totalprice"), "FURNITURE", "HOUSEHOLD"),
+      Some("""WITH j AS (""" + ordersCustSql + """),
+        agg AS (SELECT
+          COUNT(CASE WHEN g = 'FURNITURE' THEN 1 END) AS n1,
+          CAST(SUM(CAST(CASE WHEN g = 'FURNITURE' THEN v ELSE 0.0 END
+            AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+          COUNT(CASE WHEN g = 'HOUSEHOLD' THEN 1 END) AS n2,
+          CAST(SUM(CAST(CASE WHEN g = 'HOUSEHOLD' THEN v ELSE 0.0 END
+            AS DECIMAL(18,2))) AS DOUBLE) AS s2
+          FROM j)
+        SELECT n1, n2, s1/n1 AS mean1, s2/n2 AS mean2,
+          s1/n1 - s2/n2 AS mean_diff,
+          ROUND(CASE WHEN s2/n2 <> 0
+            THEN (s1/n1 - s2/n2)/(s2/n2)*100 ELSE 0.0 END, 6) AS pct_diff
+        FROM agg"""))
+  )
+
+  // ==================================================== churn / labels / CF
+
+  /** lineitem ⋈ orders — the (customer, item, sales, day) transaction grain
+    * for churn features and CF. */
+  private def custItemTx(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).lineitem
+      .select(col("l_orderkey").as("o_orderkey"), col("l_partkey"),
+        col("l_extendedprice"))
+      .join(t(s, dir).orders.select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate")), Seq("o_orderkey"))
+
+  private def custItemTxSql =
+    """SELECT o_custkey AS u, l_partkey AS i, l_extendedprice AS sv,
+      CAST(o_orderdate AS DATE) AS d
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey"""
+
+  private def uiSql =
+    """ui AS (SELECT o_custkey AS u, l_partkey AS i, COUNT(*) AS c
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey GROUP BY 1, 2)"""
+
+  private def cfSimsSql = uiSql + """,
+    nrm AS (SELECT u, sqrt(CAST(SUM(c*c) AS DOUBLE)) AS nrm
+      FROM ui GROUP BY u),
+    dots AS (SELECT a.u AS u1, b.u AS u2, CAST(SUM(a.c*b.c) AS BIGINT) AS dot
+      FROM ui a JOIN ui b ON a.i = b.i AND a.u < b.u GROUP BY 1, 2),
+    sims AS (SELECT u1, u2, dot / (x.nrm * y.nrm) AS cos
+      FROM dots JOIN nrm x ON x.u = u1 JOIN nrm y ON y.u = u2)"""
+
+  private def mlSpecs: Seq[Spec] = Seq(
+
+    // ---------------------------------------------------------- §2.12
+    Spec("q_churn_features",
+      (s, dir) => Churn.features(custItemTx(s, dir), "o_custkey",
+        "l_partkey", "l_extendedprice", col("o_orderdate"), 90,
+        Some((t(s, dir).customer, "c_custkey", Seq("c_mktsegment"))))
+        .orderBy(col("o_custkey")),
+      Some("""WITH tx AS (""" + custItemTxSql + """),
+        pred AS (SELECT MAX(d) - 90 AS pd FROM tx),
+        hist AS (SELECT tx.* FROM tx, pred WHERE d <= pd),
+        fut AS (SELECT DISTINCT u FROM tx, pred WHERE d > pd),
+        base AS (SELECT u,
+          CAST(date_diff('day', MAX(d), (SELECT pd FROM pred)) AS BIGINT)
+            AS recency,
+          COUNT(DISTINCT d) AS frequency,
+          """ + m("sv") + """ AS monetary,
+          COUNT(DISTINCT i) AS product_variety
+          FROM hist GROUP BY u),
+        dd AS (SELECT DISTINCT u, d FROM hist),
+        gg AS (SELECT u, CAST(date_diff('day',
+            lag(d) OVER (PARTITION BY u ORDER BY d), d) AS BIGINT) AS gap
+          FROM dd),
+        gaps AS (SELECT u, CAST(SUM(gap) AS DOUBLE)/COUNT(*) AS avg_gap
+          FROM gg WHERE gap IS NOT NULL GROUP BY u)
+        SELECT b.u AS o_custkey, b.recency, b.frequency, b.monetary,
+          b.product_variety,
+          COALESCE(gaps.avg_gap, 0.0) AS avg_purchase_gap,
+          CAST(CASE WHEN fut.u IS NULL THEN 1 ELSE 0 END AS BIGINT)
+            AS is_churn,
+          c_mktsegment
+        FROM base b LEFT JOIN gaps ON gaps.u = b.u
+        LEFT JOIN fut ON fut.u = b.u
+        JOIN customer ON c_custkey = b.u
+        ORDER BY o_custkey""")),
+
+    // ---------------------------------------------------------- J6
+    Spec("q_multi_horizon_labels",
+      (s, dir) => {
+        val o = ordersTx(s, dir)
+        val maxDay = o.agg(max(col("day"))).head().getDate(0)
+        val pd = java.sql.Date.valueOf(maxDay.toLocalDate.minusDays(180))
+        val d = col("day")
+        val base = o.where(d <= lit(pd)).select(col("o_custkey")).distinct()
+        val future = o.where(d > lit(pd))
+        Joins.futureExistenceLabels(base, future, "o_custkey",
+          Seq(30, 60, 90, 180).map(h =>
+            s"h$h" -> (d > lit(pd) && d <= date_add(lit(pd), h))))
+          .orderBy(col("o_custkey"))
+      },
+      Some("""WITH d AS (SELECT o_custkey AS u, CAST(o_orderdate AS DATE)
+          AS d FROM orders),
+        mx AS (SELECT MAX(d) - 180 AS pd FROM d),
+        base AS (SELECT DISTINCT u FROM d, mx WHERE d <= pd),
+        f AS (SELECT u, """ +
+        Seq(30, 60, 90, 180).map(h =>
+          s"""CAST(MAX(CASE WHEN d > pd AND d <= pd + $h THEN 1 ELSE 0 END)
+             AS BIGINT) AS h$h""").mkString(", ") + """
+          FROM d, mx WHERE d > pd GROUP BY u)
+        SELECT base.u AS o_custkey,
+          CAST(COALESCE(h30, 0) AS BIGINT) AS h30,
+          CAST(COALESCE(h60, 0) AS BIGINT) AS h60,
+          CAST(COALESCE(h90, 0) AS BIGINT) AS h90,
+          CAST(COALESCE(h180, 0) AS BIGINT) AS h180
+        FROM base LEFT JOIN f ON f.u = base.u ORDER BY o_custkey""")),
+
+    // ---------------------------------------------------------- §2.14 sims
+    Spec("q_cf_user_sims",
+      (s, dir) => Collab.userSimilarities(
+        Collab.userItemCounts(custItemTx(s, dir), "o_custkey", "l_partkey"))
+        .select(col("u1"), col("u2"), round(col("cos"), 6).as("cos"))
+        .orderBy(col("cos").desc, col("u1"), col("u2")).limit(1000),
+      Some("""WITH """ + cfSimsSql + """
+        SELECT u1, u2, ROUND(cos, 6) AS cos FROM sims
+        ORDER BY cos DESC, u1, u2 LIMIT 1000""")),
+
+    // ---------------------------------------------------------- §2.14 recs
+    Spec("q_cf_recommendations",
+      (s, dir) => {
+        val counts = Collab.userItemCounts(custItemTx(s, dir),
+          "o_custkey", "l_partkey")
+        val sims = Collab.userSimilarities(counts)
+        Collab.recommend(counts, sims, 5, col("u1") % 50 === 0)
+          .orderBy(col("u"), col("rn"))
+      },
+      Some("""WITH """ + cfSimsSql + """,
+        sym AS (SELECT u1, u2, cos FROM sims
+          UNION ALL SELECT u2, u1, cos FROM sims),
+        scored AS (SELECT sym.u1 AS u, ui.i,
+            ROUND(SUM(sym.cos * ui.c), 6) AS score
+          FROM sym JOIN ui ON ui.u = sym.u2
+          WHERE sym.cos > 0 AND sym.u1 % 50 = 0
+            AND NOT EXISTS (SELECT 1 FROM ui me
+              WHERE me.u = sym.u1 AND me.i = ui.i)
+          GROUP BY 1, 2)
+        SELECT u, i, score, rn FROM (SELECT *,
+            CAST(ROW_NUMBER() OVER (PARTITION BY u
+              ORDER BY score DESC, i) AS BIGINT) AS rn
+          FROM scored)
+        WHERE rn <= 5 ORDER BY u, rn""")),
+
+    // ---------------------------------------------------------- hybrid blend
+    Spec("q_hybrid_recommendations",
+      (s, dir) => {
+        val counts = Collab.userItemCounts(custItemTx(s, dir),
+          "o_custkey", "l_partkey")
+        val sims = Collab.userSimilarities(counts)
+        val cf = Collab.recommend(counts, sims, Int.MaxValue,
+          col("u1") % 50 === 0).select(col("u"), col("i"), col("score"))
+        val rules = AssociationRules.rulesRaw(t(s, dir).lineitem,
+          "l_orderkey", "l_partkey", rulesParams)
+        val assoc = Collab.assocScores(
+          counts.where(col("u") % 50 === 0), rules)
+        Collab.hybridBlend(assoc, cf, 0.6, 5).orderBy(col("u"), col("rn"))
+      },
+      Some("""WITH """ + cfSimsSql + """,
+        sym AS (SELECT u1, u2, cos FROM sims
+          UNION ALL SELECT u2, u1, cos FROM sims),
+        cf AS (SELECT sym.u1 AS u, ui.i,
+            ROUND(SUM(sym.cos * ui.c), 6) AS score
+          FROM sym JOIN ui ON ui.u = sym.u2
+          WHERE sym.cos > 0 AND sym.u1 % 50 = 0
+            AND NOT EXISTS (SELECT 1 FROM ui me
+              WHERE me.u = sym.u1 AND me.i = ui.i)
+          GROUP BY 1, 2),
+        bi AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+          FROM lineitem WHERE l_partkey IS NOT NULL),
+        tot AS (SELECT COUNT(DISTINCT basket) AS n FROM bi),
+        cnt AS (SELECT item, COUNT(*) AS c FROM bi GROUP BY item),
+        pairs AS (
+          SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS pair_baskets
+          FROM bi a JOIN bi b ON a.basket = b.basket AND a.item < b.item
+          GROUP BY 1, 2
+          ORDER BY pair_baskets DESC, item_a, item_b LIMIT 2000),
+        raw AS (SELECT p.item_a, p.item_b,
+            CAST(p.pair_baskets AS DOUBLE) / ca.c AS confidence,
+            (CAST(p.pair_baskets AS DOUBLE) / ca.c)
+              / (CAST(cb.c AS DOUBLE) / t.n) AS lift
+          FROM pairs p CROSS JOIN tot t
+          JOIN cnt ca ON ca.item = p.item_a
+          JOIN cnt cb ON cb.item = p.item_b),
+        assoc AS (SELECT ui.u, raw.item_b AS i,
+            ROUND(SUM(raw.confidence * raw.lift), 6) AS score
+          FROM ui JOIN raw ON raw.item_a = ui.i
+          WHERE ui.u % 50 = 0
+            AND NOT EXISTS (SELECT 1 FROM ui me
+              WHERE me.u = ui.u AND me.i = raw.item_b)
+          GROUP BY 1, 2),
+        blended AS (SELECT COALESCE(a.u, c.u) AS u, COALESCE(a.i, c.i) AS i,
+            ROUND(0.6 * COALESCE(a.score
+                / (SELECT MAX(score) FROM assoc), 0.0)
+              + 0.4 * COALESCE(c.score
+                / (SELECT MAX(score) FROM cf), 0.0), 6) AS hybrid_score
+          FROM assoc a FULL OUTER JOIN cf c ON a.u = c.u AND a.i = c.i)
+        SELECT u, i, hybrid_score, rn FROM (SELECT *,
+            CAST(ROW_NUMBER() OVER (PARTITION BY u
+              ORDER BY hybrid_score DESC, i) AS BIGINT) AS rn
+          FROM blended)
+        WHERE rn <= 5 ORDER BY u, rn"""))
+  )
+
   // Shared SQL fragments ----------------------------------------------------
 
   /** Distinct (basket, item) grain over lineitem — mirror of
@@ -627,4 +944,6 @@ object Queries {
           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
             AS monetary
         FROM orders GROUP BY o_custkey))"""
+
+  val specs: Seq[Spec] = coreSpecs ++ statsSpecs ++ mlSpecs
 }

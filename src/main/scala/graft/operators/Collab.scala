@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** User-based collaborative filtering + hybrid blend (SURVEY §2.14;
+  * `Website/market/dunnhumby/collab_filter.py:28-113`,
+  * `Website/market/dunnhumby/customers/views.py:49-183`).
+  *
+  * The reference pivots the user×item count matrix into pandas and calls
+  * sklearn `cosine_similarity` — O(users²·items) dense in one process.
+  * Spark-first: stay LONG-FORM. Cosine over sparse count vectors is
+  * Σ aᵢbᵢ / (‖a‖‖b‖) where the numerator only receives contributions from
+  * SHARED items — so a self-join on item + groupBy (u1,u2) computes
+  * exactly the nonzero similarities, shuffling on item then on the pair
+  * key. Integer dot products and squared norms are exact; only the final
+  * divisions are floats.
+  *
+  * 100 TB note: the pair blow-up is bounded by the most popular item
+  * (k users → k² pairs). Cap it with `maxItemUsers` (drop/downsample
+  * ultra-popular items — they carry near-zero cosine signal anyway) or
+  * switch to DIMSUM sampling (`RowMatrix.columnSimilarities(threshold)`);
+  * both keep the shuffle linear-ish. The reference's dense pivot simply
+  * dies at that scale. */
+object Collab {
+
+  /** A21 — user–item purchase counts at any item granularity
+    * (`collab_filter.py:28-31`). */
+  def userItemCounts(tx: DataFrame, user: String, item: String): DataFrame =
+    tx.groupBy(col(user).as("u"), col(item).as("i"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Per-user L2 norm of the count vector. */
+  def userNorms(counts: DataFrame): DataFrame =
+    counts.groupBy(col("u"))
+      .agg(sqrt(sum(col("c") * col("c"))).as("nrm"))
+
+  /** One-directional (u1 < u2) nonzero cosine similarities via item
+    * self-join. `maxItemUsers` drops items shared by more than that many
+    * users (quadratic-blowup guard; None = keep all). */
+  def userSimilarities(counts: DataFrame,
+                       maxItemUsers: Option[Int] = None): DataFrame = {
+    val base = maxItemUsers match {
+      case Some(cap) =>
+        val keep = counts.groupBy(col("i")).agg(count(lit(1)).as("iu"))
+          .where(col("iu") <= cap).select(col("i"))
+        counts.join(broadcast(keep), Seq("i"), "left_semi")
+      case None => counts
+    }
+    val a = base.select(col("u").as("u1"), col("i"), col("c").as("c1"))
+    val b = base.select(col("u").as("u2"), col("i"), col("c").as("c2"))
+    val dots = a.join(b, Seq("i"))
+      .where(col("u1") < col("u2"))
+      .groupBy(col("u1"), col("u2"))
+      .agg(sum(col("c1") * col("c2")).as("dot"))
+    val n = userNorms(counts)
+    dots
+      .join(n.select(col("u").as("u1"), col("nrm").as("nrm1")), Seq("u1"))
+      .join(n.select(col("u").as("u2"), col("nrm").as("nrm2")), Seq("u2"))
+      .select(col("u1"), col("u2"),
+        (col("dot") / (col("nrm1") * col("nrm2"))).as("cos"))
+  }
+
+  /** Both-direction similarity view (u, v, cos). */
+  def symmetricSimilarities(sims: DataFrame): DataFrame =
+    sims.select(col("u1"), col("u2"), col("cos"))
+      .unionByName(sims.select(col("u2").as("u1"), col("u1").as("u2"),
+        col("cos")))
+
+  /** CF candidate scoring (`collab_filter.py:64-76`): for each target user,
+    * score every item they have NOT purchased as Σ over similar users of
+    * sim × count, take top-k. `targetFilter` restricts which users get
+    * recommendations (the reference scores one household per request). */
+  def recommend(counts: DataFrame, sims: DataFrame, k: Int,
+                targetFilter: Column = lit(true)): DataFrame = {
+    val sym = symmetricSimilarities(sims)
+      .where(col("cos") > 0 && targetFilter)
+    val scored = sym
+      .join(counts.select(col("u").as("u2"), col("i"), col("c")), Seq("u2"))
+      .join(counts.select(col("u").as("u1"), col("i")),
+        Seq("u1", "i"), "left_anti")
+      .groupBy(col("u1").as("u"), col("i"))
+      .agg(round(sum(col("cos") * col("c")), 6).as("score"))
+    scored
+      .withColumn("rn", row_number().over(
+          Window.partitionBy(col("u"))
+            .orderBy(col("score").desc, col("i").asc))
+        .cast("long"))
+      .where(col("rn") <= k)
+  }
+
+  /** Association-rule candidate scores (`customers/views.py:84-126`): for
+    * each user, rules whose antecedent is among the user's purchased items
+    * vote confidence×lift for the consequent; already-purchased consequents
+    * are excluded (anti-join), votes sum per (user, item). */
+  def assocScores(purchased: DataFrame, rules: DataFrame): DataFrame =
+    purchased.select(col("u"), col("i").as("item_a"))
+      .join(rules.select(col("item_a"), col("item_b"),
+        col("confidence"), col("lift")), Seq("item_a"))
+      .select(col("u"), col("item_b").as("i"),
+        (col("confidence") * col("lift")).as("s"))
+      .join(purchased.select(col("u"), col("i")), Seq("u", "i"), "left_anti")
+      .groupBy(col("u"), col("i"))
+      .agg(round(sum(col("s")), 6).as("score"))
+
+  /** Hybrid blend (`customers/views.py:127-163`): normalize each source's
+    * scores by its max, then `hybrid = α·assoc + (1−α)·cf`. Inputs are
+    * (u, i, score) frames; either side may be missing a candidate (treated
+    * as 0 via full outer join). */
+  def hybridBlend(assoc: DataFrame, cf: DataFrame, alpha: Double,
+                  k: Int): DataFrame = {
+    val w = Window.partitionBy()
+    val an = assoc.select(col("u"), col("i"),
+      (col("score") / max(col("score")).over(w)).as("a_score"))
+    val cn = cf.select(col("u"), col("i"),
+      (col("score") / max(col("score")).over(w)).as("c_score"))
+    an.join(cn, Seq("u", "i"), "full_outer")
+      .select(col("u"), col("i"),
+        round(lit(alpha) * coalesce(col("a_score"), lit(0.0)) +
+          lit(1.0 - alpha) * coalesce(col("c_score"), lit(0.0)), 6)
+          .as("hybrid_score"))
+      .withColumn("rn", row_number().over(
+          Window.partitionBy(col("u"))
+            .orderBy(col("hybrid_score").desc, col("i").asc))
+        .cast("long"))
+      .where(col("rn") <= k)
+  }
+}

@@ -61,15 +61,11 @@ object Joins {
     * future table with conditional aggregation — NOT four separate
     * semi-joins: at 100 TB this is a single shuffle on the key. */
   def futureExistenceLabels(base: DataFrame, future: DataFrame, key: String,
-                            day: String,
                             horizons: Seq[(String, Column)]): DataFrame = {
-    val flags = future.groupBy(col(key)).agg(
-      horizons.map { case (nm, cond) =>
-        max(when(cond, 1L).otherwise(0L)).as(nm)
-      }.head,
-      horizons.map { case (nm, cond) =>
-        max(when(cond, 1L).otherwise(0L)).as(nm)
-      }.tail: _*)
+    val aggs = horizons.map { case (nm, cond) =>
+      max(when(cond, 1L).otherwise(0L)).as(nm)
+    }
+    val flags = future.groupBy(col(key)).agg(aggs.head, aggs.tail: _*)
     horizons.foldLeft(base.join(flags, Seq(key), "left")) {
       case (d, (nm, _)) => d.withColumn(nm, coalesce(col(nm), lit(0L)))
     }

@@ -1,0 +1,188 @@
+package graft.operators
+
+import org.apache.commons.math3.distribution.{ChiSquaredDistribution, NormalDistribution, TDistribution}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Differential-analysis statistical tests (SURVEY §2.9 X1–X5;
+  * `Website/market/dunnhumby/views.py:1756-1934`, dispatcher
+  * `views.py:2550-2557`).
+  *
+  * The reference pulls aggregates into the web process and calls scipy.
+  * Spark-first re-expression: the STATISTIC is computed inside the engine
+  * as a declarative aggregation pipeline (so it scales with the data and
+  * is oracle-checkable in SQL); only the p-value lookup (a CDF of the
+  * already-tiny statistic) runs driver-side via commons-math — the same
+  * boundary scipy occupies in the reference.
+  *
+  * Determinism notes: sums of integer counts and of half-integer ranks are
+  * exact in double regardless of order; money inputs go through exact
+  * decimal sums; only the chi² cell sum is a true float sum, so the
+  * statistic is rounded to 6 digits (fp error ~1e-13 ≪ 5e-7).
+  */
+object Stats {
+
+  private val dec4 = DecimalType(30, 4)
+
+  /** X1 — Pearson chi-square on the G×C contingency of two categorical
+    * columns, plus Cramér's V and Cohen's w effect sizes
+    * (`views.py:1772-1817`). One groupBy + three window sums. */
+  def chiSquare(df: DataFrame, group: Column, category: Column): DataFrame = {
+    val cont = df.groupBy(group.as("g"), category.as("c"))
+      .agg(count(lit(1)).as("n"))
+    val cells = cont
+      .withColumn("row_tot", sum(col("n")).over(Window.partitionBy(col("g"))))
+      .withColumn("col_tot", sum(col("n")).over(Window.partitionBy(col("c"))))
+      .withColumn("total", sum(col("n")).over(Window.partitionBy()))
+    val e = (col("row_tot") * col("col_tot")) / col("total")
+    val cell = (col("n") - e) * (col("n") - e) / e
+    cells.agg(
+        sum(cell).as("chi2_raw"),
+        countDistinct(col("g")).as("ng"),
+        countDistinct(col("c")).as("nc"),
+        max(col("total")).as("total"))
+      .select(
+        round(col("chi2_raw"), 6).as("chi2"),
+        ((col("ng") - 1) * (col("nc") - 1)).as("dof"),
+        round(sqrt(col("chi2_raw") /
+          (col("total") * least(col("ng") - 1, col("nc") - 1))), 6)
+          .as("cramers_v"),
+        round(sqrt(col("chi2_raw") / col("total")), 6).as("cohens_w"),
+        col("total"))
+  }
+
+  /** Conditional exact-decimal sums for one group: n, Σx, Σx² (x² carries
+    * ≤4 decimals for 2-decimal money inputs → exact). */
+  private def momentAggs(cond: Column, v: Column, sfx: String) = Seq(
+    count(when(cond, lit(1))).as(s"n$sfx"),
+    sum(when(cond, v).otherwise(lit(0.0)).cast(DecimalType(18, 2)))
+      .cast("double").as(s"s$sfx"),
+    sum(when(cond, v * v).otherwise(lit(0.0)).cast(dec4))
+      .cast("double").as(s"ss$sfx"))
+
+  /** X2 — Welch's unequal-variance t statistic + Welch–Satterthwaite dof +
+    * Cohen's d (`views.py:1819-1858`), from one conditional aggregation. */
+  def welchT(df: DataFrame, group: Column, value: Column,
+             g1: String, g2: String): DataFrame = {
+    val a = momentAggs(group === g1, value, "1")
+    val b = momentAggs(group === g2, value, "2")
+    val m1 = col("s1") / col("n1")
+    val m2 = col("s2") / col("n2")
+    val v1 = (col("ss1") - col("s1") * col("s1") / col("n1")) / (col("n1") - 1)
+    val v2 = (col("ss2") - col("s2") * col("s2") / col("n2")) / (col("n2") - 1)
+    val se2 = v1 / col("n1") + v2 / col("n2")
+    val dof = se2 * se2 /
+      ((v1 / col("n1")) * (v1 / col("n1")) / (col("n1") - 1) +
+        (v2 / col("n2")) * (v2 / col("n2")) / (col("n2") - 1))
+    val pooled = sqrt(((col("n1") - 1) * v1 + (col("n2") - 1) * v2) /
+      (col("n1") + col("n2") - 2))
+    df.agg((a ++ b).head, (a ++ b).tail: _*)
+      .select(col("n1"), col("n2"),
+        m1.as("mean1"), m2.as("mean2"),
+        round((m1 - m2) / sqrt(se2), 6).as("t_stat"),
+        round(dof, 6).as("dof"),
+        round((m1 - m2) / pooled, 6).as("cohens_d"))
+  }
+
+  /** X3 — Mann-Whitney U (group-1 statistic, scipy `mannwhitneyu(x, y)`
+    * convention) + rank-biserial effect size (`views.py:1860-1895`).
+    * Average ranks for ties = RANK() + (tie_count−1)/2 — half-integers,
+    * so the rank sum is exact in double. */
+  def mannWhitneyU(df: DataFrame, group: Column, value: Column,
+                   g1: String, g2: String): DataFrame = {
+    val in = df.where(group.isin(g1, g2))
+      .select(group.as("g"), value.as("v"))
+    val ranked = in
+      .withColumn("rk", rank().over(Window.orderBy(col("v"))))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("v"))))
+      .withColumn("avg_rank", col("rk") + (col("cnt") - 1) / lit(2.0))
+    val u1 = col("r1") - col("n1") * (col("n1") + 1) / lit(2.0)
+    ranked.agg(
+        sum(when(col("g") === g1, col("avg_rank"))).as("r1"),
+        count(when(col("g") === g1, lit(1))).as("n1"),
+        count(when(col("g") === g2, lit(1))).as("n2"))
+      .select(col("n1"), col("n2"),
+        round(u1, 6).as("u_stat"),
+        round(lit(1.0) - lit(2.0) * u1 / (col("n1") * col("n2")), 6)
+          .as("rank_biserial"))
+  }
+
+  /** X4 — two-sample Kolmogorov–Smirnov D = max |F1 − F2| over the pooled
+    * support (`views.py:1897-1913`): per-distinct-value group counts →
+    * running cumulative counts → CDF gap. */
+  def ks2(df: DataFrame, group: Column, value: Column,
+          g1: String, g2: String): DataFrame = {
+    val in = df.where(group.isin(g1, g2))
+      .select(group.as("g"), value.as("v"))
+    val perValue = in.groupBy(col("v")).agg(
+      sum(when(col("g") === g1, 1L).otherwise(0L)).as("c1"),
+      sum(when(col("g") === g2, 1L).otherwise(0L)).as("c2"))
+    val wcum = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wtot = Window.partitionBy()
+    val cdf = perValue
+      .withColumn("cum1", sum(col("c1")).over(wcum))
+      .withColumn("cum2", sum(col("c2")).over(wcum))
+      .withColumn("t1", sum(col("c1")).over(wtot))
+      .withColumn("t2", sum(col("c2")).over(wtot))
+    cdf.agg(
+        round(max(abs(col("cum1") / col("t1") - col("cum2") / col("t2"))), 6)
+          .as("ks_stat"),
+        max(col("t1")).as("n1"),
+        max(col("t2")).as("n2"))
+  }
+
+  /** X5 — fallback limited-data report: group means and percent difference
+    * (`views.py:1918-1934`). */
+  def meanDiff(df: DataFrame, group: Column, value: Column,
+               g1: String, g2: String): DataFrame = {
+    val a = momentAggs(group === g1, value, "1")
+    val b = momentAggs(group === g2, value, "2")
+    val m1 = col("s1") / col("n1")
+    val m2 = col("s2") / col("n2")
+    df.agg((a ++ b).head, (a ++ b).tail: _*)
+      .select(col("n1"), col("n2"), m1.as("mean1"), m2.as("mean2"),
+        (m1 - m2).as("mean_diff"),
+        round(when(m2 =!= 0, (m1 - m2) / m2 * 100).otherwise(lit(0.0)), 6)
+          .as("pct_diff"))
+  }
+
+  // -------------------------------------------------------------- p-values
+  // Driver-side CDF lookups on already-aggregated statistics — the same
+  // boundary the reference's scipy calls occupy. commons-math3 ships in
+  // /opt/spark/jars.
+
+  /** Two-sided chi-square p-value. */
+  def chi2PValue(stat: Double, dof: Long): Double =
+    if (dof <= 0) 1.0
+    else 1.0 - new ChiSquaredDistribution(dof.toDouble)
+      .cumulativeProbability(stat)
+
+  /** Two-sided Welch t p-value. */
+  def tPValue(t: Double, dof: Double): Double =
+    2.0 * new TDistribution(dof).cumulativeProbability(-math.abs(t))
+
+  /** Two-sided Mann-Whitney p-value via the normal approximation with
+    * continuity correction (scipy's large-sample path). */
+  def mannWhitneyPValue(u: Double, n1: Long, n2: Long): Double = {
+    val mu = n1 * n2 / 2.0
+    val sigma = math.sqrt(n1 * n2 * (n1 + n2 + 1) / 12.0)
+    if (sigma == 0) 1.0
+    else {
+      val z = (math.abs(u - mu) - 0.5) / sigma
+      2.0 * new NormalDistribution().cumulativeProbability(-z)
+    }
+  }
+
+  /** Two-sample KS p-value via the asymptotic Kolmogorov distribution
+    * (two-term-beyond tail of `Q(λ) = 2 Σ (−1)^{k−1} e^{−2k²λ²}`). */
+  def ksPValue(d: Double, n1: Long, n2: Long): Double = {
+    val en = math.sqrt(n1.toDouble * n2 / (n1 + n2))
+    val lambda = math.max((en + 0.12 + 0.11 / en) * d, 0.0)
+    val terms = (1 to 100).map(k =>
+      2.0 * math.pow(-1.0, k - 1) * math.exp(-2.0 * k * k * lambda * lambda))
+    math.min(1.0, math.max(0.0, terms.sum))
+  }
+}
