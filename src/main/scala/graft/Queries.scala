@@ -888,6 +888,187 @@ object Queries {
         WHERE rn <= 5 ORDER BY u, rn"""))
   )
 
+  // ================================================= LLM-pipeline operators
+
+  /** Word-trigram shingle CTE over `documents` — DuckDB mirror of
+    * [[NearDup.shingles]]. */
+  private def shingleSql =
+    """words AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      FROM documents),
+    sh AS (SELECT DISTINCT doc_id AS id,
+        w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      FROM words, UNNEST(generate_series(1, len(w)-2)) AS t(i)
+      WHERE len(w) >= 3)"""
+
+  private def llmSpecs: Seq[Spec] = Seq(
+
+    // ------------------------------------------------- exact Jaccard neardup
+    Spec("q_neardup_jaccard",
+      (s, dir) => NearDup.jaccardPairs(t(s, dir).documents,
+        "doc_id", "text", 3, 0.0, 200),
+      Some("""WITH """ + shingleSql + """,
+        sz AS (SELECT id, COUNT(*) AS szc FROM sh GROUP BY id),
+        inter AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+          FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2)
+        SELECT id_a, id_b,
+          ROUND(CAST(inter AS DOUBLE) / (x.szc + y.szc - inter), 6)
+            AS jaccard
+        FROM inter JOIN sz x ON x.id = id_a JOIN sz y ON y.id = id_b
+        ORDER BY jaccard DESC, id_a, id_b LIMIT 200""")),
+
+    // ------------------------------------------------- MinHash LSH (approx)
+    Spec("q_minhash_neardup",
+      (s, dir) => NearDup.minHashCandidates(t(s, dir).documents,
+        "doc_id", "text", 3, 0.05, 8),
+      None),
+
+    // ------------------------------------------------- SimHash banded pairs
+    Spec("q_simhash_pairs",
+      (s, dir) => NearDup.simHashPairs(t(s, dir).documents,
+        "doc_id", "text", 16),
+      None),
+
+    // ------------------------------------------------- ANN brute force
+    Spec("q_ann_bruteforce",
+      (s, dir) => {
+        val e = t(s, dir).embeddings
+        Ann.bruteForceTopK(e, e.where(col("vec_id") % 100 === 0),
+          "vec_id", "embedding", 10).orderBy(col("query_id"), col("rn"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+        n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        q AS (SELECT * FROM n WHERE vec_id % 100 = 0),
+        scored AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+            ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) AS cosine
+          FROM q CROSS JOIN n c WHERE c.vec_id <> q.vec_id)
+        SELECT query_id, cand_id, cosine, rn FROM (SELECT *,
+            CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, cand_id) AS BIGINT) AS rn
+          FROM scored)
+        WHERE rn <= 10 ORDER BY query_id, rn""")),
+
+    // ------------------------------------------------- ANN via sign-LSH
+    Spec("q_ann_lsh",
+      (s, dir) => Ann.lshTopK(t(s, dir).embeddings, "vec_id", "embedding",
+        10, 8).orderBy(col("query_id"), col("rn")),
+      None),
+
+    // ------------------------------------------------- embedding near-dups
+    Spec("q_cosine_dups",
+      (s, dir) => Ann.cosineDupPairs(t(s, dir).embeddings,
+        "vec_id", "embedding", 0.4),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+        n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        scored AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cosine
+          FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.4
+        ORDER BY cosine DESC, id_a, id_b""")),
+
+    // ------------------------------------------------- text quality metrics
+    Spec("q_text_quality",
+      (s, dir) => TextAnalysis.qualityMetrics(t(s, dir).documents,
+        "doc_id", "text").orderBy(col("id")),
+      Some("""SELECT doc_id AS id,
+        CAST(length(text) AS BIGINT) AS n_chars,
+        CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+          AS n_words,
+        ROUND(CAST(length(text) AS DOUBLE)
+          / len(string_split_regex(trim(text), '\s+')), 6) AS avg_word_len,
+        ROUND(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+          AS DOUBLE) / length(text), 6) AS punct_ratio,
+        ROUND(CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+          AS DOUBLE) / length(text), 6) AS digit_ratio,
+        ROUND(CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+            x -> list_contains(['the','a','an','of','and','or','in','to',
+              'is','it','on','for','with','as','at','by'], x))) AS DOUBLE)
+          / len(string_split_regex(trim(text), '\s+')), 6)
+          AS stopword_ratio,
+        CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+          x -> greatest(1, CAST(ceil(length(x)/4.0) AS BIGINT)))) AS BIGINT)
+          AS token_estimate
+        FROM documents ORDER BY id""")),
+
+    // ------------------------------------------------- composite quality
+    Spec("q_quality_score",
+      (s, dir) => TextAnalysis.qualityScore(t(s, dir).documents,
+        "doc_id", "text").orderBy(col("id")),
+      Some("""WITH qm AS (SELECT doc_id AS id,
+          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+            AS n_words,
+          ROUND(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+            AS DOUBLE) / length(text), 6) AS punct_ratio,
+          ROUND(CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+              x -> list_contains(['the','a','an','of','and','or','in','to',
+                'is','it','on','for','with','as','at','by'], x))) AS DOUBLE)
+            / len(string_split_regex(trim(text), '\s+')), 6)
+            AS stopword_ratio
+          FROM documents)
+        SELECT id, ROUND(
+          least(CAST(n_words AS DOUBLE) / 50.0, 1.0)
+          * least(stopword_ratio * 5.0 + 0.5, 1.0)
+          * (1.0 - least(punct_ratio * 5.0, 1.0) * 0.5), 6)
+          AS quality_score
+        FROM qm ORDER BY id""")),
+
+    // ------------------------------------------------- language ID heuristic
+    Spec("q_lang_id",
+      (s, dir) => TextAnalysis.languageId(t(s, dir).documents,
+        "doc_id", "text").orderBy(col("id")),
+      None),
+
+    // ------------------------------------------------- fingerprints
+    Spec("q_fingerprints",
+      (s, dir) => TextAnalysis.fingerprints(t(s, dir).documents,
+        "doc_id", "text").orderBy(col("id")),
+      Some("""WITH """ + shingleSql + """,
+        mins AS (SELECT id, MIN(md5(s)) AS m FROM sh GROUP BY id)
+        SELECT doc_id AS id, md5(text) AS content_md5,
+          mins.m AS min_shingle_md5
+        FROM documents LEFT JOIN mins ON mins.id = doc_id
+        ORDER BY id""")),
+
+    // ------------------------------------------------- multimodal metadata
+    Spec("q_multimodal_meta",
+      (s, dir) => Multimodal.withDecodedMeta(
+        Multimodal.asBlobTable(t(s, dir).documents, "doc_id", "text"), 224)
+        .select(col("id"), col("meta.n_bytes").as("n_bytes"),
+          col("meta.sha256").as("sha256"),
+          col("decoded.width").as("width"),
+          col("decoded.height").as("height"),
+          col("out_width"), col("out_height"))
+        .orderBy(col("id")),
+      Some("""WITH b AS (SELECT doc_id AS id,
+          CAST(length(text) AS BIGINT) AS n_bytes,
+          sha256(text) AS sha256 FROM documents),
+        d AS (SELECT *, 64 + n_bytes % 577 AS width,
+          64 + n_bytes % 417 AS height FROM b),
+        r AS (SELECT *,
+          least(1.0, 224.0 / greatest(width, height)) AS scale FROM d)
+        SELECT id, n_bytes, sha256,
+          CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
+          CAST(floor(width * scale) AS BIGINT) AS out_width,
+          CAST(floor(height * scale) AS BIGINT) AS out_height
+        FROM r ORDER BY id""")),
+
+    // ------------------------------------------------- frame sampling
+    Spec("q_frame_samples",
+      (s, dir) => Multimodal.sampleFrames(
+        Multimodal.asBlobTable(t(s, dir).documents, "doc_id", "text"), 4, 16)
+        .orderBy(col("id"), col("frame")),
+      Some("""WITH b AS (SELECT doc_id AS id, text,
+          CAST(length(text) AS BIGINT) AS n_bytes FROM documents
+          WHERE length(text) >= 16),
+        f AS (SELECT id, text, n_bytes, CAST(fr AS BIGINT) AS frame,
+            CAST(fr * ((n_bytes - 16) // 3) AS BIGINT) AS off
+          FROM b, UNNEST(generate_series(0, 3)) AS t(fr))
+        SELECT id, frame, off AS "offset",
+          sha256(substring(text, CAST(off + 1 AS INT), 16)) AS frame_sha256
+        FROM f ORDER BY id, frame"""))
+  )
+
   // Shared SQL fragments ----------------------------------------------------
 
   /** Distinct (basket, item) grain over lineitem — mirror of
@@ -945,5 +1126,5 @@ object Queries {
             AS monetary
         FROM orders GROUP BY o_custkey))"""
 
-  val specs: Seq[Spec] = coreSpecs ++ statsSpecs ++ mlSpecs
+  val specs: Seq[Spec] = coreSpecs ++ statsSpecs ++ mlSpecs ++ llmSpecs
 }

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`) — training-data pipeline surface.
+  *
+  * Two paths:
+  *  1. [[bruteForceTopK]] — exact cosine top-k via query×candidate join
+  *     with an array-lambda dot product. O(|Q|·|C|·dim): the correctness
+  *     baseline, and fine whenever |Q| is small (the usual "find dups of
+  *     this batch" shape).
+  *  2. [[lshTopK]] — sign-random-projection LSH (Charikar '02): bucket on
+  *     the sign pattern of `nPlanes` deterministic pseudo-random
+  *     hyperplanes, score only same-bucket candidates. Recall < 1 but the
+  *     shuffle is (bucket, vec) — linear. At 100 TB add multi-probe
+  *     (flip one bit) or an IVF coarse quantizer; the plumbing is the same.
+  *
+  * Dot products run in double (float×float is exact in double); the fold
+  * order is the array order, deterministic within Spark.
+  */
+object Ann {
+
+  /** `Σ aᵢ·bᵢ` over two float-array columns, in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Exact cosine top-k: for each query vector, the k nearest candidates
+    * (self excluded), ranked by rounded cosine with id tiebreak. */
+  def bruteForceTopK(candidates: DataFrame, queries: DataFrame, id: String,
+                     vec: String, k: Int): DataFrame = {
+    val c = candidates.select(col(id).as("cand_id"), col(vec).as("cv"),
+      l2Norm(col(vec)).as("cn"))
+    val q = queries.select(col(id).as("query_id"), col(vec).as("qv"),
+      l2Norm(col(vec)).as("qn"))
+    q.crossJoin(c)
+      .where(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4)
+          .as("cosine"))
+      .withColumn("rn", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("cosine").desc, col("cand_id").asc))
+        .cast("long"))
+      .where(col("rn") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane j, dim i):
+    * xxhash64 of the index pair folded to [-1, 1]. */
+  private def planeExpr(nPlanes: Int): String =
+    s"""aggregate(sequence(0, ${nPlanes - 1}), 0L, (acc, j) ->
+       |  acc | CASE WHEN aggregate(
+       |    zip_with(v, sequence(0, size(v) - 1), (x, i) ->
+       |      CAST(x AS DOUBLE) *
+       |      ((CAST(pmod(xxhash64(j * 4096 + i), 2000) AS DOUBLE)
+       |        / 1000.0) - 1.0)),
+       |    0.0D, (a, p) -> a + p) > 0
+       |  THEN shiftleft(1L, j) ELSE 0L END)""".stripMargin
+
+  /** Sign-LSH bucket id for each vector. */
+  def lshBuckets(df: DataFrame, id: String, vec: String,
+                 nPlanes: Int = 8): DataFrame =
+    df.select(col(id).as("id"), col(vec).as("v"))
+      .withColumn("bucket", expr(planeExpr(nPlanes)))
+
+  /** Bucketed ANN: exact cosine within same-bucket candidates only. */
+  def lshTopK(df: DataFrame, id: String, vec: String, k: Int,
+              nPlanes: Int = 8): DataFrame = {
+    val b = lshBuckets(df, id, vec, nPlanes).cache()
+    val q = b.select(col("bucket"), col("id").as("query_id"),
+      col("v").as("qv"), l2Norm(col("v")).as("qn"))
+    val c = b.select(col("bucket"), col("id").as("cand_id"),
+      col("v").as("cv"), l2Norm(col("v")).as("cn"))
+    q.join(c, Seq("bucket"))
+      .where(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4)
+          .as("cosine"))
+      .withColumn("rn", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("cosine").desc, col("cand_id").asc))
+        .cast("long"))
+      .where(col("rn") <= k)
+  }
+
+  /** Exact embedding-cosine near-duplicate pairs above a threshold —
+    * the embedding variant of [[NearDup.jaccardPairs]]. */
+  def cosineDupPairs(df: DataFrame, id: String, vec: String,
+                     minCosine: Double): DataFrame = {
+    val v = df.select(col(id).as("id"), col(vec).as("v"),
+      l2Norm(col(vec)).as("n"))
+    v.toDF("id_a", "va", "na")
+      .join(v.toDF("id_b", "vb", "nb"),
+        col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4)
+          .as("cosine"))
+      .where(col("cosine") >= minCosine)
+      .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
+  }
+}
