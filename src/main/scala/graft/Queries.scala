@@ -888,6 +888,78 @@ object Queries {
         WHERE rn <= 5 ORDER BY u, rn"""))
   )
 
+  // ============================================== sinks / ingest / ML model
+
+  private def sinkSpecs: Seq[Spec] = Seq(
+
+    // ---------------------------------------------------------- S5 round-trip
+    Spec("q_sink_roundtrip",
+      (s, dir) => {
+        val totals = BasketAnalytics.basketTotals(t(s, dir).lineitem,
+          "l_orderkey", "l_quantity", "l_extendedprice", "l_partkey")
+        val path = "/tmp/graft_sink/basket_analysis"
+        sources.Sinks.overwrite(totals, path)
+        s.read.parquet(path).orderBy(col("l_orderkey"))
+      },
+      Some("""SELECT l_orderkey, SUM(l_quantity) AS total_items,
+        """ + m("l_extendedprice") + """ AS total_value,
+        COUNT(DISTINCT l_partkey) AS n_products, COUNT(*) AS n_lines
+        FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""")),
+
+    // ---------------------------------------------------------- S3+S1 CSV
+    Spec("q_csv_roundtrip",
+      (s, dir) => {
+        val part = t(s, dir).part
+          .select(col("p_partkey"), col("p_name"), col("p_brand"),
+            col("p_retailprice"))
+          .orderBy(col("p_partkey"))
+        val path = "/tmp/graft_sink/part_csv"
+        sources.Sinks.csvExport(part, path, 1000)
+        sources.Sinks.csvImport(s, path,
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "p_partkey BIGINT, p_name STRING, p_brand STRING, " +
+              "p_retailprice DOUBLE"),
+          Seq("p_partkey"))
+          .orderBy(col("p_partkey"))
+      },
+      Some("""SELECT p_partkey, p_name, p_brand, p_retailprice FROM part
+        ORDER BY p_partkey LIMIT 1000""")),
+
+    // ---------------------------------------------------------- S6 upsert
+    Spec("q_upsert",
+      (s, dir) => {
+        val part = t(s, dir).part
+        val existing = part.where(col("p_partkey") < 100)
+          .select(col("p_partkey"), lit("old").as("src"))
+        val incoming = part.where(col("p_partkey").between(50, 150))
+          .select(col("p_partkey"), lit("new").as("src"))
+        sources.Sinks.upsert(existing, incoming, Seq("p_partkey"))
+          .orderBy(col("p_partkey"))
+      },
+      Some("""SELECT p_partkey,
+          CASE WHEN p_partkey BETWEEN 50 AND 150 THEN 'new' ELSE 'old' END
+            AS src
+        FROM part WHERE p_partkey < 100 OR p_partkey BETWEEN 50 AND 150
+        ORDER BY p_partkey""")),
+
+    // ---------------------------------------------------------- §2.12 model
+    Spec("q_churn_model_bands",
+      (s, dir) => {
+        val feats = Churn.features(custItemTx(s, dir), "o_custkey",
+          "l_partkey", "l_extendedprice", col("o_orderdate"), 90,
+          Some((t(s, dir).customer, "c_custkey", Seq("c_mktsegment"))))
+        val (_, scored) = ml.Models.churnScores(feats,
+          Seq("recency", "frequency", "monetary", "product_variety",
+            "avg_purchase_gap"),
+          Seq("c_mktsegment"), "is_churn")
+        scored.groupBy(ColumnFns.riskBand(col("churn_probability"))
+            .as("risk_band"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("risk_band"))
+      },
+      None)
+  )
+
   // ================================================= LLM-pipeline operators
 
   /** Word-trigram shingle CTE over `documents` — DuckDB mirror of
@@ -1126,5 +1198,6 @@ object Queries {
             AS monetary
         FROM orders GROUP BY o_custkey))"""
 
-  val specs: Seq[Spec] = coreSpecs ++ statsSpecs ++ mlSpecs ++ llmSpecs
+  val specs: Seq[Spec] =
+    coreSpecs ++ statsSpecs ++ mlSpecs ++ llmSpecs ++ sinkSpecs
 }

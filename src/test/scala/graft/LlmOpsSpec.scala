@@ -1,0 +1,86 @@
+package graft
+
+import graft.operators.{Ann, Collab, NearDup, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class LlmOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the old barn"),
+    (2L, "the quick brown fox jumps over the lazy dog near the old shed"),
+    (3L, "completely different words about spark engines and parquet files"),
+    (4L, "short doc")
+  ).toDF("doc_id", "text")
+
+  test("near-dup: exact Jaccard separates near-identical from unrelated") {
+    val pairs = NearDup.jaccardPairs(docs, "doc_id", "text", 3, 0.0, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(pairs((1L, 2L)) > 0.7)      // one word differs
+    assert(pairs.getOrElse((1L, 3L), 0.0) < 0.05)
+  }
+
+  test("near-dup: MinHash-LSH finds the planted near-duplicate") {
+    val cand = NearDup.minHashCandidates(docs, "doc_id", "text", 3, 0.5)
+      .collect()
+    assert(cand.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+  }
+
+  test("near-dup: SimHash hamming is small for near-dups, large otherwise") {
+    val fp = NearDup.simHash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(fp(1L), fp(2L)) < hamming(fp(1L), fp(3L)))
+  }
+
+  test("ANN: brute force ranks an identical vector first with cosine 1") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.7f, 0.7f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val top = Ann.bruteForceTopK(vecs, vecs.where($"vec_id" === 1L),
+      "vec_id", "embedding", 3).orderBy("rn").collect()
+    assert(top(0).getAs[Long]("cand_id") == 2L)
+    assert(top(0).getAs[Double]("cosine") == 1.0)
+    assert(top(1).getAs[Long]("cand_id") == 4L)
+  }
+
+  test("text: token estimate and quality metrics on a known string") {
+    val one = Seq((1L, "the cat, extraordinarily long-worded!"))
+      .toDF("doc_id", "text")
+    val m = TextAnalysis.qualityMetrics(one, "doc_id", "text").head()
+    assert(m.getAs[Long]("n_words") == 4L)
+    // 'the'(1) + 'cat,'(1) + 'extraordinarily'(4) + 'long-worded!'(3)
+    assert(m.getAs[Long]("token_estimate") == 9L)
+    assert(m.getAs[Double]("stopword_ratio") == 0.25)
+  }
+
+  test("CF: cosine similarity and recommendation on a hand-checked case") {
+    // users 1,2 share item A; user 2 also bought B -> recommend B to 1
+    val tx = Seq((1L, 10L), (1L, 10L), (2L, 10L), (2L, 11L), (3L, 12L))
+      .toDF("u0", "i0")
+    val counts = Collab.userItemCounts(tx, "u0", "i0")
+    val sims = Collab.userSimilarities(counts)
+    val s12 = sims.where($"u1" === 1L && $"u2" === 2L).head()
+      .getAs[Double]("cos")
+    // vectors: u1 = {A:2}, u2 = {A:1,B:1}; cos = 2/(2*sqrt(2))
+    assert(math.abs(s12 - 2.0 / (2.0 * math.sqrt(2.0))) < 1e-9)
+    val recs = Collab.recommend(counts, sims, 5).collect()
+    assert(recs.exists(r => r.getAs[Long]("u") == 1L
+      && r.getAs[Long]("i") == 11L))
+    // user 3 shares nothing -> no recs
+    assert(!recs.exists(r => r.getAs[Long]("u") == 3L))
+  }
+
+  test("CF: hybrid blend weights sources by alpha") {
+    val assoc = Seq((1L, 100L, 2.0)).toDF("u", "i", "score")
+    val cf = Seq((1L, 200L, 4.0)).toDF("u", "i", "score")
+    val out = Collab.hybridBlend(assoc, cf, 0.6, 10)
+      .collect().map(r => r.getAs[Long]("i") -> r.getAs[Double]("hybrid_score"))
+      .toMap
+    assert(out(100L) == 0.6 && out(200L) == 0.4) // both normalized to 1.0
+  }
+}

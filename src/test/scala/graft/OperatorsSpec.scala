@@ -1,0 +1,107 @@
+package graft
+
+import graft.operators.{Dedup, Joins, TableService, Trends, Windows}
+import org.apache.spark.sql.functions._
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("U1 keepLatest keeps the max-keeper row and is idempotent") {
+    val df = Seq((1L, "x", 1L, 10.0), (1L, "x", 3L, 30.0),
+      (1L, "x", 2L, 20.0), (2L, "y", 1L, 5.0))
+      .toDF("k1", "k2", "id", "v")
+    val once = Dedup.keepLatest(df, Seq("k1", "k2"), "id")
+    assert(once.count() == 2)
+    assert(once.where($"k1" === 1L).head().getAs[Double]("v") == 30.0)
+    val twice = Dedup.keepLatest(once, Seq("k1", "k2"), "id")
+    assert(twice.collect().toSet == once.collect().toSet)
+  }
+
+  test("A19 duplicateGroups reports only multi-row keys") {
+    val df = Seq((1L, 1), (1L, 2), (2L, 1)).toDF("k", "v")
+    val g = Dedup.duplicateGroups(df, Seq("k")).collect()
+    assert(g.length == 1 && g(0).getLong(0) == 1L && g(0).getLong(1) == 2L)
+  }
+
+  test("P5 lastNDays works on the integer day axis (round-1 bug)") {
+    val df = Seq((1, 700), (2, 690), (3, 600)).toDF("id", "day")
+    val out = Trends.lastNDays(df, col("day"), 30).as[(Int, Int)].collect()
+    assert(out.map(_._1).toSet == Set(1, 2)) // 700-29=671 <= day
+  }
+
+  test("F3 monthBucket reproduces ((day-352)/30)+1") {
+    val out = Seq(352, 381, 382, 412).toDF("day")
+      .select(Trends.monthBucket(col("day"), 352).as("m"))
+      .as[Long].collect()
+    assert(out.toSeq == Seq(1L, 1L, 2L, 3L))
+  }
+
+  test("F9 periodComparison on integer axis with zero-guard") {
+    val df = Seq((700, 100.0), (695, 50.0), (650, 30.0), (640, 20.0))
+      .toDF("day", "sales")
+    // recent = [671, 700]: 150.0; prev = [641, 671): only day 650 -> 30.0
+    val r = Trends.periodComparison(df, col("day"), col("sales"), 30).head()
+    assert(r.getAs[Double]("recent_sales") == 150.0)
+    assert(r.getAs[Double]("prev_sales") == 30.0)
+    assert(math.abs(r.getAs[Double]("pct_change") - 400.0) < 1e-9)
+  }
+
+  test("W2 purchaseGaps averages distinct-day gaps per key") {
+    val df = Seq((1L, 10), (1L, 10), (1L, 13), (1L, 19), (2L, 5))
+      .toDF("k", "day")
+    val g = Windows.purchaseGaps(df, "k", col("day")).collect()
+    assert(g.length == 1) // customer 2 has a single day -> no gaps
+    assert(g(0).getAs[Double]("avg_gap") == 4.5) // (3 + 6) / 2
+    assert(g(0).getAs[Long]("n_gaps") == 2L)
+  }
+
+  test("W1 stratifiedSample takes at most k per bucket, deterministically") {
+    val df = (1L to 100L).map(i => (i, i % 4)).toDF("id", "b")
+    val s1 = Windows.stratifiedSample(df, col("b"), col("id"), 5)
+    val s2 = Windows.stratifiedSample(df, col("b"), col("id"), 5)
+    assert(s1.groupBy("bucket").count().collect()
+      .forall(_.getLong(1) <= 5))
+    assert(s1.select("id").as[Long].collect().sorted.toSeq ==
+      s2.select("id").as[Long].collect().sorted.toSeq)
+  }
+
+  test("U3 absenceLabel marks keys missing from the future set") {
+    val keys = Seq(1L, 2L, 3L).toDF("k")
+    val future = Seq(2L).toDF("k")
+    val out = Joins.absenceLabel(keys, "k", future, "is_churn")
+      .orderBy("k").as[(Long, Long)].collect()
+    assert(out.toSeq == Seq((1L, 1L), (2L, 0L), (3L, 1L)))
+  }
+
+  test("J6 futureExistenceLabels one-pass conditional agg") {
+    val base = Seq(1L, 2L).toDF("k")
+    val future = Seq((1L, 5), (1L, 40), (2L, 70)).toDF("k", "day")
+    val out = Joins.futureExistenceLabels(base, future, "k",
+        Seq("h30" -> (col("day") <= 30), "h90" -> (col("day") <= 90)))
+      .orderBy("k").collect()
+    assert(out(0).getAs[Long]("h30") == 1L && out(0).getAs[Long]("h90") == 1L)
+    assert(out(1).getAs[Long]("h30") == 0L && out(1).getAs[Long]("h90") == 1L)
+  }
+
+  test("P3 search ORs text fields and falls back to numeric equality") {
+    val df = Seq((1L, "red apple"), (2L, "green pear"), (3L, "plum"))
+      .toDF("id", "name")
+    assert(TableService.search(df, "RED", Seq("name")).count() == 1)
+    assert(TableService.search(df, "3", Seq("name"), Seq("id")).count() == 1)
+  }
+
+  test("T9 page slices after a total order") {
+    val df = (1L to 100L).toDF("id")
+    val p = TableService.page(df, Seq(col("id").asc), 10, 3)
+      .as[Long].collect()
+    assert(p.toSeq == (31L to 40L))
+  }
+
+  test("P9 clean clamps negative money and drops null requireds") {
+    val df = Seq((Some("a"), -5.0), (Some("b"), 7.0), (None, 3.0))
+      .toDF("k", "v")
+    val c = TableService.clean(df, Seq("v"), Seq("k"))
+    assert(c.count() == 2)
+    assert(c.agg(sum("v")).head().getDouble(0) == 7.0)
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import graft.ml.Models
+import graft.sources.Sinks
+import org.apache.spark.sql.functions._
+
+class SinksAndMlSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("S6 upsert: incoming wins on collision, others survive") {
+    val existing = Seq((1L, "old"), (2L, "old")).toDF("k", "src")
+    val incoming = Seq((2L, "new"), (3L, "new")).toDF("k", "src")
+    val out = Sinks.upsert(existing, incoming, Seq("k"))
+      .orderBy("k").as[(Long, String)].collect()
+    assert(out.toSeq == Seq((1L, "old"), (2L, "new"), (3L, "new")))
+  }
+
+  test("S3+S1 CSV round-trip preserves values through export/import") {
+    val dir = java.nio.file.Files.createTempDirectory("graftcsv").toString
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.25)).toDF("id", "s", "v")
+    Sinks.csvExport(df, dir)
+    val back = Sinks.csvImport(spark, dir,
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "id BIGINT, s STRING, v DOUBLE"), Seq("id"))
+    assert(back.orderBy("id").collect().toSeq ==
+      df.orderBy("id").collect().toSeq)
+  }
+
+  test("S1 csvImport drops null-required rows and FK violations") {
+    val dir = java.nio.file.Files.createTempDirectory("graftcsv2").toString
+    Seq((Some(1L), "x"), (None, "y"), (Some(99L), "z"))
+      .toDF("fk", "s").coalesce(1).write.mode("overwrite")
+      .option("header", "true").csv(dir)
+    val dim = Seq(1L, 2L).toDF("k")
+    val out = Sinks.csvImport(spark, dir,
+      org.apache.spark.sql.types.StructType.fromDDL("fk BIGINT, s STRING"),
+      Seq("fk"), Some((dim, "fk", "k")))
+    assert(out.select("s").as[String].collect().toSeq == Seq("x"))
+  }
+
+  test("S5 overwrite sink round-trips a derived table") {
+    val dir = java.nio.file.Files.createTempDirectory("graftpq").toString
+    val df = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v")
+    Sinks.overwrite(df, dir)
+    Sinks.overwrite(df, dir) // idempotent overwrite
+    assert(spark.read.parquet(dir).count() == 2)
+  }
+
+  test("churn GBT learns a separable synthetic pattern") {
+    // churners: high recency, low frequency — clearly separable
+    val feats = ((1 to 60).map(i => (i.toLong, 80L + i % 10, 2L, 50.0,
+      3L, 10.0, 1L, if (i % 2 == 0) "A" else "B")) ++
+      (61 to 120).map(i => (i.toLong, 5L + i % 3, 20L, 900.0,
+        30L, 2.5, 0L, if (i % 2 == 0) "A" else "B")))
+      .toDF("ck", "recency", "frequency", "monetary", "product_variety",
+        "avg_purchase_gap", "is_churn", "seg")
+    val (model, scored) = Models.churnScores(feats,
+      Seq("recency", "frequency", "monetary", "product_variety",
+        "avg_purchase_gap"), Seq("seg"), "is_churn")
+    val metrics = Models.evaluate(scored)
+    assert(metrics("accuracy") > 0.95, s"accuracy=${metrics("accuracy")}")
+    // probabilities land on the correct side
+    val avgChurnP = scored.where($"is_churn" === 1L)
+      .agg(avg("churn_probability")).head().getDouble(0)
+    val avgStayP = scored.where($"is_churn" === 0L)
+      .agg(avg("churn_probability")).head().getDouble(0)
+    assert(avgChurnP > 0.8 && avgStayP < 0.2)
+  }
+
+  test("stratified split keeps label proportions, seed-stable") {
+    val df = ((1 to 80).map(i => (i.toLong, 0L)) ++
+      (81 to 100).map(i => (i.toLong, 1L))).toDF("id", "label")
+    val (tr1, te1) = Models.stratifiedSplit(df, "label", 0.8)
+    val (tr2, _) = Models.stratifiedSplit(df, "label", 0.8)
+    assert(tr1.select("id").as[Long].collect().sorted.toSeq ==
+      tr2.select("id").as[Long].collect().sorted.toSeq)
+    assert(tr1.count() + te1.count() == 100)
+    val frac1 = tr1.where($"label" === 1L).count().toDouble / tr1.count()
+    assert(frac1 > 0.1 && frac1 < 0.3)
+  }
+
+  test("model zoo estimators all train on a tiny frame") {
+    val feats = ((1 to 40).map(i => (Vector(i.toDouble, 100.0 - i), 0.0)) ++
+      (41 to 80).map(i => (Vector(i.toDouble + 100, i.toDouble), 1.0)))
+      .map { case (v, l) =>
+        (org.apache.spark.ml.linalg.Vectors.dense(v.toArray), l)
+      }.toDF("features", "label")
+    Models.zoo(2).foreach { case (name, est) =>
+      val model = est.asInstanceOf[org.apache.spark.ml.Estimator[_]]
+        .fit(feats).asInstanceOf[org.apache.spark.ml.Transformer]
+      val acc = Models.evaluate(model.transform(feats))("accuracy")
+      assert(acc > 0.9, s"$name accuracy=$acc")
+    }
+  }
+}

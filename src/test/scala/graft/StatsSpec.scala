@@ -1,0 +1,64 @@
+package graft
+
+import graft.operators.Stats
+import org.apache.spark.sql.functions._
+
+/** Golden values computed independently (hand/python arithmetic, matching
+  * scipy's definitions) for fixed small samples. */
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val x = Seq(12.1, 14.3, 11.8, 15.2, 13.9, 12.5, 16.1, 14.8)
+  private val y = Seq(10.2, 11.5, 9.8, 12.1, 10.9, 11.2)
+  private def groups = (x.map(("x", _)) ++ y.map(("y", _)))
+    .toDF("g", "v")
+
+  test("X2 Welch t: statistic and Welch-Satterthwaite dof") {
+    val r = Stats.welchT(groups, col("g"), col("v"), "x", "y").head()
+    assert(math.abs(r.getAs[Double]("t_stat") - 4.433688) < 1e-4)
+    assert(math.abs(r.getAs[Double]("dof") - 11.154776) < 1e-4)
+    val p = Stats.tPValue(r.getAs[Double]("t_stat"),
+      r.getAs[Double]("dof"))
+    assert(p > 0 && p < 0.01) // strongly significant difference
+  }
+
+  test("X3 Mann-Whitney U and rank-biserial") {
+    val r = Stats.mannWhitneyU(groups, col("g"), col("v"), "x", "y").head()
+    assert(r.getAs[Double]("u_stat") == 46.5)
+    assert(math.abs(r.getAs[Double]("rank_biserial") - (-0.9375)) < 1e-6)
+    val p = Stats.mannWhitneyPValue(46.5, 8, 6)
+    assert(p > 0 && p < 0.05)
+  }
+
+  test("X4 two-sample KS statistic") {
+    val r = Stats.ks2(groups, col("g"), col("v"), "x", "y").head()
+    assert(math.abs(r.getAs[Double]("ks_stat") - 0.833333) < 1e-5)
+    assert(r.getAs[Long]("n1") == 8 && r.getAs[Long]("n2") == 6)
+  }
+
+  test("X1 chi-square on the classic 2x2 [[30,10],[20,40]]") {
+    val rows = Seq.fill(30)(("r1", "c1")) ++ Seq.fill(10)(("r1", "c2")) ++
+      Seq.fill(20)(("r2", "c1")) ++ Seq.fill(40)(("r2", "c2"))
+    val r = Stats.chiSquare(rows.toDF("g", "c"), col("g"), col("c")).head()
+    assert(math.abs(r.getAs[Double]("chi2") - 16.666667) < 1e-4)
+    assert(r.getAs[Long]("dof") == 1L)
+    assert(math.abs(r.getAs[Double]("cramers_v") - 0.408248) < 1e-5)
+    val p = Stats.chi2PValue(r.getAs[Double]("chi2"), 1)
+    assert(p < 1e-3)
+  }
+
+  test("X5 meanDiff reports means and guarded pct difference") {
+    val r = Stats.meanDiff(groups, col("g"), col("v"), "x", "y").head()
+    val m1 = x.sum / x.size
+    val m2 = y.sum / y.size
+    assert(math.abs(r.getAs[Double]("mean_diff") - (m1 - m2)) < 1e-6)
+  }
+
+  test("p-value helpers match known distribution values") {
+    // N(0,1): P(|Z| > 1.96) ~ 0.05
+    assert(math.abs(Stats.mannWhitneyPValue(0.5 + 1.96 * math.sqrt(
+      8.0 * 6 * (8 + 6 + 1) / 12.0) + 8.0 * 6 / 2.0, 8, 6) - 0.05) < 0.01)
+    // chi2(1): P(X > 3.841) ~ 0.05
+    assert(math.abs(Stats.chi2PValue(3.841, 1) - 0.05) < 0.001)
+  }
+}
