@@ -85,10 +85,10 @@ object Models {
   /** Churn pipeline (§2.12): preprocess + GBT (closest in-box analogue of
     * the reference's XGBoost binary:logistic, 100 estimators). */
   def churnPipeline(numericCols: Seq[String], categoricalCols: Seq[String],
-                    seed: Long = 42L): Pipeline =
+                    seed: Long = 42L, maxIter: Int = 100): Pipeline =
     new Pipeline().setStages(
       featureStages(numericCols, categoricalCols) :+
-        (new GBTClassifier().setMaxIter(100).setSeed(seed)
+        (new GBTClassifier().setMaxIter(maxIter).setSeed(seed)
           .setFeaturesCol("features").setLabelCol("label")
           : org.apache.spark.ml.PipelineStage))
 
@@ -105,10 +105,13 @@ object Models {
     * (P(class 1)), the reference's `predict_proba[:,1]`
     * (`update_churn_probabilities.py:36-63`). */
   def churnScores(features: DataFrame, numericCols: Seq[String],
-                  categoricalCols: Seq[String], labelCol: String)
+                  categoricalCols: Seq[String], labelCol: String,
+                  maxIter: Int = 100)
       : (PipelineModel, DataFrame) = {
     val df = features.withColumn("label", col(labelCol).cast("double"))
-    val model = churnPipeline(numericCols, categoricalCols).fit(df)
+      .cache() // GBT iterates over this frame maxIter times
+    val model = churnPipeline(numericCols, categoricalCols,
+      maxIter = maxIter).fit(df)
     val scored = model.transform(df).withColumn("churn_probability",
       vector_to_array(col("probability")).getItem(1))
     (model, scored)

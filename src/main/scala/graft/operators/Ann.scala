@@ -30,18 +30,30 @@ object Ann {
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Raw double-array dot (no per-element casts — pre-cast the arrays). */
+  private def dotRaw(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** (id, dv, nrm): embedding pre-cast to double with its L2 norm —
+    * computed ONCE per vector so the per-pair work in the joins below is a
+    * bare multiply-add fold (higher-order functions are interpreted, so
+    * per-pair casts/divisions are the dominant cost at scale). */
+  private def normalized(df: DataFrame, id: String, vec: String,
+                         idAs: String, vAs: String, nAs: String): DataFrame =
+    df.select(col(id).as(idAs),
+        expr(s"transform($vec, x -> CAST(x AS DOUBLE))").as(vAs))
+      .withColumn(nAs, sqrt(dotRaw(col(vAs), col(vAs))))
+
   /** Exact cosine top-k: for each query vector, the k nearest candidates
     * (self excluded), ranked by rounded cosine with id tiebreak. */
   def bruteForceTopK(candidates: DataFrame, queries: DataFrame, id: String,
                      vec: String, k: Int): DataFrame = {
-    val c = candidates.select(col(id).as("cand_id"), col(vec).as("cv"),
-      l2Norm(col(vec)).as("cn"))
-    val q = queries.select(col(id).as("query_id"), col(vec).as("qv"),
-      l2Norm(col(vec)).as("qn"))
+    val c = normalized(candidates, id, vec, "cand_id", "cv", "cn").cache()
+    val q = normalized(queries, id, vec, "query_id", "qv", "qn")
     q.crossJoin(c)
       .where(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"),
-        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4)
+        round(dotRaw(col("qv"), col("cv")) / (col("qn") * col("cn")), 4)
           .as("cosine"))
       .withColumn("rn", row_number().over(
           Window.partitionBy(col("query_id"))
@@ -92,13 +104,12 @@ object Ann {
     * the embedding variant of [[NearDup.jaccardPairs]]. */
   def cosineDupPairs(df: DataFrame, id: String, vec: String,
                      minCosine: Double): DataFrame = {
-    val v = df.select(col(id).as("id"), col(vec).as("v"),
-      l2Norm(col(vec)).as("n"))
+    val v = normalized(df, id, vec, "id", "v", "n").cache()
     v.toDF("id_a", "va", "na")
       .join(v.toDF("id_b", "vb", "nb"),
         col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 4)
+        round(dotRaw(col("va"), col("vb")) / (col("na") * col("nb")), 4)
           .as("cosine"))
       .where(col("cosine") >= minCosine)
       .orderBy(col("cosine").desc, col("id_a"), col("id_b"))

@@ -136,6 +136,30 @@ object AssociationRules {
       .orderBy(col("lift").desc, col("item_a").asc, col("item_b").asc)
       .limit(params.maxRules)
 
+  /** T3/R2 — eligible-item prefilter: items appearing in at least
+    * `minBaskets` baskets, top `limit` by basket count (the reference's
+    * support-pushdown before dept/commodity pair streaming,
+    * `views.py:414-428`, caps `views.py:368-369`). An explicit exploitation
+    * of Apriori downward closure that Catalyst cannot invent (SURVEY §4). */
+  def eligibleItems(tx: DataFrame, basket: String, item: String,
+                    minBaskets: Long, limit: Int): DataFrame =
+    itemBasketCounts(tx, basket, item)
+      .where(col("item_baskets") >= minBaskets)
+      .orderBy(col("item_baskets").desc, col("item").asc)
+      .limit(limit)
+
+  /** R2 — rules restricted to an eligible-item set: the (basket, item)
+    * grain is semi-joined against the broadcast eligible list BEFORE any
+    * pair explosion. */
+  def rulesAmongEligible(tx: DataFrame, basket: String, item: String,
+                         minBaskets: Long, eligibleLimit: Int,
+                         params: Params = Params()): DataFrame = {
+    val eligible = eligibleItems(tx, basket, item, minBaskets, eligibleLimit)
+      .select(col("item").as(item))
+    val restricted = tx.join(broadcast(eligible), Seq(item), "left_semi")
+    rules(restricted, basket, item, params)
+  }
+
   /** Dual-direction emission: the reference emits a→b always and b→a only
     * when the two confidences differ (`views.py:310`, `views.py:502` —
     * bug-compatible per SURVEY §7.5#3). Input: `rulesRaw` output. */

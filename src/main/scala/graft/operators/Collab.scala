@@ -41,6 +41,9 @@ object Collab {
     * users (quadratic-blowup guard; None = keep all). */
   def userSimilarities(counts: DataFrame,
                        maxItemUsers: Option[Int] = None): DataFrame = {
+    // deliberately un-cached: the counts aggregation is one cheap shuffle,
+    // and a cache barrier here would cost more in materialization and lost
+    // scan pipelining than the recompute (measured at sf0.1)
     val base = maxItemUsers match {
       case Some(cap) =>
         val keep = counts.groupBy(col("i")).agg(count(lit(1)).as("iu"))
@@ -74,6 +77,9 @@ object Collab {
     * recommendations (the reference scores one household per request). */
   def recommend(counts: DataFrame, sims: DataFrame, k: Int,
                 targetFilter: Column = lit(true)): DataFrame = {
+    // No caching: materializing sims would block the targetFilter predicate
+    // from pushing down into the pair join, and counts is one cheap shuffle
+    // to recompute (measured at sf0.1).
     val sym = symmetricSimilarities(sims)
       .where(col("cos") > 0 && targetFilter)
     val scored = sym

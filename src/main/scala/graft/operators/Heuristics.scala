@@ -1,0 +1,93 @@
+package graft.operators
+
+import graft.functions.ColumnFns.moneySum
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Heuristic recommendation scoring + revenue extrapolation (SURVEY §2.8
+  * F15–F16, §2.13; `Website/market/dunnhumby/ml_models.py:757-938`).
+  *
+  * The reference computes per-product multi-window stats in SQL then loops
+  * in Python applying per-model confidence formulas with seeded noise.
+  * Here the whole thing is ONE aggregation plus a column-math projection.
+  *
+  * Noise determinism (SURVEY §7.5#4): the reference seeds numpy with
+  * `hash(model+pid) % 10000` — Python's string hash is process-random, so
+  * the reference itself is only distributionally reproducible. We use an
+  * explicit multiplicative-hash draw from the product id, which is exactly
+  * reproducible everywhere and has the same (-0.03, 0.03) uniform shape.
+  */
+object Heuristics {
+
+  /** Per-product stats with trailing-window conditional aggregates
+    * (`ml_models.py:795-820`: A7 + T6 top-by-households). */
+  def productWindowStats(tx: DataFrame, customer: String, item: String,
+                         sales: String, qty: String, day: Column,
+                         windows: Seq[(String, Int)], limit: Int): DataFrame = {
+    val d = day.cast("date")
+    val starts = windows.map { case (nm, n) =>
+      nm -> Trends.windowStart(tx, day, n)
+    }
+    val windowAggs = starts.flatMap { case (nm, lo) =>
+      Seq(
+        moneySum(when(d >= lo, col(sales)).otherwise(lit(0.0)))
+          .as(s"sales_$nm"),
+        count_distinct(when(d >= lo, col(customer))).as(s"households_$nm"))
+    }
+    val aggs = Seq(
+      countDistinct(col(customer)).as("households"),
+      (moneySum(col(sales)) / count(lit(1))).as("avg_value"),
+      moneySum(col(sales)).as("total_value"),
+      sum(col(qty)).as("total_quantity")) ++ windowAggs
+    tx.groupBy(col(item))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(col("households").desc, col(item).asc)
+      .limit(limit)
+  }
+
+  /** Deterministic uniform(-amp, amp) noise keyed on the item id. */
+  def seededNoise(itemId: Column, amp: Double): Column =
+    (pmod(itemId * lit(2654435761L), lit(10000L)).cast("double") / 10000.0
+      * (2 * amp)) - amp
+
+  /** The `neural_network` confidence formula (`ml_models.py:858-862`) plus
+    * the shared clamp + revenue extrapolation (`ml_models.py:885-907`,
+    * F16). Input: [[productWindowStats]] output. */
+  def neuralNetScores(stats: DataFrame, item: String, baseAccuracy: Double,
+                      horizon: String): DataFrame = {
+    val popularity = log1p(col("households")) / math.log(200.0)
+    val valueW = least(greatest(col("avg_value") / 50.0, lit(0.0)), lit(1.0))
+    val rawConf = lit(baseAccuracy) *
+      (lit(0.75) + lit(0.25) * (popularity + valueW))
+    val conf = greatest(lit(0.5),
+      least(lit(baseAccuracy), rawConf + seededNoise(col(item), 0.03)))
+    val baseRevenue = when(col(s"sales_$horizon") > 0, col(s"sales_$horizon"))
+      .otherwise(col("avg_value") * col(s"households_$horizon"))
+    val growth = lit(1.0) + (conf - 0.5) * 0.5
+    val projected = greatest(baseRevenue * 0.8,
+      least(baseRevenue * 1.5, baseRevenue * growth))
+    stats
+      .where(col("households") > 0 && col("avg_value") > 0)
+      .select(col(item), col("households"),
+        round(col("avg_value"), 2).as("avg_value"),
+        round(conf, 3).as("confidence"),
+        round(projected).cast("long").as("projected_revenue"))
+      .orderBy(col("projected_revenue").desc, col("confidence").desc,
+        col(item).asc)
+  }
+
+  /** A13 — per-product repurchase rate and popularity
+    * (`ml_models.py:356-384`): fraction of purchasing households that
+    * bought the product on more than one distinct day. */
+  def repurchaseStats(tx: DataFrame, customer: String, item: String,
+                      day: Column): DataFrame =
+    tx.select(col(item), col(customer), day.cast("date").as("__d"))
+      .distinct()
+      .groupBy(col(item), col(customer))
+      .agg(count(lit(1)).as("n_days"))
+      .groupBy(col(item))
+      .agg(
+        (sum(when(col("n_days") > 1, 1L).otherwise(0L)).cast("double") /
+          count(lit(1))).as("repurchase_rate"),
+        count(lit(1)).as("popularity"))
+}
