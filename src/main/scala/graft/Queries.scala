@@ -155,6 +155,15 @@ object Queries {
             AS avg_basket_value
         FROM scored ORDER BY customer""")),
 
+    // ------------------------------------------ W3 scale path (no oracle:
+    // quantile-edge bins diverge from ntile on heavily tied frequencies,
+    // the documented qcut-vs-ntile tradeoff — SURVEY §7.5#1)
+    Spec("q_rfm_scores_scalable",
+      (s, dir) => Rfm.scoresByQuantileEdges(ordersTx(s, dir),
+        "o_custkey", "o_orderkey", "o_totalprice", "day")
+        .orderBy(col("customer")),
+      None),
+
     // ---------------------------------------------------------- A16/A10
     Spec("q_rfm_segment_summary",
       (s, dir) => Rfm.segmentSummary(Rfm.segments(ordersTx(s, dir),
@@ -1074,6 +1083,104 @@ object Queries {
         ORDER BY lift DESC, item_a, item_b LIMIT 500"""))
   )
 
+  private def miscSpecs: Seq[Spec] = Seq(
+
+    // ---------------------------------------------------------- R4
+    // The reference's simplified admin miner caps its input to the first
+    // 20K transactions (`admin.py:269`); an unordered LIMIT is
+    // engine-dependent, so the bounded input is expressed as a key range.
+    Spec("q_admin_miner",
+      (s, dir) => AssociationRules.rules(
+        t(s, dir).lineitem.where(col("l_orderkey") <= 4000),
+        "l_orderkey", "l_partkey", rulesParams),
+      Some("""WITH bi AS (SELECT DISTINCT l_orderkey AS basket,
+          l_partkey AS item FROM lineitem
+          WHERE l_partkey IS NOT NULL AND l_orderkey <= 4000),
+        tot AS (SELECT COUNT(DISTINCT basket) AS n FROM bi),
+        cnt AS (SELECT item, COUNT(*) AS c FROM bi GROUP BY item),
+        pairs AS (
+          SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS pair_baskets
+          FROM bi a JOIN bi b ON a.basket = b.basket AND a.item < b.item
+          GROUP BY 1, 2
+          ORDER BY pair_baskets DESC, item_a, item_b LIMIT 2000),
+        raw AS (
+          SELECT p.item_a, p.item_b, p.pair_baskets,
+            ca.c AS a_baskets, cb.c AS b_baskets,
+            CAST(p.pair_baskets AS DOUBLE) / t.n AS support,
+            CAST(p.pair_baskets AS DOUBLE) / ca.c AS confidence,
+            (CAST(p.pair_baskets AS DOUBLE) / ca.c)
+              / (CAST(cb.c AS DOUBLE) / t.n) AS lift
+          FROM pairs p CROSS JOIN tot t
+          JOIN cnt ca ON ca.item = p.item_a
+          JOIN cnt cb ON cb.item = p.item_b)
+        SELECT item_a, item_b, pair_baskets, a_baskets, b_baskets,
+          ROUND(support, 6) AS support, ROUND(confidence, 6) AS confidence,
+          ROUND(lift, 6) AS lift
+        FROM raw ORDER BY lift DESC, item_a, item_b LIMIT 500""")),
+
+    // ---------------------------------------------------------- A11+F4
+    Spec("q_customer_ml_features",
+      (s, dir) => {
+        val tx = custItemTx(s, dir)
+        val d = col("o_orderdate").cast("date")
+        val epoch = to_date(lit("1970-01-01"))
+        val s1 = moneySum(col("l_extendedprice"))
+        val ss = sum((col("l_extendedprice") * col("l_extendedprice"))
+          .cast(org.apache.spark.sql.types.DecimalType(30, 4)))
+          .cast("double")
+        val n = count(lit(1))
+        tx.groupBy(col("o_custkey"))
+          .agg(
+            n.as("n_rows"),
+            (s1 / n).as("sales_mean"),
+            sqrt((ss - s1 * s1 / n) / (n - 1)).as("sales_std"),
+            s1.as("sales_sum"),
+            (sum(col("l_quantity")) / n).as("qty_mean"),
+            sum(col("l_quantity")).as("qty_sum"),
+            countDistinct(d).as("active_days"),
+            (sum(when((datediff(d, epoch) % 7) >= 5, 1L).otherwise(0L))
+              .cast("double") / n).as("weekend_share"))
+          .where(col("n_rows") > 1)
+          .orderBy(col("o_custkey"))
+      },
+      Some("""WITH tx AS (""" + custItemTxSql + """),
+        agg AS (SELECT u, COUNT(*) AS n_rows,
+          """ + m("sv") + """ AS s1,
+          CAST(SUM(CAST(sv * sv AS DECIMAL(30,4))) AS DOUBLE) AS ss,
+          SUM(q) AS qsum,
+          COUNT(DISTINCT d) AS active_days,
+          CAST(SUM(CASE WHEN date_diff('day', DATE '1970-01-01', d) % 7 >= 5
+            THEN 1 ELSE 0 END) AS BIGINT) AS wknd
+          FROM tx GROUP BY u)
+        SELECT u AS o_custkey, n_rows, s1 / n_rows AS sales_mean,
+          sqrt((ss - s1*s1/n_rows) / (n_rows - 1)) AS sales_std,
+          s1 AS sales_sum, qsum / n_rows AS qty_mean, qsum AS qty_sum,
+          active_days, CAST(wknd AS DOUBLE) / n_rows AS weekend_share
+        FROM agg WHERE n_rows > 1 ORDER BY o_custkey""")),
+
+    // ---------------------------------------------------------- F13
+    Spec("q_coalesce_defaults",
+      (s, dir) => t(s, dir).lineitem
+        .join(broadcast(t(s, dir).part.where(col("p_partkey") % 3 === 0)
+          .select(col("p_partkey").as("l_partkey"), col("p_brand"))),
+          Seq("l_partkey"), "left")
+        .groupBy(coalesce(col("p_brand"), lit("GENERAL")).as("brand"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("brand")),
+      Some("""SELECT COALESCE(p_brand, 'GENERAL') AS brand, COUNT(*) AS n
+        FROM lineitem LEFT JOIN
+          (SELECT p_partkey, p_brand FROM part WHERE p_partkey % 3 = 0) p
+          ON p.p_partkey = l_partkey
+        GROUP BY 1 ORDER BY brand""")),
+
+    // ---------------------------------------------------------- A20
+    Spec("q_max_version_probe",
+      (s, dir) => t(s, dir).orders
+        .agg(max(col("o_orderdate").cast("date")).as("rules_version")),
+      Some("""SELECT MAX(CAST(o_orderdate AS DATE)) AS rules_version
+        FROM orders"""))
+  )
+
   // ============================================== sinks / ingest / ML model
 
   private def sinkSpecs: Seq[Spec] = Seq(
@@ -1388,5 +1495,5 @@ object Queries {
         FROM orders GROUP BY o_custkey))"""
 
   val specs: Seq[Spec] = coreSpecs ++ statsSpecs ++ mlSpecs ++
-    heuristicSpecs ++ llmSpecs ++ sinkSpecs
+    heuristicSpecs ++ miscSpecs ++ llmSpecs ++ sinkSpecs
 }
