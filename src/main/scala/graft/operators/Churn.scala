@@ -28,15 +28,27 @@ object Churn {
                day: Column, offsetDays: Int,
                demographics: Option[(DataFrame, String, Seq[String])] = None)
       : DataFrame = {
-    val maxDay = tx.agg(max(day.cast("date"))).head().getDate(0)
-    val predDate = java.sql.Date.valueOf(
-      maxDay.toLocalDate.minusDays(offsetDays.toLong))
-    val d = day.cast("date")
-    val history = tx.where(d <= lit(predDate))
-    val future = tx.where(d > lit(predDate))
+    // Branch on the axis dtype: the reference's axis is an integer day
+    // (`analytics.py:456-461`), the testdata's is a date/timestamp.
+    val isNumeric = tx.select(day).schema.head.dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    val (d, predLit, recencyAgg) =
+      if (isNumeric) {
+        val maxDay = tx.agg(max(day)).head().get(0).toString.toLong
+        val pred = maxDay - offsetDays
+        (day, lit(pred), (lit(pred) - max(day)).cast("long"))
+      } else {
+        val maxDay = tx.agg(max(day.cast("date"))).head().getDate(0)
+        val pred = java.sql.Date.valueOf(
+          maxDay.toLocalDate.minusDays(offsetDays.toLong))
+        (day.cast("date"), lit(pred),
+          datediff(lit(pred), max(day.cast("date"))).cast("long"))
+      }
+    val history = tx.where(d <= predLit)
+    val future = tx.where(d > predLit)
 
     val base = history.groupBy(col(customer)).agg(
-      datediff(lit(predDate), max(d)).cast("long").as("recency"),
+      recencyAgg.as("recency"),
       countDistinct(d).as("frequency"),
       moneySum(col(sales)).as("monetary"),
       countDistinct(col(item)).as("product_variety"))

@@ -110,6 +110,18 @@ object Collab {
       .groupBy(col("u"), col("i"))
       .agg(round(sum(col("s")), 6).as("score"))
 
+  /** J11 — multi-item rule-antecedent matching (`customers/views.py:
+    * 84-116`): a rule fires for a user when EVERY antecedent item is in
+    * the user's purchased set. `purchasedSets` is (u, items array);
+    * `rules` has array `antecedent`/`consequent` (FP-Growth shape).
+    * Subset test is `array_except(antecedent, items) == []` — codegen'd,
+    * no UDF; rules are broadcast (they are top-N small). */
+  def matchingRules(purchasedSets: DataFrame, rules: DataFrame): DataFrame =
+    purchasedSets.crossJoin(
+        broadcast(rules.select(col("antecedent"), col("consequent"),
+          col("confidence"), col("lift"))))
+      .where(size(array_except(col("antecedent"), col("items"))) === 0)
+
   /** Hybrid blend (`customers/views.py:127-163`): normalize each source's
     * scores by its max, then `hybrid = α·assoc + (1−α)·cf`. Inputs are
     * (u, i, score) frames; either side may be missing a candidate (treated

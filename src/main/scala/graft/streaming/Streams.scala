@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY §2.15 notes the reference is
+  * batch-only; this is the engine's forward-looking ingest path, built on
+  * the same operator semantics as the batch side so a stream of `events`
+  * rows feeds the identical downstream tables).
+  *
+  * Design: event-time everywhere, explicit watermarks bounding state,
+  * stateful sessionization via `flatMapGroupsWithState` (the one shape
+  * the declarative API cannot express). At scale, state lives in the
+  * RocksDB state store and is keyed by the shuffle partitioning — the
+  * same partition-by-key reasoning as the batch operators.
+  */
+object Streams {
+
+  final case class Event(user_id: Long, ts: java.sql.Timestamp,
+                         event_type: String, value: Double)
+  final case class SessionState(userId: Long, startMs: Long, endMs: Long,
+                                nEvents: Long, totalValue: Double)
+  final case class Session(user_id: Long, start_ts: java.sql.Timestamp,
+                           end_ts: java.sql.Timestamp, n_events: Long,
+                           total_value: Double)
+
+  /** File-based event stream with the `events` table schema — swap the
+    * path for a Kafka source at deployment; downstream is unchanged. */
+  def eventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, " +
+        "event_type STRING, value DOUBLE, props STRING")
+      .parquet(dir)
+
+  /** Watermarked sliding-window counts per event type — the streaming
+    * form of A17/A18's bucketed rollups. */
+  def windowedCounts(events: DataFrame, watermark: String, windowDur: String,
+                     slide: String): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+
+  /** Streaming exact dedup on a key set, state bounded by the watermark —
+    * the streaming form of U1/exact content dedup. */
+  def streamingDedup(events: DataFrame, watermark: String,
+                     keys: Seq[String]): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicates(keys :+ "ts")
+
+  /** Gap-based sessionization: a session closes when `gapSec` of event
+    * time passes with no activity for the user; emitted on event-time
+    * timeout. State per user is O(1). */
+  def sessionize(events: Dataset[Event], watermark: String,
+                 gapSec: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (uid, evts, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(s.userId, new java.sql.Timestamp(s.startMs),
+              new java.sql.Timestamp(s.endMs), s.nEvents, s.totalValue))
+          } else {
+            val batch = evts.toSeq
+            val lo = batch.map(_.ts.getTime).min
+            val hi = batch.map(_.ts.getTime).max
+            val prev = state.getOption
+              .getOrElse(SessionState(uid, lo, hi, 0L, 0.0))
+            val merged = SessionState(uid, math.min(prev.startMs, lo),
+              math.max(prev.endMs, hi), prev.nEvents + batch.size,
+              prev.totalValue + batch.map(_.value).sum)
+            state.update(merged)
+            state.setTimeoutTimestamp(merged.endMs + gapSec * 1000)
+            Iterator.empty
+          }
+      }
+  }
+}

@@ -1,0 +1,136 @@
+package graft
+
+import graft.functions.ColumnFns
+import graft.operators._
+import graft.operators.AssociationRules.Params
+import org.apache.spark.sql.functions._
+
+/** End-to-end tests on Dunnhumby-SHAPED fixtures (FIXTURES.md): the
+  * reference's actual transaction schema with its integer day axis,
+  * HHMM trans_time, nullable columns, duplicate rows, and negative sales
+  * — proving a user of the reference could run their workload unchanged.
+  * Golden-value methodology mirrors `validate_results.py:122-129`. */
+class DunnhumbySpec extends SparkSpec {
+  import spark.implicits._
+
+  // transactions fixture: (id, household_key, basket_id, day, product_id,
+  // quantity, sales_value, store_id, week_no, trans_time)
+  private def transactions = Seq(
+    (1L, 1, 101L, 5, 11, Some(2), 3.50, Some(1), Some(1), 1631.0),
+    (2L, 1, 101L, 5, 12, Some(1), 2.00, Some(1), Some(1), 1631.0),
+    (3L, 1, 102L, 95, 11, Some(1), 3.50, Some(1), Some(14), 905.0),
+    (4L, 2, 103L, 200, 13, None, -1.25, None, Some(29), 1200.0),
+    (5L, 2, 103L, 200, 13, Some(1), 4.00, Some(2), Some(29), 1200.0),
+    (6L, 2, 104L, 300, 11, Some(3), 10.50, Some(2), Some(43), 800.0),
+    (7L, 3, 105L, 700, 12, Some(1), 2.00, Some(1), Some(100), 1745.0),
+    (8L, 3, 105L, 700, 12, Some(1), 2.00, Some(1), Some(100), 1745.0)
+  ).toDF("id", "household_key", "basket_id", "day", "product_id",
+    "quantity", "sales_value", "store_id", "week_no", "trans_time")
+
+  test("P9 cleaning + A2 basket totals on the reference schema") {
+    val clean = TableService.clean(transactions, Seq("sales_value"), Nil)
+    val totals = BasketAnalytics.basketTotals(clean, "basket_id",
+      "quantity", "sales_value", "product_id")
+    val b103 = totals.where($"basket_id" === 103L).head()
+    assert(b103.getAs[Double]("total_value") == 4.0) // -1.25 clamped to 0
+    assert(b103.getAs[Long]("n_products") == 1L)
+  }
+
+  test("U1 dedup on (basket_id, product_id, day) keeps MAX(id)") {
+    // clean_transactions.py:24-31
+    val deduped = Dedup.keepLatest(transactions,
+      Seq("basket_id", "product_id", "day"), "id")
+    // rows 4,5 (basket 103) and 7,8 (basket 105) each collapse
+    assert(deduped.count() == 6)
+    assert(deduped.where($"basket_id" === 105L).head().getAs[Long]("id")
+      == 8L)
+    assert(deduped.where($"basket_id" === 103L).head().getAs[Long]("id")
+      == 5L)
+  }
+
+  test("F7 trans_time formats as the reference template filter") {
+    val out = transactions.where($"id" === 1L)
+      .select(ColumnFns.formatHhmm($"trans_time")).as[String].head()
+    assert(out == "16:31")
+  }
+
+  test("RFM segments run on the integer day axis end-to-end") {
+    val seg = Rfm.segments(transactions, "household_key", "basket_id",
+      "sales_value", "day")
+    assert(seg.count() == 3)
+    val cols = seg.columns.toSet
+    assert(Set("rfm_segment", "r_score", "avg_basket_value")
+      .subsetOf(cols))
+    // household 3 bought on day 700 (most recent) -> recency 0
+    assert(seg.where($"customer" === 3).head().getAs[Long]("recency") == 0L)
+  }
+
+  test("churn features run on the integer day axis (leak-free split)") {
+    val f = Churn.features(transactions, "household_key", "product_id",
+      "sales_value", col("day"), 30)
+    // prediction point = 700-30 = 670; only household 3 is active after
+    val rows = f.collect().map(r =>
+      r.getAs[Int]("household_key") -> r.getAs[Long]("is_churn")).toMap
+    assert(rows(1) == 1L && rows(2) == 1L)
+    assert(!rows.contains(3)) // h3 has no history before day 670
+  }
+
+  test("golden trace: dept-level rule at the reference's published values") {
+    // validate_results.py:122-129: support .002 (+-.001), confidence .649
+    // (+-.05), lift 3.11 (+-.5) for TRAVEL & LEISUR -> MEAT over a basket
+    // population engineered to those ratios: 6500 baskets, antecedent in
+    // 20, pair in 13, consequent in 1359.
+    val rows = (1 to 6500).flatMap { b =>
+      val tl = b <= 20
+      val pair = b <= 13
+      val meat = pair || (b > 20 && b <= 1366) // 13 + 1346 = 1359
+      Seq(
+        Some((b.toLong, "FILLER")),
+        if (tl) Some((b.toLong, "TRAVEL & LEISUR")) else None,
+        if (meat) Some((b.toLong, "MEAT")) else None).flatten
+    }
+    val rules = AssociationRules.rules(rows.toDF("basket_id", "dept"),
+      "basket_id", "dept", Params(0.0, 0.0, 10, 5000, 10000))
+    val r = rules.where($"item_a" === "MEAT"
+      && $"item_b" === "TRAVEL & LEISUR").head()
+    // a->b is MEAT->T&L after array_sort; use the reverse direction via
+    // bothDirections for the T&L->MEAT reading
+    val raw = AssociationRules.rulesRaw(rows.toDF("basket_id", "dept"),
+      "basket_id", "dept", Params(0.0, 0.0, 10, 5000, 10000))
+    val both = AssociationRules.bothDirections(raw, 0.0)
+      .where($"antecedent" === "TRAVEL & LEISUR" && $"consequent" === "MEAT")
+      .head()
+    assert(math.abs(both.getAs[Double]("support") - 0.002) <= 0.001)
+    assert(math.abs(both.getAs[Double]("confidence") - 0.649) <= 0.05)
+    assert(math.abs(both.getAs[Double]("lift") - 3.11) <= 0.5)
+  }
+
+  test("S8 model store: MLlib model save/load round-trip") {
+    val dir = java.nio.file.Files.createTempDirectory("graftmodel").toString
+    val feats = ((1 to 40).map(i => (i.toLong, 80L + i, 2L, 50.0, 3L,
+      10.0, 1L, "A")) ++ (41 to 80).map(i => (i.toLong, 5L, 20L, 900.0,
+      30L, 2.5, 0L, "B")))
+      .toDF("ck", "recency", "frequency", "monetary", "product_variety",
+        "avg_purchase_gap", "is_churn", "seg")
+    val (model, _) = ml.Models.churnScores(feats,
+      Seq("recency", "frequency", "monetary"), Seq("seg"), "is_churn",
+      maxIter = 5)
+    model.write.overwrite().save(dir)
+    val loaded = org.apache.spark.ml.PipelineModel.load(dir)
+    val rescored = loaded.transform(
+      feats.withColumn("label", col("is_churn").cast("double")))
+    assert(rescored.count() == 80)
+  }
+
+  test("J11 multi-item antecedent matching fires only on subset") {
+    val purchased = Seq(
+      (1L, Array("A", "B", "C")), (2L, Array("A"))).toDF("u", "items")
+    val rules = Seq(
+      (Array("A", "B"), Array("D"), 0.8, 2.0),
+      (Array("C", "E"), Array("F"), 0.5, 1.5))
+      .toDF("antecedent", "consequent", "confidence", "lift")
+    val fired = Collab.matchingRules(purchased, rules).collect()
+    assert(fired.length == 1)
+    assert(fired(0).getAs[Long]("u") == 1L)
+  }
+}

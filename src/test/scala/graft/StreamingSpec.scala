@@ -1,0 +1,69 @@
+package graft
+
+import graft.streaming.Streams
+import graft.streaming.Streams.Event
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int) = new java.sql.Timestamp(min * 60000L)
+
+  test("windowed counts aggregate per event-time window") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streams.windowedCounts(in.toDF(), "1 minute", "5 minutes",
+        "5 minutes")
+      .writeStream.format("memory").queryName("wc")
+      .outputMode("complete").start()
+    in.addData(
+      Event(1L, ts(0), "click", 1.0), Event(2L, ts(1), "click", 2.0),
+      Event(1L, ts(7), "view", 5.0))
+    q.processAllAvailable()
+    val rows = spark.table("wc")
+      .select($"event_type", $"n", $"total_value").collect()
+    q.stop()
+    assert(rows.exists(r => r.getString(0) == "click" && r.getLong(1) == 2))
+    assert(rows.exists(r => r.getString(0) == "view" && r.getLong(1) == 1))
+  }
+
+  test("streaming dedup drops repeated keys within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streams.streamingDedup(in.toDF(), "10 minutes", Seq("user_id"))
+      .writeStream.format("memory").queryName("dd")
+      .outputMode("append").start()
+    // note: timestamps must sit above the initial watermark (epoch 0) or
+    // the very first row is classed as late and silently dropped
+    in.addData(Event(1L, ts(1000), "click", 1.0))
+    q.processAllAvailable()
+    in.addData(Event(1L, ts(1000), "click", 1.0),
+      Event(2L, ts(1001), "view", 2.0))
+    q.processAllAvailable()
+    val n = spark.table("dd").count()
+    q.stop()
+    assert(n == 2) // the duplicate (user 1, same ts) is dropped
+  }
+
+  test("sessionization closes a session after the event-time gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streams.sessionize(in.toDS(), "10 seconds", gapSec = 300)
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    // user 1: two events a minute apart -> one open session
+    in.addData(Event(1L, ts(600), "click", 1.0),
+      Event(1L, ts(601), "view", 2.0))
+    q.processAllAvailable()
+    assert(spark.table("sess").count() == 0) // still open
+    // a much later event advances the watermark past end+gap
+    in.addData(Event(2L, ts(660), "click", 1.0))
+    q.processAllAvailable()
+    val sessions = spark.table("sess").as[Streams.Session].collect()
+    q.stop()
+    assert(sessions.length == 1)
+    assert(sessions(0).user_id == 1L && sessions(0).n_events == 2L
+      && sessions(0).total_value == 3.0)
+  }
+}
