@@ -1173,6 +1173,75 @@ object Queries {
           ON p.p_partkey = l_partkey
         GROUP BY 1 ORDER BY brand""")),
 
+    // ---------------------------------------------------------- §2.13 dept
+    Spec("q_dept_predictions",
+      (s, dir) => {
+        val tx = custItemTx(s, dir).join(
+          broadcast(t(s, dir).part
+            .select(col("p_partkey").as("l_partkey"), col("p_brand"))),
+          Seq("l_partkey"), "left")
+        Heuristics.departmentPredictions(tx, "o_custkey", "p_brand",
+          "l_extendedprice", col("o_orderdate"), 0.9658, "3m")
+      },
+      Some("""WITH tx AS (SELECT o_custkey AS u, p_brand,
+          l_extendedprice AS sv, CAST(o_orderdate AS DATE) AS d
+          FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+          LEFT JOIN part ON p_partkey = l_partkey),
+        mx AS (SELECT MAX(d) AS md FROM tx),
+        stats AS (SELECT p_brand, COUNT(DISTINCT u) AS customers,
+          """ + m("sv") + """ / COUNT(*) AS avg_value,
+          COUNT(*) AS total_tx, """ +
+        Seq("1m" -> 30, "3m" -> 90, "6m" -> 180, "12m" -> 365).map {
+          case (nm, n) =>
+            val cond = s"d >= mx.md - ${n - 1}"
+            s"""COUNT(DISTINCT CASE WHEN $cond THEN u END) AS customers_$nm,
+             CAST(SUM(CAST(CASE WHEN $cond THEN sv ELSE 0.0 END
+               AS DECIMAL(18,2))) AS DOUBLE) AS sales_$nm,
+             CAST(SUM(CASE WHEN $cond THEN 1 ELSE 0 END) AS BIGINT)
+               AS tx_$nm"""
+        }.mkString(", ") + """
+          FROM tx, mx GROUP BY p_brand),
+        eligible AS (SELECT * FROM stats
+          WHERE customers > 0 AND avg_value > 0),
+        scored AS (SELECT *,
+          greatest(0.6, least(0.98, 0.9658 * (0.65
+            + 0.25 * (CAST(customers_3m AS DOUBLE) / customers)
+            + 0.1 * (CAST(tx_1m AS DOUBLE) / total_tx)))) AS conf,
+          greatest(0.7, least(1.5, 0.8
+            + 0.4 * (CASE WHEN sales_12m > 0 THEN sales_6m / sales_12m
+                ELSE 0.0 END)
+            + 0.3 * (CAST(customers_3m AS DOUBLE) / customers)))
+            AS growth,
+          CASE WHEN sales_3m > 0 THEN sales_3m
+            ELSE avg_value * customers_3m END AS base_rev
+          FROM eligible)
+        SELECT p_brand, customers, ROUND(avg_value, 2) AS avg_value,
+          ROUND(conf, 3) AS confidence,
+          ROUND(growth, 2) AS predicted_growth,
+          ROUND((CAST(customers_3m AS DOUBLE) / customers) * conf, 3)
+            AS probability,
+          ROUND(greatest(base_rev * 0.9, least(base_rev * 3.0,
+            base_rev * growth * conf)), 2) AS revenue_forecast
+        FROM scored ORDER BY p_brand""")),
+
+    // ---------------------------------------------------------- F8 + quality
+    Spec("q_data_quality",
+      (s, dir) => t(s, dir).part.agg(
+        count(lit(1)).as("n_rows"),
+        count(when(length(col("p_name")) < 9, 1)).as("short_names"),
+        count(when(col("p_brand").isNull, 1)).as("null_brands"),
+        countDistinct(col("p_brand")).as("n_brands"),
+        countDistinct(col("p_type")).as("n_types"),
+        min(col("p_retailprice")).as("min_price"),
+        max(col("p_retailprice")).as("max_price")),
+      Some("""SELECT COUNT(*) AS n_rows,
+        COUNT(CASE WHEN length(p_name) < 9 THEN 1 END) AS short_names,
+        COUNT(CASE WHEN p_brand IS NULL THEN 1 END) AS null_brands,
+        COUNT(DISTINCT p_brand) AS n_brands,
+        COUNT(DISTINCT p_type) AS n_types,
+        MIN(p_retailprice) AS min_price, MAX(p_retailprice) AS max_price
+        FROM part""")),
+
     // ---------------------------------------------------------- A20
     Spec("q_max_version_probe",
       (s, dir) => t(s, dir).orders

@@ -101,6 +101,19 @@ object Models {
       .map(mn => mn -> ev.setMetricName(mn).evaluate(scored)).toMap
   }
 
+  /** S8 — persist per-(horizon, model) metrics as JSON next to the saved
+    * models (the reference's `model_metrics.json`, `ml_models.py:101-178`). */
+  def saveMetrics(metrics: Map[String, Map[String, Double]],
+                  path: String): Unit = {
+    val json = metrics.toSeq.sortBy(_._1).map { case (k, ms) =>
+      "\"" + k + "\": {" + ms.toSeq.sortBy(_._1)
+        .map { case (m, v) => "\"" + m + "\": " + v }.mkString(", ") + "}"
+    }.mkString("{", ", ", "}")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path)
+      .getParent)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), json)
+  }
+
   /** Train the churn model and score every row with churn_probability
     * (P(class 1)), the reference's `predict_proba[:,1]`
     * (`update_churn_probabilities.py:36-63`). */

@@ -76,6 +76,58 @@ object Heuristics {
         col(item).asc)
   }
 
+  /** Department-level predictions (`ml_models.py:1010-1110`): per-category
+    * multi-window stats → confidence (recent-customer + transaction
+    * ratios), momentum-based growth, and the clamped revenue forecast for
+    * one selected horizon. Expects [[productWindowStats]]-shaped input
+    * grouped by category with `customers`/`tx` window columns. */
+  def departmentPredictions(tx: DataFrame, customer: String, cat: String,
+                            sales: String, day: Column,
+                            baseAccuracy: Double,
+                            horizon: String = "3m"): DataFrame = {
+    val d = day.cast("date")
+    val windows = Seq("1m" -> 30, "3m" -> 90, "6m" -> 180, "12m" -> 365)
+    val starts = windows.map { case (nm, n) =>
+      nm -> Trends.windowStart(tx, day, n)
+    }
+    val windowAggs = starts.flatMap { case (nm, lo) =>
+      Seq(
+        count_distinct(when(d >= lo, col(customer))).as(s"customers_$nm"),
+        moneySum(when(d >= lo, col(sales)).otherwise(lit(0.0)))
+          .as(s"sales_$nm"),
+        sum(when(d >= lo, 1L).otherwise(0L)).as(s"tx_$nm"))
+    }
+    val aggs = Seq(
+      countDistinct(col(customer)).as("customers"),
+      (moneySum(col(sales)) / count(lit(1))).as("avg_value"),
+      count(lit(1)).as("total_tx")) ++ windowAggs
+    val stats = tx.groupBy(col(cat)).agg(aggs.head, aggs.tail: _*)
+      .where(col("customers") > 0 && col("avg_value") > 0)
+
+    val recentRatio = col("customers_3m").cast("double") / col("customers")
+    val txRatio = col("tx_1m").cast("double") / col("total_tx")
+    val conf = greatest(lit(0.6), least(lit(0.98),
+      lit(baseAccuracy) * (lit(0.65) + lit(0.25) * recentRatio
+        + lit(0.1) * txRatio)))
+    val momentum = when(col("sales_12m") > 0,
+      col("sales_6m") / col("sales_12m")).otherwise(lit(0.0))
+    val growth = greatest(lit(0.7), least(lit(1.5),
+      lit(0.8) + lit(0.4) * momentum + lit(0.3) * recentRatio))
+    val hProb = col(s"customers_$horizon").cast("double") / col("customers")
+    val baseRev = when(col(s"sales_$horizon") > 0, col(s"sales_$horizon"))
+      .otherwise(col("avg_value") * col(s"customers_$horizon"))
+    val projected = greatest(baseRev * 0.9,
+      least(baseRev * 3.0, baseRev * growth * conf))
+
+    stats.select(col(cat), col("customers"),
+        round(col("avg_value"), 2).as("avg_value"),
+        round(conf, 3).as("confidence"),
+        round(growth, 2).as("predicted_growth"),
+        round(hProb * conf, 3).as("probability"),
+        round(projected, 2).as("revenue_forecast"))
+      .orderBy(col(cat))
+  }
+
   /** A13 — per-product repurchase rate and popularity
     * (`ml_models.py:356-384`): fraction of purchasing households that
     * bought the product on more than one distinct day. */

@@ -46,3 +46,21 @@ final case class Tables(spark: SparkSession, dir: String) {
   def documents: DataFrame = table("documents")
   def embeddings: DataFrame = table("embeddings")
 }
+
+object Tables {
+  /** S9 — JDBC source seam (the reference's tables live in SQL Server,
+    * `Website/market/market/settings.py:79-92`). Partitioned read so the
+    * scan parallelizes across executors; parquet remains the primary
+    * format — this exists so a reference deployment can point the engine
+    * at its live database without an export step. (No database ships in
+    * this environment, so this path is compile-checked only.) */
+  def jdbc(spark: SparkSession, url: String, table: String,
+           partitionColumn: String, lowerBound: Long, upperBound: Long,
+           numPartitions: Int,
+           props: java.util.Properties = new java.util.Properties)
+      : DataFrame =
+    spark.read.option("partitionColumn", partitionColumn)
+      .option("lowerBound", lowerBound).option("upperBound", upperBound)
+      .option("numPartitions", numPartitions)
+      .jdbc(url, table, props)
+}
