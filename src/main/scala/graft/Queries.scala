@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.ColumnFns
-import graft.functions.ColumnFns.moneySum
+import graft.functions.ColumnFns.{moneySum, stableRound}
 import graft.operators._
 import graft.sources.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -102,7 +102,7 @@ object Queries {
         val total = sum(col("total_sales").cast(dec))
           .over(Window.partitionBy()).cast("double")
         cs.select(col("p_brand"), col("total_sales"),
-            round(col("total_sales") / total * 100, 2).as("share_pct"))
+            stableRound(col("total_sales") / total * 100, 2).as("share_pct"))
           .orderBy(col("p_brand"))
       },
       Some("""WITH cs AS (
@@ -110,8 +110,8 @@ object Queries {
           FROM lineitem LEFT JOIN part ON p_partkey = l_partkey
           GROUP BY p_brand)
         SELECT p_brand, total_sales,
-          ROUND(total_sales / CAST((SELECT SUM(CAST(total_sales AS
-            DECIMAL(18,2))) FROM cs) AS DOUBLE) * 100, 2) AS share_pct
+          floor((total_sales / CAST((SELECT SUM(CAST(total_sales AS
+            DECIMAL(18,2))) FROM cs) AS DOUBLE) * 100) * 1e2 + 0.5) / 1e2 AS share_pct
         FROM cs ORDER BY p_brand""")),
 
     // ---------------------------------------------------------- A5
@@ -209,9 +209,9 @@ object Queries {
         "l_orderkey", "l_partkey", rulesParams),
       Some(rulesRawSql + """
         SELECT item_a, item_b, pair_baskets, a_baskets, b_baskets,
-          ROUND(support, 6) AS support,
-          ROUND(confidence, 6) AS confidence,
-          ROUND(lift, 6) AS lift
+          floor((support) * 1e6 + 0.5) / 1e6 AS support,
+          floor((confidence) * 1e6 + 0.5) / 1e6 AS confidence,
+          floor((lift) * 1e6 + 0.5) / 1e6 AS lift
         FROM raw
         ORDER BY lift DESC, item_a, item_b LIMIT 500""")),
 
@@ -221,13 +221,13 @@ object Queries {
         AssociationRules.rulesRaw(t(s, dir).lineitem,
           "l_orderkey", "l_partkey", rulesParams), 0.0)
         .select(col("antecedent"), col("consequent"),
-          round(col("support"), 6).as("support"),
-          round(col("confidence"), 6).as("confidence"),
-          round(col("lift"), 6).as("lift"))
+          stableRound(col("support"), 6).as("support"),
+          stableRound(col("confidence"), 6).as("confidence"),
+          stableRound(col("lift"), 6).as("lift"))
         .orderBy(col("lift").desc, col("antecedent"), col("consequent")),
       Some(rulesRawSql + """
-        SELECT antecedent, consequent, ROUND(support, 6) AS support,
-          ROUND(confidence, 6) AS confidence, ROUND(lift, 6) AS lift
+        SELECT antecedent, consequent, floor((support) * 1e6 + 0.5) / 1e6 AS support,
+          floor((confidence) * 1e6 + 0.5) / 1e6 AS confidence, floor((lift) * 1e6 + 0.5) / 1e6 AS lift
         FROM (
           SELECT item_a AS antecedent, item_b AS consequent,
             support, confidence, lift FROM raw
@@ -247,9 +247,9 @@ object Queries {
             AssociationRules.Params(minSupport = 0.02, minConfidence = 0.05))
           .select(concat_ws(",", col("antecedent")).as("antecedent"),
             concat_ws(",", col("consequent")).as("consequent"),
-            round(col("confidence"), 6).as("confidence"),
-            round(col("lift"), 6).as("lift"),
-            round(col("support"), 6).as("support"))
+            stableRound(col("confidence"), 6).as("confidence"),
+            stableRound(col("lift"), 6).as("lift"),
+            stableRound(col("support"), 6).as("support"))
           .orderBy(col("antecedent"), col("consequent"))
       },
       None),
@@ -333,9 +333,9 @@ object Queries {
             AS prev_sales
           FROM lineitem, mx WHERE CAST(l_shipdate AS DATE) >= mx.mday - 179)
         SELECT recent_sales, prev_sales,
-          ROUND(CASE WHEN prev_sales <> 0
+          floor((CASE WHEN prev_sales <> 0
             THEN (recent_sales - prev_sales) / prev_sales * 100
-            ELSE 0.0 END, 6) AS pct_change
+            ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS pct_change
         FROM sums""")),
 
     // ---------------------------------------------------------- A17/F1
@@ -612,10 +612,10 @@ object Queries {
             AS chi2raw,
           COUNT(DISTINCT g) AS ng, COUNT(DISTINCT c) AS nc,
           MAX(total) AS total FROM cells)
-        SELECT ROUND(chi2raw, 6) AS chi2,
+        SELECT floor((chi2raw) * 1e6 + 0.5) / 1e6 AS chi2,
           CAST((ng-1)*(nc-1) AS BIGINT) AS dof,
-          ROUND(sqrt(chi2raw / (total * least(ng-1, nc-1))), 6) AS cramers_v,
-          ROUND(sqrt(chi2raw / total), 6) AS cohens_w, total
+          floor((sqrt(chi2raw / (total * least(ng-1, nc-1)))) * 1e6 + 0.5) / 1e6 AS cramers_v,
+          floor((sqrt(chi2raw / total)) * 1e6 + 0.5) / 1e6 AS cohens_w, total
         FROM agg""")),
 
     // ---------------------------------------------------------- X2
@@ -640,10 +640,10 @@ object Queries {
           (ss2 - s2*s2/n2)/(n2-1) AS v2 FROM agg),
         se AS (SELECT *, v1/n1 + v2/n2 AS se2 FROM mo)
         SELECT n1, n2, m1 AS mean1, m2 AS mean2,
-          ROUND((m1-m2)/sqrt(se2), 6) AS t_stat,
-          ROUND(se2*se2 / ((v1/n1)*(v1/n1)/(n1-1)
-            + (v2/n2)*(v2/n2)/(n2-1)), 6) AS dof,
-          ROUND((m1-m2)/sqrt(((n1-1)*v1 + (n2-1)*v2)/(n1+n2-2)), 6)
+          floor(((m1-m2)/sqrt(se2)) * 1e6 + 0.5) / 1e6 AS t_stat,
+          floor((se2*se2 / ((v1/n1)*(v1/n1)/(n1-1)
+            + (v2/n2)*(v2/n2)/(n2-1))) * 1e6 + 0.5) / 1e6 AS dof,
+          floor(((m1-m2)/sqrt(((n1-1)*v1 + (n2-1)*v2)/(n1+n2-2))) * 1e6 + 0.5) / 1e6
             AS cohens_d
         FROM se""")),
 
@@ -660,8 +660,8 @@ object Queries {
           COUNT(CASE WHEN g = 'BUILDING' THEN 1 END) AS n1,
           COUNT(CASE WHEN g = 'MACHINERY' THEN 1 END) AS n2 FROM r)
         SELECT n1, n2,
-          ROUND(r1 - n1*(n1+1)/2.0, 6) AS u_stat,
-          ROUND(1.0 - 2.0*(r1 - n1*(n1+1)/2.0)/(n1*n2), 6) AS rank_biserial
+          floor((r1 - n1*(n1+1)/2.0) * 1e6 + 0.5) / 1e6 AS u_stat,
+          floor((1.0 - 2.0*(r1 - n1*(n1+1)/2.0)/(n1*n2)) * 1e6 + 0.5) / 1e6 AS rank_biserial
         FROM a""")),
 
     // ---------------------------------------------------------- X4
@@ -683,8 +683,8 @@ object Queries {
             AS cum2,
           CAST(SUM(c1) OVER () AS BIGINT) AS t1,
           CAST(SUM(c2) OVER () AS BIGINT) AS t2 FROM pv)
-        SELECT ROUND(MAX(abs(CAST(cum1 AS DOUBLE)/t1
-            - CAST(cum2 AS DOUBLE)/t2)), 6) AS ks_stat,
+        SELECT floor((MAX(abs(CAST(cum1 AS DOUBLE)/t1
+            - CAST(cum2 AS DOUBLE)/t2))) * 1e6 + 0.5) / 1e6 AS ks_stat,
           MAX(t1) AS n1, MAX(t2) AS n2
         FROM cdf""")),
 
@@ -703,8 +703,8 @@ object Queries {
           FROM j)
         SELECT n1, n2, s1/n1 AS mean1, s2/n2 AS mean2,
           s1/n1 - s2/n2 AS mean_diff,
-          ROUND(CASE WHEN s2/n2 <> 0
-            THEN (s1/n1 - s2/n2)/(s2/n2)*100 ELSE 0.0 END, 6) AS pct_diff
+          floor((CASE WHEN s2/n2 <> 0
+            THEN (s1/n1 - s2/n2)/(s2/n2)*100 ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS pct_diff
         FROM agg"""))
   )
 
@@ -806,10 +806,10 @@ object Queries {
     Spec("q_cf_user_sims",
       (s, dir) => Collab.userSimilarities(
         Collab.userItemCounts(custItemTx(s, dir), "o_custkey", "l_partkey"))
-        .select(col("u1"), col("u2"), round(col("cos"), 6).as("cos"))
+        .select(col("u1"), col("u2"), stableRound(col("cos"), 6).as("cos"))
         .orderBy(col("cos").desc, col("u1"), col("u2")).limit(1000),
       Some("""WITH """ + cfSimsSql + """
-        SELECT u1, u2, ROUND(cos, 6) AS cos FROM sims
+        SELECT u1, u2, floor((cos) * 1e6 + 0.5) / 1e6 AS cos FROM sims
         ORDER BY cos DESC, u1, u2 LIMIT 1000""")),
 
     // ---------------------------------------------------------- §2.14 recs
@@ -825,7 +825,7 @@ object Queries {
         sym AS (SELECT u1, u2, cos FROM sims
           UNION ALL SELECT u2, u1, cos FROM sims),
         scored AS (SELECT sym.u1 AS u, ui.i,
-            ROUND(SUM(sym.cos * ui.c), 6) AS score
+            floor((SUM(sym.cos * ui.c)) * 1e6 + 0.5) / 1e6 AS score
           FROM sym JOIN ui ON ui.u = sym.u2
           WHERE sym.cos > 0 AND sym.u1 % 50 = 0
             AND NOT EXISTS (SELECT 1 FROM ui me
@@ -855,7 +855,7 @@ object Queries {
         sym AS (SELECT u1, u2, cos FROM sims
           UNION ALL SELECT u2, u1, cos FROM sims),
         cf AS (SELECT sym.u1 AS u, ui.i,
-            ROUND(SUM(sym.cos * ui.c), 6) AS score
+            floor((SUM(sym.cos * ui.c)) * 1e6 + 0.5) / 1e6 AS score
           FROM sym JOIN ui ON ui.u = sym.u2
           WHERE sym.cos > 0 AND sym.u1 % 50 = 0
             AND NOT EXISTS (SELECT 1 FROM ui me
@@ -878,17 +878,17 @@ object Queries {
           JOIN cnt ca ON ca.item = p.item_a
           JOIN cnt cb ON cb.item = p.item_b),
         assoc AS (SELECT ui.u, raw.item_b AS i,
-            ROUND(SUM(raw.confidence * raw.lift), 6) AS score
+            floor((SUM(raw.confidence * raw.lift)) * 1e6 + 0.5) / 1e6 AS score
           FROM ui JOIN raw ON raw.item_a = ui.i
           WHERE ui.u % 50 = 0
             AND NOT EXISTS (SELECT 1 FROM ui me
               WHERE me.u = ui.u AND me.i = raw.item_b)
           GROUP BY 1, 2),
         blended AS (SELECT COALESCE(a.u, c.u) AS u, COALESCE(a.i, c.i) AS i,
-            ROUND(0.6 * COALESCE(a.score
+            floor((0.6 * COALESCE(a.score
                 / (SELECT MAX(score) FROM assoc), 0.0)
               + 0.4 * COALESCE(c.score
-                / (SELECT MAX(score) FROM cf), 0.0), 6) AS hybrid_score
+                / (SELECT MAX(score) FROM cf), 0.0)) * 1e6 + 0.5) / 1e6 AS hybrid_score
           FROM assoc a FULL OUTER JOIN cf c ON a.u = c.u AND a.i = c.i)
         SELECT u, i, hybrid_score, rn FROM (SELECT *,
             CAST(ROW_NUMBER() OVER (PARTITION BY u
@@ -954,10 +954,10 @@ object Queries {
               ELSE avg_value * households_3m END AS base_rev
           FROM scored)
         SELECT pid AS l_partkey, households,
-          ROUND(avg_value, 2) AS avg_value,
-          ROUND(conf, 3) AS confidence,
-          CAST(ROUND(greatest(base_rev * 0.8, least(base_rev * 1.5,
-            base_rev * (1.0 + (conf - 0.5) * 0.5)))) AS BIGINT)
+          floor((avg_value) * 1e2 + 0.5) / 1e2 AS avg_value,
+          floor((conf) * 1e3 + 0.5) / 1e3 AS confidence,
+          CAST(floor((greatest(base_rev * 0.8, least(base_rev * 1.5,
+            base_rev * (1.0 + (conf - 0.5) * 0.5)))) + 0.5) AS BIGINT)
             AS projected_revenue
         FROM rev
         ORDER BY projected_revenue DESC, confidence DESC, l_partkey""")),
@@ -1076,9 +1076,9 @@ object Queries {
           JOIN cnt ca ON ca.item = p.item_a
           JOIN cnt cb ON cb.item = p.item_b)
         SELECT item_a, item_b, pair_baskets, a_baskets, b_baskets,
-          ROUND(support, 6) AS support,
-          ROUND(confidence, 6) AS confidence,
-          ROUND(lift, 6) AS lift
+          floor((support) * 1e6 + 0.5) / 1e6 AS support,
+          floor((confidence) * 1e6 + 0.5) / 1e6 AS confidence,
+          floor((lift) * 1e6 + 0.5) / 1e6 AS lift
         FROM raw
         ORDER BY lift DESC, item_a, item_b LIMIT 500"""))
   )
@@ -1114,8 +1114,8 @@ object Queries {
           JOIN cnt ca ON ca.item = p.item_a
           JOIN cnt cb ON cb.item = p.item_b)
         SELECT item_a, item_b, pair_baskets, a_baskets, b_baskets,
-          ROUND(support, 6) AS support, ROUND(confidence, 6) AS confidence,
-          ROUND(lift, 6) AS lift
+          floor((support) * 1e6 + 0.5) / 1e6 AS support, floor((confidence) * 1e6 + 0.5) / 1e6 AS confidence,
+          floor((lift) * 1e6 + 0.5) / 1e6 AS lift
         FROM raw ORDER BY lift DESC, item_a, item_b LIMIT 500""")),
 
     // ---------------------------------------------------------- A11+F4
@@ -1215,13 +1215,13 @@ object Queries {
           CASE WHEN sales_3m > 0 THEN sales_3m
             ELSE avg_value * customers_3m END AS base_rev
           FROM eligible)
-        SELECT p_brand, customers, ROUND(avg_value, 2) AS avg_value,
-          ROUND(conf, 3) AS confidence,
-          ROUND(growth, 2) AS predicted_growth,
-          ROUND((CAST(customers_3m AS DOUBLE) / customers) * conf, 3)
+        SELECT p_brand, customers, floor((avg_value) * 1e2 + 0.5) / 1e2 AS avg_value,
+          floor((conf) * 1e3 + 0.5) / 1e3 AS confidence,
+          floor((growth) * 1e2 + 0.5) / 1e2 AS predicted_growth,
+          floor(((CAST(customers_3m AS DOUBLE) / customers) * conf) * 1e3 + 0.5) / 1e3
             AS probability,
-          ROUND(greatest(base_rev * 0.9, least(base_rev * 3.0,
-            base_rev * growth * conf)), 2) AS revenue_forecast
+          floor((greatest(base_rev * 0.9, least(base_rev * 3.0,
+            base_rev * growth * conf))) * 1e2 + 0.5) / 1e2 AS revenue_forecast
         FROM scored ORDER BY p_brand""")),
 
     // ---------------------------------------------------------- F8 + quality
@@ -1241,6 +1241,49 @@ object Queries {
         COUNT(DISTINCT p_type) AS n_types,
         MIN(p_retailprice) AS min_price, MAX(p_retailprice) AS max_price
         FROM part""")),
+
+    // ---------------------------------------------------------- A14
+    Spec("q_dept_frequency",
+      (s, dir) => custItemTx(s, dir).join(
+        broadcast(t(s, dir).part
+          .select(col("p_partkey").as("l_partkey"), col("p_brand"))),
+        Seq("l_partkey"), "left")
+        .groupBy(col("o_custkey"), col("p_brand"))
+        .agg(count(lit(1)).as("dept_frequency"))
+        .orderBy(col("o_custkey"), col("p_brand")),
+      Some("""SELECT o_custkey, p_brand, COUNT(*) AS dept_frequency
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        LEFT JOIN part ON p_partkey = l_partkey
+        GROUP BY 1, 2 ORDER BY o_custkey, p_brand""")),
+
+    // ---------------------------------------------------------- U4
+    Spec("q_candidate_sets",
+      (s, dir) => {
+        val recent = Trends.lastNDays(t(s, dir).orders,
+          col("o_orderdate"), 90).select(col("o_custkey"))
+        val big = t(s, dir).orders.where(col("o_totalprice") > 100000)
+          .select(col("o_custkey"))
+        val u = Joins.unionKeys(recent, big, "o_custkey")
+          .agg(count(lit(1)).as("n")).select(lit("union").as("op"), col("n"))
+        val i = Joins.intersectKeys(recent, big, "o_custkey")
+          .agg(count(lit(1)).as("n"))
+          .select(lit("intersect").as("op"), col("n"))
+        u.unionByName(i).orderBy(col("op"))
+      },
+      Some("""WITH recent AS (SELECT o_custkey FROM orders
+          WHERE CAST(o_orderdate AS DATE) >=
+            (SELECT MAX(CAST(o_orderdate AS DATE)) - 89 FROM orders)),
+        big AS (SELECT o_custkey FROM orders WHERE o_totalprice > 100000)
+        SELECT 'intersect' AS op, COUNT(*) AS n FROM
+          (SELECT DISTINCT r.o_custkey FROM recent r
+           WHERE EXISTS (SELECT 1 FROM big b
+             WHERE b.o_custkey = r.o_custkey))
+        UNION ALL
+        SELECT 'union', COUNT(*) FROM
+          (SELECT DISTINCT o_custkey FROM
+            (SELECT o_custkey FROM recent
+             UNION ALL SELECT o_custkey FROM big))
+        ORDER BY op""")),
 
     // ---------------------------------------------------------- A20
     Spec("q_max_version_probe",
@@ -1348,7 +1391,7 @@ object Queries {
         inter AS (SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
           FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2)
         SELECT id_a, id_b,
-          ROUND(CAST(inter AS DOUBLE) / (x.szc + y.szc - inter), 6)
+          floor((CAST(inter AS DOUBLE) / (x.szc + y.szc - inter)) * 1e6 + 0.5) / 1e6
             AS jaccard
         FROM inter JOIN sz x ON x.id = id_a JOIN sz y ON y.id = id_b
         ORDER BY jaccard DESC, id_a, id_b LIMIT 200""")),
@@ -1377,7 +1420,7 @@ object Queries {
         n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
         q AS (SELECT * FROM n WHERE vec_id % 100 = 0),
         scored AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-            ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 4) AS cosine
+            floor((list_dot_product(q.v, c.v) / (q.nrm * c.nrm)) * 1e4 + 0.5) / 1e4 AS cosine
           FROM q CROSS JOIN n c WHERE c.vec_id <> q.vec_id)
         SELECT query_id, cand_id, cosine, rn FROM (SELECT *,
             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
@@ -1399,7 +1442,7 @@ object Queries {
           FROM embeddings),
         n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
         scored AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-            ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cosine
+            floor((list_dot_product(a.v, b.v) / (a.nrm * b.nrm)) * 1e4 + 0.5) / 1e4 AS cosine
           FROM n a JOIN n b ON a.vec_id < b.vec_id)
         SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.4
         ORDER BY cosine DESC, id_a, id_b""")),
@@ -1412,16 +1455,16 @@ object Queries {
         CAST(length(text) AS BIGINT) AS n_chars,
         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
           AS n_words,
-        ROUND(CAST(length(text) AS DOUBLE)
-          / len(string_split_regex(trim(text), '\s+')), 6) AS avg_word_len,
-        ROUND(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
-          AS DOUBLE) / length(text), 6) AS punct_ratio,
-        ROUND(CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
-          AS DOUBLE) / length(text), 6) AS digit_ratio,
-        ROUND(CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        floor((CAST(length(text) AS DOUBLE)
+          / len(string_split_regex(trim(text), '\s+'))) * 1e6 + 0.5) / 1e6 AS avg_word_len,
+        floor((CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+          AS DOUBLE) / length(text)) * 1e6 + 0.5) / 1e6 AS punct_ratio,
+        floor((CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+          AS DOUBLE) / length(text)) * 1e6 + 0.5) / 1e6 AS digit_ratio,
+        floor((CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
             x -> list_contains(['the','a','an','of','and','or','in','to',
               'is','it','on','for','with','as','at','by'], x))) AS DOUBLE)
-          / len(string_split_regex(trim(text), '\s+')), 6)
+          / len(string_split_regex(trim(text), '\s+'))) * 1e6 + 0.5) / 1e6
           AS stopword_ratio,
         CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'),
           x -> greatest(1, CAST(ceil(length(x)/4.0) AS BIGINT)))) AS BIGINT)
@@ -1435,18 +1478,17 @@ object Queries {
       Some("""WITH qm AS (SELECT doc_id AS id,
           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
             AS n_words,
-          ROUND(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
-            AS DOUBLE) / length(text), 6) AS punct_ratio,
-          ROUND(CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+          floor((CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+            AS DOUBLE) / length(text)) * 1e6 + 0.5) / 1e6 AS punct_ratio,
+          floor((CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
               x -> list_contains(['the','a','an','of','and','or','in','to',
                 'is','it','on','for','with','as','at','by'], x))) AS DOUBLE)
-            / len(string_split_regex(trim(text), '\s+')), 6)
+            / len(string_split_regex(trim(text), '\s+'))) * 1e6 + 0.5) / 1e6
             AS stopword_ratio
           FROM documents)
-        SELECT id, ROUND(
-          least(CAST(n_words AS DOUBLE) / 50.0, 1.0)
+        SELECT id, floor((least(CAST(n_words AS DOUBLE) / 50.0, 1.0)
           * least(stopword_ratio * 5.0 + 0.5, 1.0)
-          * (1.0 - least(punct_ratio * 5.0, 1.0) * 0.5), 6)
+          * (1.0 - least(punct_ratio * 5.0, 1.0) * 0.5)) * 1e6 + 0.5) / 1e6
           AS quality_score
         FROM qm ORDER BY id""")),
 

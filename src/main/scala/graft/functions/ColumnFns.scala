@@ -72,4 +72,18 @@ object ColumnFns {
     * (`analytics.py:312` avg_basket_value). */
   def safeDiv(num: Column, den: Column): Column =
     when(den =!= 0, num / den).otherwise(lit(0.0))
+
+  /** Cross-engine-stable half-up rounding: `floor(x·10ⁿ + 0.5)/10ⁿ`.
+    * Spark's `round()` rounds the double's SHORTEST DECIMAL REPRESENTATION
+    * (`BigDecimal.valueOf`), so a binary value just below a midpoint whose
+    * shortest repr lands exactly ON the midpoint rounds UP in Spark but
+    * DOWN in engines that round the binary value (DuckDB) — an observed
+    * 1-in-~10⁵ mismatch. This formula is the same IEEE multiply/add/floor
+    * on both sides, so results are bit-identical everywhere. (Negatives
+    * round half-toward-+∞ — consistent across engines, which is what the
+    * oracle gate needs.) */
+  def stableRound(c: Column, scale: Int): Column = {
+    val f = math.pow(10, scale.toDouble)
+    floor(c * f + 0.5) / f
+  }
 }

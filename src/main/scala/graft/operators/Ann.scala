@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.ColumnFns.stableRound
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -53,7 +54,7 @@ object Ann {
     q.crossJoin(c)
       .where(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"),
-        round(dotRaw(col("qv"), col("cv")) / (col("qn") * col("cn")), 4)
+        stableRound(dotRaw(col("qv"), col("cv")) / (col("qn") * col("cn")), 4)
           .as("cosine"))
       .withColumn("rn", row_number().over(
           Window.partitionBy(col("query_id"))
@@ -91,7 +92,7 @@ object Ann {
     q.join(c, Seq("bucket"))
       .where(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"),
-        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4)
+        stableRound(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4)
           .as("cosine"))
       .withColumn("rn", row_number().over(
           Window.partitionBy(col("query_id"))
@@ -109,7 +110,7 @@ object Ann {
       .join(v.toDF("id_b", "vb", "nb"),
         col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(dotRaw(col("va"), col("vb")) / (col("na") * col("nb")), 4)
+        stableRound(dotRaw(col("va"), col("vb")) / (col("na") * col("nb")), 4)
           .as("cosine"))
       .where(col("cosine") >= minCosine)
       .orderBy(col("cosine").desc, col("id_a"), col("id_b"))

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.ml.fpm.FPGrowth
+import graft.functions.ColumnFns.stableRound
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -130,9 +131,9 @@ object AssociationRules {
       .where(col("confidence") >= params.minConfidence)
       .select(col("item_a"), col("item_b"),
         col("pair_baskets"), col("a_baskets"), col("b_baskets"),
-        round(col("support"), 6).as("support"),
-        round(col("confidence"), 6).as("confidence"),
-        round(col("lift"), 6).as("lift"))
+        stableRound(col("support"), 6).as("support"),
+        stableRound(col("confidence"), 6).as("confidence"),
+        stableRound(col("lift"), 6).as("lift"))
       .orderBy(col("lift").desc, col("item_a").asc, col("item_b").asc)
       .limit(params.maxRules)
 

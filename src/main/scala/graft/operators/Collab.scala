@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.ColumnFns.stableRound
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -87,7 +88,7 @@ object Collab {
       .join(counts.select(col("u").as("u1"), col("i")),
         Seq("u1", "i"), "left_anti")
       .groupBy(col("u1").as("u"), col("i"))
-      .agg(round(sum(col("cos") * col("c")), 6).as("score"))
+      .agg(stableRound(sum(col("cos") * col("c")), 6).as("score"))
     scored
       .withColumn("rn", row_number().over(
           Window.partitionBy(col("u"))
@@ -108,7 +109,7 @@ object Collab {
         (col("confidence") * col("lift")).as("s"))
       .join(purchased.select(col("u"), col("i")), Seq("u", "i"), "left_anti")
       .groupBy(col("u"), col("i"))
-      .agg(round(sum(col("s")), 6).as("score"))
+      .agg(stableRound(sum(col("s")), 6).as("score"))
 
   /** J11 — multi-item rule-antecedent matching (`customers/views.py:
     * 84-116`): a rule fires for a user when EVERY antecedent item is in
@@ -135,7 +136,7 @@ object Collab {
       (col("score") / max(col("score")).over(w)).as("c_score"))
     an.join(cn, Seq("u", "i"), "full_outer")
       .select(col("u"), col("i"),
-        round(lit(alpha) * coalesce(col("a_score"), lit(0.0)) +
+        stableRound(lit(alpha) * coalesce(col("a_score"), lit(0.0)) +
           lit(1.0 - alpha) * coalesce(col("c_score"), lit(0.0)), 6)
           .as("hybrid_score"))
       .withColumn("rn", row_number().over(

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.ColumnFns.moneySum
+import graft.functions.ColumnFns.{moneySum, stableRound}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -69,9 +69,9 @@ object Heuristics {
     stats
       .where(col("households") > 0 && col("avg_value") > 0)
       .select(col(item), col("households"),
-        round(col("avg_value"), 2).as("avg_value"),
-        round(conf, 3).as("confidence"),
-        round(projected).cast("long").as("projected_revenue"))
+        stableRound(col("avg_value"), 2).as("avg_value"),
+        stableRound(conf, 3).as("confidence"),
+        floor(projected + 0.5).cast("long").as("projected_revenue"))
       .orderBy(col("projected_revenue").desc, col("confidence").desc,
         col(item).asc)
   }
@@ -120,11 +120,11 @@ object Heuristics {
       least(baseRev * 3.0, baseRev * growth * conf))
 
     stats.select(col(cat), col("customers"),
-        round(col("avg_value"), 2).as("avg_value"),
-        round(conf, 3).as("confidence"),
-        round(growth, 2).as("predicted_growth"),
-        round(hProb * conf, 3).as("probability"),
-        round(projected, 2).as("revenue_forecast"))
+        stableRound(col("avg_value"), 2).as("avg_value"),
+        stableRound(conf, 3).as("confidence"),
+        stableRound(growth, 2).as("predicted_growth"),
+        stableRound(hProb * conf, 3).as("probability"),
+        stableRound(projected, 2).as("revenue_forecast"))
       .orderBy(col(cat))
   }
 

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+import graft.functions.ColumnFns.stableRound
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -54,7 +55,7 @@ object NearDup {
       .join(broadcast(sizes.toDF("id_a", "sz_a")), Seq("id_a"))
       .join(broadcast(sizes.toDF("id_b", "sz_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(col("inter").cast("double") /
+        stableRound(col("inter").cast("double") /
           (col("sz_a") + col("sz_b") - col("inter")), 6).as("jaccard"))
       .where(col("jaccard") >= minJaccard)
       .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
@@ -80,7 +81,7 @@ object NearDup {
     val model = lsh.fit(vecs)
     model.approxSimilarityJoin(vecs, vecs, 1.0 - minJaccard, "dist")
       .select(col("datasetA.id").as("id_a"), col("datasetB.id").as("id_b"),
-        round(lit(1.0) - col("dist"), 6).as("jaccard"))
+        stableRound(lit(1.0) - col("dist"), 6).as("jaccard"))
       .where(col("id_a") < col("id_b"))
       .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
   }

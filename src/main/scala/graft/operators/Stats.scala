@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.commons.math3.distribution.{ChiSquaredDistribution, NormalDistribution, TDistribution}
+import graft.functions.ColumnFns.stableRound
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -44,12 +45,12 @@ object Stats {
         countDistinct(col("c")).as("nc"),
         max(col("total")).as("total"))
       .select(
-        round(col("chi2_raw"), 6).as("chi2"),
+        stableRound(col("chi2_raw"), 6).as("chi2"),
         ((col("ng") - 1) * (col("nc") - 1)).as("dof"),
-        round(sqrt(col("chi2_raw") /
+        stableRound(sqrt(col("chi2_raw") /
           (col("total") * least(col("ng") - 1, col("nc") - 1))), 6)
           .as("cramers_v"),
-        round(sqrt(col("chi2_raw") / col("total")), 6).as("cohens_w"),
+        stableRound(sqrt(col("chi2_raw") / col("total")), 6).as("cohens_w"),
         col("total"))
   }
 
@@ -81,9 +82,9 @@ object Stats {
     df.agg((a ++ b).head, (a ++ b).tail: _*)
       .select(col("n1"), col("n2"),
         m1.as("mean1"), m2.as("mean2"),
-        round((m1 - m2) / sqrt(se2), 6).as("t_stat"),
-        round(dof, 6).as("dof"),
-        round((m1 - m2) / pooled, 6).as("cohens_d"))
+        stableRound((m1 - m2) / sqrt(se2), 6).as("t_stat"),
+        stableRound(dof, 6).as("dof"),
+        stableRound((m1 - m2) / pooled, 6).as("cohens_d"))
   }
 
   /** X3 — Mann-Whitney U (group-1 statistic, scipy `mannwhitneyu(x, y)`
@@ -104,8 +105,8 @@ object Stats {
         count(when(col("g") === g1, lit(1))).as("n1"),
         count(when(col("g") === g2, lit(1))).as("n2"))
       .select(col("n1"), col("n2"),
-        round(u1, 6).as("u_stat"),
-        round(lit(1.0) - lit(2.0) * u1 / (col("n1") * col("n2")), 6)
+        stableRound(u1, 6).as("u_stat"),
+        stableRound(lit(1.0) - lit(2.0) * u1 / (col("n1") * col("n2")), 6)
           .as("rank_biserial"))
   }
 
@@ -128,7 +129,7 @@ object Stats {
       .withColumn("t1", sum(col("c1")).over(wtot))
       .withColumn("t2", sum(col("c2")).over(wtot))
     cdf.agg(
-        round(max(abs(col("cum1") / col("t1") - col("cum2") / col("t2"))), 6)
+        stableRound(max(abs(col("cum1") / col("t1") - col("cum2") / col("t2"))), 6)
           .as("ks_stat"),
         max(col("t1")).as("n1"),
         max(col("t2")).as("n2"))
@@ -145,7 +146,7 @@ object Stats {
     df.agg((a ++ b).head, (a ++ b).tail: _*)
       .select(col("n1"), col("n2"), m1.as("mean1"), m2.as("mean2"),
         (m1 - m2).as("mean_diff"),
-        round(when(m2 =!= 0, (m1 - m2) / m2 * 100).otherwise(lit(0.0)), 6)
+        stableRound(when(m2 =!= 0, (m1 - m2) / m2 * 100).otherwise(lit(0.0)), 6)
           .as("pct_diff"))
   }
 

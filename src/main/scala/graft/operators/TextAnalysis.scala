@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.ColumnFns.stableRound
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -38,12 +39,12 @@ object TextAnalysis {
     docs.select(col(id).as("id"),
       nChars.as("n_chars"),
       nWords.as("n_words"),
-      round(nChars.cast("double") / nWords, 6).as("avg_word_len"),
-      round(length(regexp_replace(t, "[^.,;:!?]", "")).cast("double")
+      stableRound(nChars.cast("double") / nWords, 6).as("avg_word_len"),
+      stableRound(length(regexp_replace(t, "[^.,;:!?]", "")).cast("double")
         / nChars, 6).as("punct_ratio"),
-      round(length(regexp_replace(t, "[^0-9]", "")).cast("double")
+      stableRound(length(regexp_replace(t, "[^0-9]", "")).cast("double")
         / nChars, 6).as("digit_ratio"),
-      round(size(filter(w, x => array_contains(stopArr, x))).cast("double")
+      stableRound(size(filter(w, x => array_contains(stopArr, x))).cast("double")
         / nWords, 6).as("stopword_ratio"),
       tokenCountEstimate(t).as("token_estimate"))
   }
@@ -52,7 +53,7 @@ object TextAnalysis {
     * presence × punctuation sanity (the usual heuristic-filter shape). */
   def qualityScore(docs: DataFrame, id: String, text: String): DataFrame =
     qualityMetrics(docs, id, text).select(col("id"),
-      round(
+      stableRound(
         least(col("n_words").cast("double") / 50.0, lit(1.0)) *
           least(col("stopword_ratio") * 5.0 + 0.5, lit(1.0)) *
           (lit(1.0) - least(col("punct_ratio") * 5.0, lit(1.0)) * 0.5),
@@ -82,7 +83,7 @@ object TextAnalysis {
       (when(s > bs, lit(lang)).otherwise(bl), greatest(s, bs))
     }
     scored.select(col("id"), best._1.as("lang_pred"),
-      round(best._2, 6).as("lang_score"))
+      stableRound(best._2, 6).as("lang_score"))
   }
 
   /** Document fingerprints: full-content MD5 plus the minimum shingle MD5

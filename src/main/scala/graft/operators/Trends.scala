@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.ColumnFns.moneySum
+import graft.functions.ColumnFns.{moneySum, stableRound}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, NumericType}
@@ -102,7 +102,7 @@ object Trends {
     df.where(d >= prevLo).agg(
       recent.as("recent_sales"),
       prev.as("prev_sales"),
-      round(when(prev =!= 0, (recent - prev) / prev * 100)
+      stableRound(when(prev =!= 0, (recent - prev) / prev * 100)
         .otherwise(lit(0.0)), 6).as("pct_change"))
   }
 

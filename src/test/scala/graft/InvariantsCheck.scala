@@ -1,0 +1,83 @@
+package graft
+
+import graft.functions.ColumnFns
+import graft.operators.{AssociationRules, Dedup, Rfm}
+import graft.operators.AssociationRules.Params
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+/** ScalaCheck invariants the reference states or implies (SURVEY §5):
+  * metric bounds, dedup idempotence, score ranges, exact-sum invariance.
+  * Sample counts are kept small — every sample runs Spark jobs. */
+object InvariantsCheck extends Properties("graft.invariants") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8).withMaxSize(40)
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val basketGen: Gen[List[(Long, String)]] = Gen.nonEmptyListOf(
+    for {
+      b <- Gen.choose(1L, 12L)
+      i <- Gen.oneOf("A", "B", "C", "D", "E", "F")
+    } yield (b, i))
+
+  property("rules: 0 <= support <= confidence <= 1 and lift >= 0") =
+    forAll(basketGen) { rows =>
+      val rules = AssociationRules.rules(rows.toDF("basket_id", "item"),
+        "basket_id", "item", Params(0.0, 0.0, 1000)).collect()
+      rules.forall { r =>
+        val (s, c, l) = (r.getAs[Double]("support"),
+          r.getAs[Double]("confidence"), r.getAs[Double]("lift"))
+        s >= 0 && s <= c + 1e-9 && c <= 1 + 1e-9 && l >= 0
+      }
+    }
+
+  property("bothDirections: reverse rules are a subset of forward pairs") =
+    forAll(basketGen) { rows =>
+      val raw = AssociationRules.rulesRaw(rows.toDF("basket_id", "item"),
+        "basket_id", "item", Params(0.0, 0.0, 1000))
+      val fwd = raw.count()
+      val both = AssociationRules.bothDirections(raw, 0.0).count()
+      both >= fwd && both <= 2 * fwd
+    }
+
+  property("dedup keepLatest is idempotent and minimal") =
+    forAll(Gen.nonEmptyListOf(for {
+      k <- Gen.choose(1L, 5L)
+      id <- Gen.choose(1L, 100L)
+    } yield (k, id))) { rows =>
+      val df = rows.toDF("k", "id")
+      val once = Dedup.keepLatest(df, Seq("k"), "id")
+      val twice = Dedup.keepLatest(once, Seq("k"), "id")
+      once.count() == rows.map(_._1).distinct.size &&
+        twice.collect().toSet == once.collect().toSet
+    }
+
+  property("RFM scores always land in 1..5") =
+    forAll(Gen.nonEmptyListOf(for {
+      c <- Gen.choose(1L, 20L)
+      b <- Gen.choose(1L, 500L)
+      v <- Gen.choose(1, 10000)
+      d <- Gen.choose(1, 711)
+    } yield (c, b, v / 100.0, d))) { rows =>
+      val s = Rfm.scores(rows.toDF("hh", "bk", "sv", "day"),
+        "hh", "bk", "sv", "day")
+      s.select($"r_score", $"f_score", $"m_score").collect().forall(r =>
+        (0 until 3).forall { i =>
+          val v = r.getLong(i); v >= 1 && v <= 5
+        })
+    }
+
+  property("moneySum is invariant under row order and partitioning") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(-100000, 100000))) { cents =>
+      val vals = cents.map(_ / 100.0)
+      val a = vals.toDF("v").repartition(7)
+        .agg(ColumnFns.moneySum($"v")).head().getDouble(0)
+      val b = vals.reverse.toDF("v").repartition(2)
+        .agg(ColumnFns.moneySum($"v")).head().getDouble(0)
+      a == b
+    }
+}
