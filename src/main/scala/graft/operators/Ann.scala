@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.functions.ColumnFns.stableRound
+import graft.plans.GraftExtensions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -9,53 +10,55 @@ import org.apache.spark.sql.functions._
   * (`Array[Float]`) — training-data pipeline surface.
   *
   * Two paths:
-  *  1. [[bruteForceTopK]] — exact cosine top-k via query×candidate join
-  *     with an array-lambda dot product. O(|Q|·|C|·dim): the correctness
-  *     baseline, and fine whenever |Q| is small (the usual "find dups of
-  *     this batch" shape).
+  *  1. [[bruteForceTopK]] — exact cosine top-k via query×candidate join.
+  *     O(|Q|·|C|·dim): the correctness baseline, and fine whenever |Q| is
+  *     small (the usual "find dups of this batch" shape).
   *  2. [[lshTopK]] — sign-random-projection LSH (Charikar '02): bucket on
   *     the sign pattern of `nPlanes` deterministic pseudo-random
   *     hyperplanes, score only same-bucket candidates. Recall < 1 but the
   *     shuffle is (bucket, vec) — linear. At 100 TB add multi-probe
   *     (flip one bit) or an IVF coarse quantizer; the plumbing is the same.
   *
-  * Dot products run in double (float×float is exact in double); the fold
-  * order is the array order, deterministic within Spark.
+  * The hot inner product is [[graft.plans.FloatVecDot]] — a native
+  * codegen'd Catalyst expression (tight primitive loop) replacing the
+  * interpreted `aggregate(zip_with(...))` form, bit-identical results
+  * (same index order, double accumulation).
   */
 object Ann {
 
-  /** `Σ aᵢ·bᵢ` over two float-array columns, in double. */
+  /** Interpreted HOF dot product — kept as the reference implementation
+    * the native expression is checked against. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
+  /** Native codegen'd dot product (requires [[GraftExtensions]], which
+    * every entry point here registers). */
+  def nativeDot(a: Column, b: Column): Column =
+    call_function("fvec_dot", a, b)
+
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Raw double-array dot (no per-element casts — pre-cast the arrays). */
-  private def dotRaw(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-
-  /** (id, dv, nrm): embedding pre-cast to double with its L2 norm —
-    * computed ONCE per vector so the per-pair work in the joins below is a
-    * bare multiply-add fold (higher-order functions are interpreted, so
-    * per-pair casts/divisions are the dominant cost at scale). */
+  /** (id, v, nrm): float-array embedding with its L2 norm, computed once
+    * per vector so the per-pair work in the joins below is a single native
+    * dot + divide. */
   private def normalized(df: DataFrame, id: String, vec: String,
                          idAs: String, vAs: String, nAs: String): DataFrame =
-    df.select(col(id).as(idAs),
-        expr(s"transform($vec, x -> CAST(x AS DOUBLE))").as(vAs))
-      .withColumn(nAs, sqrt(dotRaw(col(vAs), col(vAs))))
+    df.select(col(id).as(idAs), col(vec).as(vAs))
+      .withColumn(nAs, sqrt(nativeDot(col(vAs), col(vAs))))
 
   /** Exact cosine top-k: for each query vector, the k nearest candidates
     * (self excluded), ranked by rounded cosine with id tiebreak. */
   def bruteForceTopK(candidates: DataFrame, queries: DataFrame, id: String,
                      vec: String, k: Int): DataFrame = {
+    GraftExtensions.register(candidates.sparkSession)
     val c = normalized(candidates, id, vec, "cand_id", "cv", "cn").cache()
     val q = normalized(queries, id, vec, "query_id", "qv", "qn")
     q.crossJoin(c)
       .where(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"),
-        stableRound(dotRaw(col("qv"), col("cv")) / (col("qn") * col("cn")), 4)
-          .as("cosine"))
+        stableRound(nativeDot(col("qv"), col("cv")) / (col("qn") * col("cn")),
+          4).as("cosine"))
       .withColumn("rn", row_number().over(
           Window.partitionBy(col("query_id"))
             .orderBy(col("cosine").desc, col("cand_id").asc))
@@ -84,16 +87,17 @@ object Ann {
   /** Bucketed ANN: exact cosine within same-bucket candidates only. */
   def lshTopK(df: DataFrame, id: String, vec: String, k: Int,
               nPlanes: Int = 8): DataFrame = {
+    GraftExtensions.register(df.sparkSession)
     val b = lshBuckets(df, id, vec, nPlanes).cache()
     val q = b.select(col("bucket"), col("id").as("query_id"),
-      col("v").as("qv"), l2Norm(col("v")).as("qn"))
+      col("v").as("qv"), sqrt(nativeDot(col("v"), col("v"))).as("qn"))
     val c = b.select(col("bucket"), col("id").as("cand_id"),
-      col("v").as("cv"), l2Norm(col("v")).as("cn"))
+      col("v").as("cv"), sqrt(nativeDot(col("v"), col("v"))).as("cn"))
     q.join(c, Seq("bucket"))
       .where(col("query_id") =!= col("cand_id"))
       .select(col("query_id"), col("cand_id"),
-        stableRound(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 4)
-          .as("cosine"))
+        stableRound(nativeDot(col("qv"), col("cv")) / (col("qn") * col("cn")),
+          4).as("cosine"))
       .withColumn("rn", row_number().over(
           Window.partitionBy(col("query_id"))
             .orderBy(col("cosine").desc, col("cand_id").asc))
@@ -105,13 +109,14 @@ object Ann {
     * the embedding variant of [[NearDup.jaccardPairs]]. */
   def cosineDupPairs(df: DataFrame, id: String, vec: String,
                      minCosine: Double): DataFrame = {
+    GraftExtensions.register(df.sparkSession)
     val v = normalized(df, id, vec, "id", "v", "n").cache()
     v.toDF("id_a", "va", "na")
       .join(v.toDF("id_b", "vb", "nb"),
         col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        stableRound(dotRaw(col("va"), col("vb")) / (col("na") * col("nb")), 4)
-          .as("cosine"))
+        stableRound(nativeDot(col("va"), col("vb")) / (col("na") * col("nb")),
+          4).as("cosine"))
       .where(col("cosine") >= minCosine)
       .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
   }

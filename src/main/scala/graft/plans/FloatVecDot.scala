@@ -1,0 +1,102 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+
+/** Native Catalyst expression for `Σ aᵢ·bᵢ` over two float-array columns,
+  * accumulating in double.
+  *
+  * Why a custom Expression (the brief's option (b)) instead of the
+  * `aggregate(zip_with(...))` higher-order-function form: HOFs are
+  * interpreted per element (lambda closure per item, boxed function
+  * dispatch), which we measured as the dominant cost of the all-pairs
+  * cosine queries at sf0.1. This expression generates a tight primitive
+  * Java loop inside whole-stage codegen (`doGenCode`), with an interpreted
+  * `nullSafeEval` fallback. The accumulation order (index 0..n-1, double)
+  * is IDENTICAL to the HOF fold it replaces, so results are bit-equal and
+  * the DuckDB oracles are unaffected.
+  *
+  * Null array elements are treated as 0 (embeddings never contain them;
+  * `ArrayData.getFloat` on a null slot returns the default).
+  */
+case class FloatVecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"fvec_dot expects two ARRAY<FLOAT> arguments, got " +
+        s"${left.dataType.sql} and ${right.dataType.sql}")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "fvec_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Registers graft's native expressions. Two paths:
+  *  - `spark.sql.extensions=graft.plans.GraftExtensions` at session build
+  *    (the canonical `SparkSessionExtensions` route), or
+  *  - [[GraftExtensions.register]] imperatively on an existing session
+  *    (used by the operators so any session works).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.registrations.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+  type Registration = (FunctionIdentifier, ExpressionInfo,
+    Seq[Expression] => Expression)
+
+  val registrations: Seq[Registration] = Seq(
+    (new FunctionIdentifier("fvec_dot"),
+      new ExpressionInfo(classOf[FloatVecDot].getName, "fvec_dot"),
+      (children: Seq[Expression]) =>
+        FloatVecDot(children.head, children(1))))
+
+  def register(spark: SparkSession): Unit =
+    registrations.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+}
