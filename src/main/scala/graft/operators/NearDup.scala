@@ -88,22 +88,17 @@ object NearDup {
 
   /** 64-bit SimHash per doc from word-token hashes: each token votes ±1 on
     * every bit position of its xxhash64; the sign of the vote sum is the
-    * fingerprint bit. Pure aggregate expression — one pass, no UDF. */
-  def simHash(docs: DataFrame, id: String, text: String): DataFrame =
+    * fingerprint bit. Backed by the native [[graft.plans.SimHash64]]
+    * expression — the equivalent `aggregate(zip_with(...))` HOF form costs
+    * tokens×64 interpreted lambda calls per document. */
+  def simHash(docs: DataFrame, id: String, text: String): DataFrame = {
+    graft.plans.GraftExtensions.register(docs.sparkSession)
     docs.select(col(id).as("id"),
         split(trim(col(text)), "\\s+").as("wa"))
       .where(size(col("wa")) > 0)
-      .select(col("id"), expr(
-        """aggregate(
-          |  transform(wa, t -> xxhash64(t)),
-          |  array_repeat(0L, 64),
-          |  (acc, h) -> zip_with(acc, sequence(0L, 63L),
-          |    (a, i) -> a + CASE WHEN (h >> CAST(i AS INT)) % 2 != 0
-          |                   THEN 1L ELSE -1L END),
-          |  acc -> aggregate(zip_with(acc, sequence(0L, 63L),
-          |    (a, i) -> CASE WHEN a > 0 THEN shiftleft(1L, CAST(i AS INT))
-          |              ELSE 0L END), 0L, (x, y) -> x | y))""".stripMargin)
-        .as("simhash"))
+      .select(col("id"),
+        call_function("simhash64", col("wa")).as("simhash"))
+  }
 
   /** SimHash near-dup candidates: docs agreeing on any 16-bit band of the
     * fingerprint (guarantees candidacy for Hamming ≤ 3), verified by exact

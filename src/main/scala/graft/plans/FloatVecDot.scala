@@ -74,6 +74,57 @@ case class FloatVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native 64-bit SimHash (Charikar '02) over a token array: each token's
+  * xxhash64 (seed 42, matching Spark's `xxhash64`) votes ±1 on every bit
+  * position; the sign of each vote sum is the fingerprint bit.
+  *
+  * One JVM call per ROW instead of the HOF form's tokens×64 interpreted
+  * lambda invocations ([[graft.operators.NearDup.simHash]]'s measured
+  * bottleneck). `CodegenFallback` is fine here: the per-row work (a tight
+  * Scala loop) dwarfs the virtual-call overhead the fallback adds. */
+case class SimHash64(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 expects ARRAY<STRING>, got ${other.sql}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val tokens = input.asInstanceOf[ArrayData]
+    val votes = new Array[Long](64)
+    var t = 0
+    val n = tokens.numElements()
+    while (t < n) {
+      val s = tokens.getUTF8String(t)
+      if (s != null) {
+        val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+          .hash(s, StringType, 42L)
+        var i = 0
+        while (i < 64) {
+          votes(i) += (if (((h >>> i) & 1L) == 1L) 1L else -1L)
+          i += 1
+        }
+      }
+      t += 1
+    }
+    var fp = 0L
+    var i = 0
+    while (i < 64) {
+      if (votes(i) > 0) fp |= (1L << i)
+      i += 1
+    }
+    fp
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
 /** Registers graft's native expressions. Two paths:
   *  - `spark.sql.extensions=graft.plans.GraftExtensions` at session build
   *    (the canonical `SparkSessionExtensions` route), or
@@ -93,7 +144,10 @@ object GraftExtensions {
     (new FunctionIdentifier("fvec_dot"),
       new ExpressionInfo(classOf[FloatVecDot].getName, "fvec_dot"),
       (children: Seq[Expression]) =>
-        FloatVecDot(children.head, children(1))))
+        FloatVecDot(children.head, children(1))),
+    (new FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (children: Seq[Expression]) => SimHash64(children.head)))
 
   def register(spark: SparkSession): Unit =
     registrations.foreach { case (id, info, builder) =>
