@@ -1,0 +1,83 @@
+package graft
+
+import graft.operators._
+import graft.sources.{Sinks, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Facade mirroring the reference's HTTP endpoint surface (SURVEY §3) so a
+  * user of the reference can map each route 1:1 onto an engine call. Each
+  * method is a thin composition of the operator modules — no logic of its
+  * own — and returns DataFrames (render/serialize at the caller).
+  */
+object Endpoints {
+
+  /** EP-1 `POST /analysis/association-rules/` (`views.py:1020-1098` →
+    * `_generate_association_rules` `views.py:133-348`): period window →
+    * pairwise rules at the requested granularity, both directions, sorted
+    * by lift, top max_results. */
+  def associationRules(tx: DataFrame, basket: String, item: String,
+                       periodDays: Option[Int], day: Column,
+                       minSupport: Double, minConfidence: Double,
+                       maxResults: Int): DataFrame = {
+    val windowed = periodDays.map(Trends.lastNDays(tx, day, _)).getOrElse(tx)
+    val raw = AssociationRules.rulesRaw(windowed, basket, item,
+      AssociationRules.Params(minSupport, minConfidence,
+        maxRules = maxResults))
+    AssociationRules.bothDirections(raw, minConfidence)
+      .orderBy(col("lift").desc, col("antecedent"), col("consequent"))
+      .limit(maxResults)
+  }
+
+  /** EP-2 `POST /analysis/api/regenerate-segments/` (`views.py:833-865` →
+    * `analytics.py:196-313`): RFM scores + segments, overwrite the
+    * segments table. Returns the written frame. */
+  def regenerateSegments(tx: DataFrame, customer: String, basket: String,
+                         sales: String, day: String,
+                         sinkPath: Option[String]): DataFrame = {
+    val segments = Rfm.segments(tx, customer, basket, sales, day)
+    sinkPath.foreach(Sinks.overwrite(segments, _))
+    segments
+  }
+
+  /** EP-3 `POST /analysis/api/ml/train/` churn variant
+    * (`views.py:3209-3339`, `ml_models.py:1139-1223`): leak-free features
+    * → GBT → per-customer churn probability + risk band. */
+  def trainAndScoreChurn(tx: DataFrame, customer: String, item: String,
+                         sales: String, day: Column, offsetDays: Int,
+                         demographics: Option[(DataFrame, String, Seq[String])],
+                         maxIter: Int = 100): DataFrame = {
+    val feats = Churn.features(tx, customer, item, sales, day, offsetDays,
+      demographics)
+    val catCols = demographics.map(_._3).getOrElse(Nil)
+    val (_, scored) = ml.Models.churnScores(feats,
+      Seq("recency", "frequency", "monetary", "product_variety",
+        "avg_purchase_gap"), catCols, "is_churn", maxIter)
+    scored.select(col(customer), col("churn_probability"),
+      functions.ColumnFns.riskBand(col("churn_probability"))
+        .as("risk_band"))
+  }
+
+  /** EP-4 `GET /analysis/differential/` quarter mode
+    * (`views.py:1531-2574`): basket-total pyramid → capped sample →
+    * Welch/MWU/KS between two quarters. */
+  def differentialQuarters(tx: DataFrame, day: Column, basket: Column,
+                           sales: Column, q1: String, q2: String): DataFrame =
+    Differential.compareQuarters(tx, day, basket, sales, q1, q2)
+
+  /** Customer-detail hybrid recommendations
+    * (`customers/views.py:49-183`): CF scores blended with
+    * association-rule scores. */
+  def hybridRecommendations(tx: DataFrame, user: String, item: String,
+                            basket: String, alpha: Double, topN: Int,
+                            targetFilter: Column = lit(true)): DataFrame = {
+    val counts = Collab.userItemCounts(tx, user, item)
+    val sims = Collab.userSimilarities(counts)
+    val cf = Collab.recommend(counts, sims, Int.MaxValue, targetFilter)
+      .select(col("u"), col("i"), col("score"))
+    val rules = AssociationRules.rulesRaw(tx, basket, item,
+      AssociationRules.Params(0.0, 0.0))
+    val assoc = Collab.assocScores(counts, rules)
+    Collab.hybridBlend(assoc, cf, alpha, topN)
+  }
+}

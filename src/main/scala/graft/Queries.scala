@@ -688,6 +688,70 @@ object Queries {
           MAX(t1) AS n1, MAX(t2) AS n2
         FROM cdf""")),
 
+    // ---------------------------------------------------------- EP-4
+    Spec("q_differential_quarters",
+      (s, dir) => Differential.compareQuarters(t(s, dir).lineitem,
+        col("l_shipdate").cast("date"), col("l_orderkey"),
+        col("l_extendedprice"), "Q1", "Q2"),
+      Some("""WITH bt AS (SELECT
+          'Q' || CAST(quarter(CAST(l_shipdate AS DATE)) AS VARCHAR) AS g,
+          l_orderkey AS b, """ + m("l_extendedprice") + """ AS v
+          FROM lineitem GROUP BY 1, 2),
+        capped AS (SELECT g, b, v FROM (SELECT *,
+            ROW_NUMBER() OVER (PARTITION BY g
+              ORDER BY (b * 2654435761) % 1000003, b) AS rn FROM bt)
+          WHERE rn <= 2500),
+        j AS (SELECT g, v FROM capped WHERE g IN ('Q1', 'Q2')),
+        wagg AS (SELECT
+          COUNT(CASE WHEN g = 'Q1' THEN 1 END) AS n1,
+          CAST(SUM(CAST(CASE WHEN g = 'Q1' THEN v ELSE 0.0 END
+            AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+          CAST(SUM(CAST(CASE WHEN g = 'Q1' THEN v*v ELSE 0.0 END
+            AS DECIMAL(30,4))) AS DOUBLE) AS ss1,
+          COUNT(CASE WHEN g = 'Q2' THEN 1 END) AS n2,
+          CAST(SUM(CAST(CASE WHEN g = 'Q2' THEN v ELSE 0.0 END
+            AS DECIMAL(18,2))) AS DOUBLE) AS s2,
+          CAST(SUM(CAST(CASE WHEN g = 'Q2' THEN v*v ELSE 0.0 END
+            AS DECIMAL(30,4))) AS DOUBLE) AS ss2
+          FROM j),
+        wmo AS (SELECT *, s1/n1 AS m1, s2/n2 AS m2,
+          (ss1 - s1*s1/n1)/(n1-1) AS v1, (ss2 - s2*s2/n2)/(n2-1) AS v2
+          FROM wagg),
+        wse AS (SELECT *, v1/n1 + v2/n2 AS se2 FROM wmo),
+        welch AS (SELECT 'welch_t' AS test_name,
+          floor(((m1-m2)/sqrt(se2)) * 1e6 + 0.5) / 1e6 AS statistic,
+          floor(((m1-m2)/sqrt(((n1-1)*v1 + (n2-1)*v2)/(n1+n2-2)))
+            * 1e6 + 0.5) / 1e6 AS effect_size,
+          n1, n2 FROM wse),
+        r AS (SELECT g, rank() OVER (ORDER BY v) AS rk,
+          COUNT(*) OVER (PARTITION BY v) AS cnt FROM j),
+        ma AS (SELECT
+          SUM(CASE WHEN g = 'Q1' THEN rk + (cnt-1)/2.0 END) AS r1,
+          COUNT(CASE WHEN g = 'Q1' THEN 1 END) AS n1,
+          COUNT(CASE WHEN g = 'Q2' THEN 1 END) AS n2 FROM r),
+        mwu AS (SELECT 'mann_whitney_u' AS test_name,
+          floor((r1 - n1*(n1+1)/2.0) * 1e6 + 0.5) / 1e6 AS statistic,
+          floor((1.0 - 2.0*(r1 - n1*(n1+1)/2.0)/(n1*n2)) * 1e6 + 0.5)
+            / 1e6 AS effect_size,
+          n1, n2 FROM ma),
+        pv AS (SELECT v,
+          CAST(SUM(CASE WHEN g = 'Q1' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+          CAST(SUM(CASE WHEN g = 'Q2' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+          FROM j GROUP BY v),
+        cdf AS (SELECT
+          CAST(SUM(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cum1,
+          CAST(SUM(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS cum2,
+          CAST(SUM(c1) OVER () AS BIGINT) AS t1,
+          CAST(SUM(c2) OVER () AS BIGINT) AS t2 FROM pv),
+        ks AS (SELECT 'ks_2samp' AS test_name,
+          floor((MAX(abs(CAST(cum1 AS DOUBLE)/t1
+            - CAST(cum2 AS DOUBLE)/t2))) * 1e6 + 0.5) / 1e6 AS statistic,
+          0.0 AS effect_size, MAX(t1) AS n1, MAX(t2) AS n2 FROM cdf)
+        SELECT * FROM welch UNION ALL SELECT * FROM mwu
+        UNION ALL SELECT * FROM ks ORDER BY test_name""")),
+
     // ---------------------------------------------------------- X5
     Spec("q_mean_diff",
       (s, dir) => Stats.meanDiff(ordersCust(s, dir), col("c_mktsegment"),

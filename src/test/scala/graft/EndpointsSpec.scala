@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Smoke of the EP facade (SURVEY §3) on the sf0.001 testdata — the
+  * "reference user switches over" surface. */
+class EndpointsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def li = spark.read.parquet(s"$dir/lineitem.parquet")
+  private def orders = spark.read.parquet(s"$dir/orders.parquet")
+
+  test("EP-1 association rules with a period window") {
+    val rules = Endpoints.associationRules(li, "l_orderkey", "l_partkey",
+      periodDays = Some(365), col("l_shipdate"), 0.0, 0.0, 50)
+    val rows = rules.collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    assert(rows.forall(_.getAs[Double]("confidence") >= 0.0))
+  }
+
+  test("EP-2 regenerate segments writes and returns the segment table") {
+    val path = java.nio.file.Files.createTempDirectory("graftseg").toString
+    val seg = Endpoints.regenerateSegments(
+      orders.select(col("o_custkey"), col("o_orderkey"),
+        col("o_totalprice"), col("o_orderdate").cast("date").as("day")),
+      "o_custkey", "o_orderkey", "o_totalprice", "day", Some(path))
+    assert(seg.count() > 0)
+    assert(spark.read.parquet(path).count() == seg.count())
+  }
+
+  test("EP-4 differential quarters returns the three tests") {
+    val res = Endpoints.differentialQuarters(li,
+      col("l_shipdate").cast("date"), col("l_orderkey"),
+      col("l_extendedprice"), "Q1", "Q2").collect()
+    assert(res.map(_.getAs[String]("test_name")).toSet ==
+      Set("ks_2samp", "mann_whitney_u", "welch_t"))
+    val p = operators.Differential.pValues(res, welchDof = 100.0)
+    assert(p.values.forall(v => v >= 0.0 && v <= 1.0))
+  }
+}
