@@ -40,6 +40,18 @@ object Sinks {
       existing.join(incoming.select(keys.map(col): _*).distinct(),
         keys, "left_anti"))
 
+  /** The 100 TB co-location seam (SCALE.md "Joins"): write a fact table
+    * bucketed (+ sorted) by its join key so repeated fact-fact joins on
+    * that key run WITHOUT a shuffle — Spark reads bucket i of both sides
+    * into the same task. Requires a catalog table (`saveAsTable`); the
+    * session's in-memory catalog suffices, no Hive metastore needed. */
+  def writeBucketed(df: DataFrame, table: String, numBuckets: Int,
+                    keys: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(numBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
+
   /** S3 — CSV export sink: first `limit` rows with header
     * (`views.py:3060-3115`). */
   def csvExport(df: DataFrame, path: String, limit: Int = 1000): Unit =

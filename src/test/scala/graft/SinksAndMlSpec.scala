@@ -46,6 +46,35 @@ class SinksAndMlSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 2)
   }
 
+  test("bucketed tables eliminate the fact-fact join shuffle") {
+    // the SCALE.md claim, asserted on the physical plan: joining two
+    // tables bucketed on the join key must not introduce a hash-partition
+    // exchange on either side
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    // the in-memory catalog forgets tables between JVMs but their managed
+    // locations persist under spark-warehouse/ - clear both first
+    Seq("li_bucketed", "o_bucketed").foreach { tbl =>
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = java.nio.file.Paths.get("spark-warehouse", tbl)
+      if (java.nio.file.Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.delete)
+      }
+    }
+    Sinks.writeBucketed(li, "li_bucketed", 4, Seq("l_orderkey"))
+    Sinks.writeBucketed(o, "o_bucketed", 4, Seq("l_orderkey"))
+    val joined = spark.table("li_bucketed")
+      .join(spark.table("o_bucketed"), Seq("l_orderkey"))
+      .groupBy("l_orderkey").count()
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"unexpected shuffle in bucketed join plan:\n$plan")
+    assert(joined.count() > 0)
+  }
+
   test("churn GBT learns a separable synthetic pattern") {
     // churners: high recency, low frequency — clearly separable
     val feats = ((1 to 60).map(i => (i.toLong, 80L + i % 10, 2L, 50.0,
