@@ -1560,7 +1560,35 @@ object Queries {
     Spec("q_lang_id",
       (s, dir) => TextAnalysis.languageId(t(s, dir).documents,
         "doc_id", "text").orderBy(col("id")),
-      None),
+      Some {
+        val profiles = Seq(
+          "en" -> Seq("the", "a", "of", "and", "in", "to", "is", "it",
+            "for"),
+          "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu",
+            "mit"),
+          "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans"),
+          "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "en",
+            "de"),
+          "zh" -> Seq("de", "le", "shi", "zai", "he", "you"))
+        val scoreCols = profiles.map { case (lang, words) =>
+          val arr = words.map(w => s"'$w'").mkString("[", ", ", "]")
+          s"""CAST(len(list_filter(toks, x -> list_contains($arr, x)))
+             AS DOUBLE) / len(toks) AS s_$lang"""
+        }.mkString(", ")
+        val maxExpr = profiles.map(p => s"s_${p._1}").mkString(
+          "greatest(", ", ", ")")
+        val predChain = profiles.map { case (lang, _) =>
+          s"WHEN s_$lang = mx THEN '$lang'"
+        }.mkString(" ")
+        s"""WITH toksed AS (SELECT doc_id AS id,
+            string_split_regex(trim(lower(text)), '\\s+') AS toks
+            FROM documents),
+          scored AS (SELECT id, $scoreCols FROM toksed),
+          mxed AS (SELECT *, $maxExpr AS mx FROM scored)
+          SELECT id, CASE $predChain END AS lang_pred,
+            floor(mx * 1e6 + 0.5) / 1e6 AS lang_score
+          FROM mxed ORDER BY id"""
+      }),
 
     // ------------------------------------------------- fingerprints
     Spec("q_fingerprints",
