@@ -73,12 +73,14 @@ object Rfm {
         scoreByNtile(col("monetary").asc, col("customer").asc,
           reversed = false).cast("long"))
 
-  /** Scale path: score 1..5 from approxQuantile(relativeError=0) edges —
-    * no global window, no single-task sort; the scoring itself is a
-    * codegen'd `when` chain. At 100 TB run approxQuantile with a small
-    * nonzero relativeError (still one pass) and identical downstream. */
+  /** Scale path: score 1..5 from approxQuantile edges — no global window,
+    * no single-task sort; the scoring itself is a codegen'd `when` chain.
+    * `relativeError` must be > 0 at scale: Greenwald-Khanna with ε=0
+    * retains every sample (measured 30s at 150K customers); ε=1e-4 is
+    * indistinguishable for quintile banding and stays O(1/ε) memory. */
   def scoresByQuantileEdges(tx: DataFrame, customer: String, basket: String,
-                            sales: String, day: String): DataFrame = {
+                            sales: String, day: String,
+                            relativeError: Double = 1e-4): DataFrame = {
     val b = withRecency(tx, customer, basket, sales, day).cache()
     def edgeScore(c: Column, edges: Array[Double], reversed: Boolean): Column = {
       // qcut semantics: bins are (e0,e1],(e1,e2]... ties share a bin
@@ -95,7 +97,7 @@ object Rfm {
       col("frequency").cast("double"),
       col("monetary").cast("double"))
     val quantiles = probe.stat.approxQuantile(
-      cols.toArray, Array(0.2, 0.4, 0.6, 0.8), 0.0)
+      cols.toArray, Array(0.2, 0.4, 0.6, 0.8), relativeError)
     b.withColumn("r_score",
         edgeScore(col("recency"), quantiles(0), reversed = true).cast("long"))
       .withColumn("f_score",
