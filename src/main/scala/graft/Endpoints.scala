@@ -70,14 +70,19 @@ object Endpoints {
     * association-rule scores. */
   def hybridRecommendations(tx: DataFrame, user: String, item: String,
                             basket: String, alpha: Double, topN: Int,
-                            targetFilter: Column = lit(true)): DataFrame = {
+                            targetUsers: Column => Column = _ => lit(true))
+      : DataFrame = {
     val counts = Collab.userItemCounts(tx, user, item)
     val sims = Collab.userSimilarities(counts)
-    val cf = Collab.recommend(counts, sims, Int.MaxValue, targetFilter)
-      .select(col("u"), col("i"), col("score"))
+    // the same user predicate restricts BOTH sources: recommend's sym view
+    // keys targets as u1; assocScores keys them as u — applying it to only
+    // one side would blend a filtered CF list against all-user assoc scores
+    val cf = Collab.recommend(counts, sims, Int.MaxValue,
+      targetUsers(col("u1"))).select(col("u"), col("i"), col("score"))
     val rules = AssociationRules.rulesRaw(tx, basket, item,
       AssociationRules.Params(0.0, 0.0))
-    val assoc = Collab.assocScores(counts, rules)
+    val assoc = Collab.assocScores(
+      counts.where(targetUsers(col("u"))), rules)
     Collab.hybridBlend(assoc, cf, alpha, topN)
   }
 }

@@ -459,7 +459,7 @@ object Queries {
             o_orderkey,
             CAST(ROW_NUMBER() OVER (
               PARTITION BY strftime(CAST(o_orderdate AS DATE), '%Y-%m')
-              ORDER BY (o_orderkey * 2654435761) % 1000003, o_orderkey)
+              ORDER BY ((o_orderkey % 1000003) * 2654435761) % 1000003, o_orderkey)
               AS BIGINT) AS rn
           FROM orders)
         WHERE rn <= 5 ORDER BY bucket, rn""")),
@@ -699,7 +699,7 @@ object Queries {
           FROM lineitem GROUP BY 1, 2),
         capped AS (SELECT g, b, v FROM (SELECT *,
             ROW_NUMBER() OVER (PARTITION BY g
-              ORDER BY (b * 2654435761) % 1000003, b) AS rn FROM bt)
+              ORDER BY ((b % 1000003) * 2654435761) % 1000003, b) AS rn FROM bt)
           WHERE rn <= 2500),
         j AS (SELECT g, v FROM capped WHERE g IN ('Q1', 'Q2')),
         wagg AS (SELECT
@@ -1010,7 +1010,7 @@ object Queries {
             greatest(0.5, least(0.9658,
               0.9658 * (0.75 + 0.25 * (ln(1 + households) / ln(200)
                 + least(greatest(avg_value / 50.0, 0.0), 1.0)))
-              + (((pid * 2654435761) % 10000) / 10000.0 * 0.06) - 0.03))
+              + ((((pid % 10000) * 2654435761) % 10000) / 10000.0 * 0.06) - 0.03))
               AS conf
           FROM stats WHERE households > 0 AND avg_value > 0),
         rev AS (SELECT *,

@@ -53,7 +53,12 @@ object Models {
     * sampleBy + anti-join for the complement. */
   def stratifiedSplit(df: DataFrame, labelCol: String, trainFrac: Double,
                       seed: Long = 42L): (DataFrame, DataFrame) = {
+    // cache + materialize: monotonically_increasing_id and sampleBy depend
+    // on partition layout, so the sample and its anti-join complement must
+    // read the SAME materialization or rows could land in both/neither
     val keyed = df.withColumn("__row_id", monotonically_increasing_id())
+      .cache()
+    keyed.count()
     val labels = keyed.select(col(labelCol)).distinct().collect()
       .map(_.get(0))
     val train = keyed.stat.sampleBy(labelCol,

@@ -34,7 +34,8 @@ object Churn {
       .isInstanceOf[org.apache.spark.sql.types.NumericType]
     val (d, predLit, recencyAgg) =
       if (isNumeric) {
-        val maxDay = tx.agg(max(day)).head().get(0).toString.toLong
+        // parse via double: the axis may be fractional (Double/Decimal day)
+        val maxDay = tx.agg(max(day)).head().get(0).toString.toDouble
         val pred = maxDay - offsetDays
         (day, lit(pred), (lit(pred) - max(day)).cast("long"))
       } else {

@@ -58,7 +58,10 @@ object Collab {
       .where(col("u1") < col("u2"))
       .groupBy(col("u1"), col("u2"))
       .agg(sum(col("c1") * col("c2")).as("dot"))
-    val n = userNorms(counts)
+    // norms over the SAME (possibly capped) vectors as the dot products —
+    // mixing capped numerators with uncapped norms would yield a value
+    // that is the cosine of neither
+    val n = userNorms(base)
     dots
       .join(n.select(col("u").as("u1"), col("nrm").as("nrm1")), Seq("u1"))
       .join(n.select(col("u").as("u2"), col("nrm").as("nrm2")), Seq("u2"))

@@ -43,11 +43,13 @@ object Dedup {
       .where(col("n_dups") > 1)
 
   /** Exact content dedup for a document corpus: group by a content hash and
-    * keep the smallest id. Hashing first (xxhash64) means the shuffle key is
-    * 8 bytes instead of the full text — the 100 TB-friendly form: shuffle
-    * carries (hash, id), never the document bodies. */
+    * keep the smallest id. Hashing first means the shuffle key is 16 bytes
+    * instead of the full text — the 100 TB-friendly form: shuffle carries
+    * (hash, id), never the document bodies. MD5 (128-bit), not a 64-bit
+    * hash: at multi-billion-document scale 64-bit birthday collisions are
+    * expected and would silently drop distinct documents. */
   def exactByContent(docs: DataFrame, id: String, content: String): DataFrame =
-    docs.select(col(id), xxhash64(col(content)).as("content_hash"))
+    docs.select(col(id), md5(col(content)).as("content_hash"))
       .groupBy(col("content_hash"))
       .agg(min(col(id)).as(id), count(lit(1)).as("n_copies"))
 }

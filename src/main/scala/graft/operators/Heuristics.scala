@@ -25,9 +25,8 @@ object Heuristics {
                          sales: String, qty: String, day: Column,
                          windows: Seq[(String, Int)], limit: Int): DataFrame = {
     val d = day.cast("date")
-    val starts = windows.map { case (nm, n) =>
-      nm -> Trends.windowStart(tx, day, n)
-    }
+    val starts = windows.map(_._1)
+      .zip(Trends.windowStarts(tx, day, windows.map(_._2)))
     val windowAggs = starts.flatMap { case (nm, lo) =>
       Seq(
         moneySum(when(d >= lo, col(sales)).otherwise(lit(0.0)))
@@ -45,10 +44,12 @@ object Heuristics {
       .limit(limit)
   }
 
-  /** Deterministic uniform(-amp, amp) noise keyed on the item id. */
+  /** Deterministic uniform(-amp, amp) noise keyed on the item id. The key
+    * is reduced before the multiplicative mix so the product cannot
+    * overflow Long (ANSI) at large ids. */
   def seededNoise(itemId: Column, amp: Double): Column =
-    (pmod(itemId * lit(2654435761L), lit(10000L)).cast("double") / 10000.0
-      * (2 * amp)) - amp
+    (pmod(pmod(itemId, lit(10000L)) * lit(2654435761L), lit(10000L))
+      .cast("double") / 10000.0 * (2 * amp)) - amp
 
   /** The `neural_network` confidence formula (`ml_models.py:858-862`) plus
     * the shared clamp + revenue extrapolation (`ml_models.py:885-907`,
@@ -87,9 +88,8 @@ object Heuristics {
                             horizon: String = "3m"): DataFrame = {
     val d = day.cast("date")
     val windows = Seq("1m" -> 30, "3m" -> 90, "6m" -> 180, "12m" -> 365)
-    val starts = windows.map { case (nm, n) =>
-      nm -> Trends.windowStart(tx, day, n)
-    }
+    val starts = windows.map(_._1)
+      .zip(Trends.windowStarts(tx, day, windows.map(_._2)))
     val windowAggs = starts.flatMap { case (nm, lo) =>
       Seq(
         count_distinct(when(d >= lo, col(customer))).as(s"customers_$nm"),

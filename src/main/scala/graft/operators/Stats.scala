@@ -172,8 +172,10 @@ object Stats {
     val sigma = math.sqrt(n1 * n2 * (n1 + n2 + 1) / 12.0)
     if (sigma == 0) 1.0
     else {
+      // clamp: near the mean the continuity correction makes z negative
+      // and 2*Phi(-z) exceeds 1 (scipy clips the same way)
       val z = (math.abs(u - mu) - 0.5) / sigma
-      2.0 * new NormalDistribution().cumulativeProbability(-z)
+      math.min(1.0, 2.0 * new NormalDistribution().cumulativeProbability(-z))
     }
   }
 

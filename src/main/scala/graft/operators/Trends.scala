@@ -34,6 +34,20 @@ object Trends {
         date_sub(lit(maxDay), n - 1)
     }
 
+  /** Window-start literals for SEVERAL windows from ONE max-day probe —
+    * use this (not repeated [[windowStart]] calls) when a query needs
+    * multiple trailing windows: each probe is a full-column scan job. */
+  def windowStarts(df: DataFrame, dayCol: Column,
+                   ns: Seq[Int]): Seq[Column] =
+    axisType(df, dayCol) match {
+      case _: NumericType =>
+        val maxDay = df.agg(max(dayCol)).head().get(0).toString.toDouble
+        ns.map(n => lit(maxDay - (n - 1)))
+      case _ =>
+        val maxDay = df.agg(max(dayCol.cast("date"))).head().getDate(0)
+        ns.map(n => date_sub(lit(maxDay), n - 1))
+    }
+
   /** P5 — the reference's period window: `day >= max_day - N + 1`
     * (`views.py:146-161`). Works on integer and date axes. */
   def lastNDays(df: DataFrame, dayCol: Column, n: Int): DataFrame =
@@ -113,7 +127,8 @@ object Trends {
   def multiWindowStats(df: DataFrame, key: Column, dayCol: Column,
                        sales: Column, actor: Column,
                        windows: Seq[(String, Int)]): DataFrame = {
-    val starts = windows.map { case (nm, n) => nm -> windowStart(df, dayCol, n) }
+    val starts = windows.map(_._1)
+      .zip(windowStarts(df, dayCol, windows.map(_._2)))
     val d = axisType(df, dayCol) match {
       case _: NumericType => dayCol
       case _ => dayCol.cast("date")

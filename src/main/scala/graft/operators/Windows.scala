@@ -20,7 +20,10 @@ object Windows {
     * as tiebreak — same distributional effect, exactly replayable. */
   def stratifiedSample(df: DataFrame, bucket: Column, rowKey: Column,
                        perBucket: Int): DataFrame = {
-    val prand = (rowKey * lit(2654435761L)) % lit(1000003L)
+    // reduce the key BEFORE multiplying: rowKey * 2654435761 overflows
+    // Long (ANSI error) for keys >= ~3.5e9 — routine at surrogate-key scale
+    val prand = (pmod(rowKey, lit(1000003L)) * lit(2654435761L)) %
+      lit(1000003L)
     df.withColumn("bucket", bucket)
       .withColumn("rn", row_number().over(
           Window.partitionBy(col("bucket")).orderBy(prand.asc, rowKey.asc))
