@@ -1498,6 +1498,12 @@ object Queries {
         10, 8).orderBy(col("query_id"), col("rn")),
       None),
 
+    // ------------------------------------------------- ANN via IVF
+    Spec("q_ann_ivf",
+      (s, dir) => Ann.ivfTopK(t(s, dir).embeddings, "vec_id", "embedding",
+        10, 16, 2).orderBy(col("query_id"), col("rn")),
+      None),
+
     // ------------------------------------------------- embedding near-dups
     Spec("q_cosine_dups",
       (s, dir) => Ann.cosineDupPairs(t(s, dir).embeddings,

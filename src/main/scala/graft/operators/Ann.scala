@@ -105,6 +105,62 @@ object Ann {
       .where(col("rn") <= k)
   }
 
+  /** IVF ANN (the inverted-file structure of FAISS-style indexes): a
+    * k-means coarse quantizer assigns every vector to a cell; a query
+    * probes its `nProbe` nearest cells (by centroid cosine) and scores
+    * exact cosine only against those cells' members. Recall grows with
+    * `nProbe`; the shuffle is (cell, vector) — linear. At 100 TB the cell
+    * assignment is a broadcast-centroid map stage and each probe list is
+    * a partition-pruned read when the table is written partitioned by
+    * cell. */
+  def ivfTopK(df: DataFrame, id: String, vec: String, k: Int,
+              nCells: Int = 16, nProbe: Int = 2,
+              seed: Long = 42L): DataFrame = {
+    GraftExtensions.register(df.sparkSession)
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val base = df.select(col(id).as("id"), col(vec).as("v"))
+      .withColumn("features", array_to_vector(col("v")))
+    val model = new KMeans().setK(nCells).setSeed(seed)
+      .setFeaturesCol("features").fit(base)
+    val assigned = model.transform(base)
+      .select(col("id"), col("v"), col("prediction").as("cell"))
+      .withColumn("nrm", sqrt(nativeDot(col("v"), col("v"))))
+      .cache()
+
+    val spark = df.sparkSession
+    import spark.implicits._
+    val centers = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }.toSeq
+      .toDF("cell", "centroid")
+
+    // probe list: per vector, its nProbe closest centroids by cosine
+    // (drop the vector's own cell assignment — `cell` here is the PROBED
+    // centroid's id, which may differ from the assigned cell)
+    val probes = assigned.select(col("id"), col("v"), col("nrm"))
+      .crossJoin(broadcast(centers))
+      .withColumn("csim", dot(col("v"), col("centroid")))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy(col("id"))
+          .orderBy(col("csim").desc, col("cell").asc)))
+      .where(col("pr") <= nProbe)
+      .select(col("id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("cell"))
+
+    probes
+      .join(assigned.select(col("cell"), col("id").as("cand_id"),
+        col("v").as("cv"), col("nrm").as("cn")), Seq("cell"))
+      .where(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        stableRound(nativeDot(col("qv"), col("cv")) / (col("qn") * col("cn")),
+          4).as("cosine"))
+      .withColumn("rn", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("cosine").desc, col("cand_id").asc))
+        .cast("long"))
+      .where(col("rn") <= k)
+  }
+
   /** Exact embedding-cosine near-duplicate pairs above a threshold —
     * the embedding variant of [[NearDup.jaccardPairs]]. */
   def cosineDupPairs(df: DataFrame, id: String, vec: String,

@@ -48,6 +48,25 @@ class LlmOpsSpec extends SparkSpec {
     assert(top(1).getAs[Long]("cand_id") == 4L)
   }
 
+  test("ANN: IVF probe recalls a meaningful share of brute-force top-1") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val brute = Ann.bruteForceTopK(e, e, "vec_id", "embedding", 1)
+      .select($"query_id", $"cand_id".as("true_nn"))
+    val ivf = Ann.ivfTopK(e, "vec_id", "embedding", 10, 8, 2)
+      .select($"query_id", $"cand_id")
+    val hits = brute.join(ivf,
+      brute("query_id") === ivf("query_id")
+        && brute("true_nn") === ivf("cand_id"))
+      .count()
+    val total = brute.count()
+    val recall = hits.toDouble / total
+    // loose bound: the corpus is label-clustered, so 2-of-8 probed cells
+    // should catch most true neighbors; the test guards machinery + sanity
+    assert(recall > 0.4, s"IVF recall@10 of top-1 = $recall")
+    assert(ivf.groupBy("query_id").count().agg(max("count"))
+      .head().getLong(0) <= 10)
+  }
+
   test("text: token estimate and quality metrics on a known string") {
     val one = Seq((1L, "the cat, extraordinarily long-worded!"))
       .toDF("doc_id", "text")
