@@ -197,9 +197,12 @@ object Queries {
         "l_orderkey", "l_partkey")
         .orderBy(col("pair_baskets").desc, col("item_a"), col("item_b"))
         .limit(2000),
-      Some(biSql + """
+      Some(biSql + """,
+        okb AS (SELECT basket FROM bi GROUP BY basket
+          HAVING COUNT(*) BETWEEN 2 AND 500)
         SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS pair_baskets
         FROM bi a JOIN bi b ON a.basket = b.basket AND a.item < b.item
+        JOIN okb ON okb.basket = a.basket
         GROUP BY 1, 2
         ORDER BY pair_baskets DESC, item_a, item_b LIMIT 2000""")),
 
@@ -658,10 +661,12 @@ object Queries {
         a AS (SELECT
           SUM(CASE WHEN g = 'BUILDING' THEN rk + (cnt-1)/2.0 END) AS r1,
           COUNT(CASE WHEN g = 'BUILDING' THEN 1 END) AS n1,
-          COUNT(CASE WHEN g = 'MACHINERY' THEN 1 END) AS n2 FROM r)
+          COUNT(CASE WHEN g = 'MACHINERY' THEN 1 END) AS n2,
+          CAST(SUM(cnt*cnt - 1) AS BIGINT) AS tie_term FROM r)
         SELECT n1, n2,
           floor((r1 - n1*(n1+1)/2.0) * 1e6 + 0.5) / 1e6 AS u_stat,
-          floor((1.0 - 2.0*(r1 - n1*(n1+1)/2.0)/(n1*n2)) * 1e6 + 0.5) / 1e6 AS rank_biserial
+          floor((1.0 - 2.0*(r1 - n1*(n1+1)/2.0)/(n1*n2)) * 1e6 + 0.5) / 1e6 AS rank_biserial,
+          tie_term
         FROM a""")),
 
     // ---------------------------------------------------------- X4
@@ -722,18 +727,19 @@ object Queries {
           floor(((m1-m2)/sqrt(se2)) * 1e6 + 0.5) / 1e6 AS statistic,
           floor(((m1-m2)/sqrt(((n1-1)*v1 + (n2-1)*v2)/(n1+n2-2)))
             * 1e6 + 0.5) / 1e6 AS effect_size,
-          n1, n2 FROM wse),
+          n1, n2, CAST(0 AS BIGINT) AS tie_term FROM wse),
         r AS (SELECT g, rank() OVER (ORDER BY v) AS rk,
           COUNT(*) OVER (PARTITION BY v) AS cnt FROM j),
         ma AS (SELECT
           SUM(CASE WHEN g = 'Q1' THEN rk + (cnt-1)/2.0 END) AS r1,
           COUNT(CASE WHEN g = 'Q1' THEN 1 END) AS n1,
-          COUNT(CASE WHEN g = 'Q2' THEN 1 END) AS n2 FROM r),
+          COUNT(CASE WHEN g = 'Q2' THEN 1 END) AS n2,
+          CAST(SUM(cnt*cnt - 1) AS BIGINT) AS tie_term FROM r),
         mwu AS (SELECT 'mann_whitney_u' AS test_name,
           floor((r1 - n1*(n1+1)/2.0) * 1e6 + 0.5) / 1e6 AS statistic,
           floor((1.0 - 2.0*(r1 - n1*(n1+1)/2.0)/(n1*n2)) * 1e6 + 0.5)
             / 1e6 AS effect_size,
-          n1, n2 FROM ma),
+          n1, n2, tie_term FROM ma),
         pv AS (SELECT v,
           CAST(SUM(CASE WHEN g = 'Q1' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
           CAST(SUM(CASE WHEN g = 'Q2' THEN 1 ELSE 0 END) AS BIGINT) AS c2
@@ -748,7 +754,8 @@ object Queries {
         ks AS (SELECT 'ks_2samp' AS test_name,
           floor((MAX(abs(CAST(cum1 AS DOUBLE)/t1
             - CAST(cum2 AS DOUBLE)/t2))) * 1e6 + 0.5) / 1e6 AS statistic,
-          0.0 AS effect_size, MAX(t1) AS n1, MAX(t2) AS n2 FROM cdf)
+          0.0 AS effect_size, MAX(t1) AS n1, MAX(t2) AS n2,
+          CAST(0 AS BIGINT) AS tie_term FROM cdf)
         SELECT * FROM welch UNION ALL SELECT * FROM mwu
         UNION ALL SELECT * FROM ks ORDER BY test_name""")),
 
@@ -929,9 +936,12 @@ object Queries {
           FROM lineitem WHERE l_partkey IS NOT NULL),
         tot AS (SELECT COUNT(DISTINCT basket) AS n FROM bi),
         cnt AS (SELECT item, COUNT(*) AS c FROM bi GROUP BY item),
+        okb AS (SELECT basket FROM bi GROUP BY basket
+          HAVING COUNT(*) BETWEEN 2 AND 500),
         pairs AS (
           SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS pair_baskets
           FROM bi a JOIN bi b ON a.basket = b.basket AND a.item < b.item
+          JOIN okb ON okb.basket = a.basket
           GROUP BY 1, 2
           ORDER BY pair_baskets DESC, item_a, item_b LIMIT 2000),
         raw AS (SELECT p.item_a, p.item_b,
@@ -948,12 +958,14 @@ object Queries {
             AND NOT EXISTS (SELECT 1 FROM ui me
               WHERE me.u = ui.u AND me.i = raw.item_b)
           GROUP BY 1, 2),
+        an AS (SELECT u, i, score,
+            MAX(score) OVER (PARTITION BY u) AS mx FROM assoc),
+        cn AS (SELECT u, i, score,
+            MAX(score) OVER (PARTITION BY u) AS mx FROM cf),
         blended AS (SELECT COALESCE(a.u, c.u) AS u, COALESCE(a.i, c.i) AS i,
-            floor((0.6 * COALESCE(a.score
-                / (SELECT MAX(score) FROM assoc), 0.0)
-              + 0.4 * COALESCE(c.score
-                / (SELECT MAX(score) FROM cf), 0.0)) * 1e6 + 0.5) / 1e6 AS hybrid_score
-          FROM assoc a FULL OUTER JOIN cf c ON a.u = c.u AND a.i = c.i)
+            floor((0.6 * COALESCE(a.score / a.mx, 0.0)
+              + 0.4 * COALESCE(c.score / c.mx, 0.0)) * 1e6 + 0.5) / 1e6 AS hybrid_score
+          FROM an a FULL OUTER JOIN cn c ON a.u = c.u AND a.i = c.i)
         SELECT u, i, hybrid_score, rn FROM (SELECT *,
             CAST(ROW_NUMBER() OVER (PARTITION BY u
               ORDER BY hybrid_score DESC, i) AS BIGINT) AS rn
@@ -1124,9 +1136,12 @@ object Queries {
           JOIN elig ON elig.item = bi.item),
         tot AS (SELECT COUNT(DISTINCT basket) AS n FROM bi2),
         cnt AS (SELECT item, COUNT(*) AS c FROM bi2 GROUP BY item),
+        okb AS (SELECT basket FROM bi2 GROUP BY basket
+          HAVING COUNT(*) BETWEEN 2 AND 500),
         pairs AS (
           SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS pair_baskets
           FROM bi2 a JOIN bi2 b ON a.basket = b.basket AND a.item < b.item
+          JOIN okb ON okb.basket = a.basket
           GROUP BY 1, 2
           ORDER BY pair_baskets DESC, item_a, item_b LIMIT 2000),
         raw AS (
@@ -1162,9 +1177,12 @@ object Queries {
           WHERE l_partkey IS NOT NULL AND l_orderkey <= 4000),
         tot AS (SELECT COUNT(DISTINCT basket) AS n FROM bi),
         cnt AS (SELECT item, COUNT(*) AS c FROM bi GROUP BY item),
+        okb AS (SELECT basket FROM bi GROUP BY basket
+          HAVING COUNT(*) BETWEEN 2 AND 500),
         pairs AS (
           SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS pair_baskets
           FROM bi a JOIN bi b ON a.basket = b.basket AND a.item < b.item
+          JOIN okb ON okb.basket = a.basket
           GROUP BY 1, 2
           ORDER BY pair_baskets DESC, item_a, item_b LIMIT 2000),
         raw AS (
@@ -1663,9 +1681,12 @@ object Queries {
   private def rulesRawSql = biSql + """,
     tot AS (SELECT COUNT(DISTINCT basket) AS n FROM bi),
     cnt AS (SELECT item, COUNT(*) AS c FROM bi GROUP BY item),
+    okb AS (SELECT basket FROM bi GROUP BY basket
+      HAVING COUNT(*) BETWEEN 2 AND 500),
     pairs AS (
       SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS pair_baskets
       FROM bi a JOIN bi b ON a.basket = b.basket AND a.item < b.item
+      JOIN okb ON okb.basket = a.basket
       GROUP BY 1, 2
       ORDER BY pair_baskets DESC, item_a, item_b LIMIT 2000),
     raw AS (

@@ -131,15 +131,22 @@ object Ann {
     val spark = df.sparkSession
     import spark.implicits._
     val centers = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray) }.toSeq
-      .toDF("cell", "centroid")
+      .map { case (c, i) =>
+        val arr = c.toArray
+        (i, arr, math.sqrt(arr.map(x => x * x).sum))
+      }.toSeq
+      .toDF("cell", "centroid", "cnorm")
 
-    // probe list: per vector, its nProbe closest centroids by cosine
-    // (drop the vector's own cell assignment — `cell` here is the PROBED
-    // centroid's id, which may differ from the assigned cell)
+    // probe list: per vector, its nProbe closest centroids by cosine —
+    // the dot product must be divided by the centroid norm (k-means
+    // centroids are not unit-norm; a raw inner product would bias probing
+    // toward large-norm centroids). The query norm is constant per query
+    // and cannot change the ordering, so it is omitted.
+    // (`cell` below is the PROBED centroid's id, which may differ from
+    // the vector's own assigned cell.)
     val probes = assigned.select(col("id"), col("v"), col("nrm"))
       .crossJoin(broadcast(centers))
-      .withColumn("csim", dot(col("v"), col("centroid")))
+      .withColumn("csim", dot(col("v"), col("centroid")) / col("cnorm"))
       .withColumn("pr", row_number().over(
         Window.partitionBy(col("id"))
           .orderBy(col("csim").desc, col("cell").asc)))

@@ -127,12 +127,14 @@ object Collab {
       .where(size(array_except(col("antecedent"), col("items"))) === 0)
 
   /** Hybrid blend (`customers/views.py:127-163`): normalize each source's
-    * scores by its max, then `hybrid = α·assoc + (1−α)·cf`. Inputs are
-    * (u, i, score) frames; either side may be missing a candidate (treated
-    * as 0 via full outer join). */
+    * scores by its PER-USER max (the reference scores one household per
+    * request, so its "max" is per-request = per-user), then
+    * `hybrid = α·assoc + (1−α)·cf`. Inputs are (u, i, score) frames;
+    * either side may be missing a candidate (treated as 0 via full outer
+    * join). */
   def hybridBlend(assoc: DataFrame, cf: DataFrame, alpha: Double,
                   k: Int): DataFrame = {
-    val w = Window.partitionBy()
+    val w = Window.partitionBy(col("u"))
     val an = assoc.select(col("u"), col("i"),
       (col("score") / max(col("score")).over(w)).as("a_score"))
     val cn = cf.select(col("u"), col("i"),

@@ -33,20 +33,25 @@ object Differential {
 
   /** Run Welch t, Mann-Whitney U, and 2-sample KS between two groups of
     * the capped totals; one row per test:
-    * (test_name, statistic, effect_size, n1, n2). */
+    * (test_name, statistic, effect_size, n1, n2, tie_term). `tie_term`
+    * carries Σ(t³−t) for the Mann-Whitney sigma tie correction (0 for the
+    * other tests). */
   def compare(capped: DataFrame, g1: String, g2: String): DataFrame = {
     val welch = Stats.welchT(capped, col("g"), col("v"), g1, g2)
       .select(lit("welch_t").as("test_name"),
         col("t_stat").as("statistic"),
-        col("cohens_d").as("effect_size"), col("n1"), col("n2"))
+        col("cohens_d").as("effect_size"), col("n1"), col("n2"),
+        lit(0L).as("tie_term"))
     val mwu = Stats.mannWhitneyU(capped, col("g"), col("v"), g1, g2)
       .select(lit("mann_whitney_u").as("test_name"),
         col("u_stat").as("statistic"),
-        col("rank_biserial").as("effect_size"), col("n1"), col("n2"))
+        col("rank_biserial").as("effect_size"), col("n1"), col("n2"),
+        col("tie_term"))
     val ks = Stats.ks2(capped, col("g"), col("v"), g1, g2)
       .select(lit("ks_2samp").as("test_name"),
         col("ks_stat").as("statistic"),
-        lit(0.0).as("effect_size"), col("n1"), col("n2"))
+        lit(0.0).as("effect_size"), col("n1"), col("n2"),
+        lit(0L).as("tie_term"))
     welch.unionByName(mwu).unionByName(ks).orderBy(col("test_name"))
   }
 
@@ -69,7 +74,8 @@ object Differential {
       val (n1, n2) = (r.getAs[Long]("n1"), r.getAs[Long]("n2"))
       name -> (name match {
         case "welch_t" => Stats.tPValue(stat, welchDof)
-        case "mann_whitney_u" => Stats.mannWhitneyPValue(stat, n1, n2)
+        case "mann_whitney_u" =>
+          Stats.mannWhitneyPValue(stat, n1, n2, r.getAs[Long]("tie_term"))
         case "ks_2samp" => Stats.ksPValue(stat, n1, n2)
       })
     }.toMap

@@ -100,14 +100,18 @@ object Stats {
       .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("v"))))
       .withColumn("avg_rank", col("rk") + (col("cnt") - 1) / lit(2.0))
     val u1 = col("r1") - col("n1") * (col("n1") + 1) / lit(2.0)
+    // Σ(t³−t) over tied values — each value with t rows contributes
+    // t·(t²−1) when summed per-row as cnt²−1. Integer arithmetic, exact.
     ranked.agg(
         sum(when(col("g") === g1, col("avg_rank"))).as("r1"),
         count(when(col("g") === g1, lit(1))).as("n1"),
-        count(when(col("g") === g2, lit(1))).as("n2"))
+        count(when(col("g") === g2, lit(1))).as("n2"),
+        sum(col("cnt") * col("cnt") - 1).as("tie_term"))
       .select(col("n1"), col("n2"),
         stableRound(u1, 6).as("u_stat"),
         stableRound(lit(1.0) - lit(2.0) * u1 / (col("n1") * col("n2")), 6)
-          .as("rank_biserial"))
+          .as("rank_biserial"),
+        col("tie_term"))
   }
 
   /** X4 — two-sample Kolmogorov–Smirnov D = max |F1 − F2| over the pooled
@@ -166,10 +170,16 @@ object Stats {
     2.0 * new TDistribution(dof).cumulativeProbability(-math.abs(t))
 
   /** Two-sided Mann-Whitney p-value via the normal approximation with
-    * continuity correction (scipy's large-sample path). */
-  def mannWhitneyPValue(u: Double, n1: Long, n2: Long): Double = {
+    * continuity correction and scipy's tie correction to sigma:
+    * `σ = sqrt(n1·n2/12 · ((n+1) − Σ(t³−t)/(n·(n−1))))` where t ranges
+    * over tie-group sizes. `tieTerm` is the `tie_term` column emitted by
+    * [[mannWhitneyU]]; pass 0 for tie-free data. */
+  def mannWhitneyPValue(u: Double, n1: Long, n2: Long,
+                        tieTerm: Long): Double = {
+    val n = (n1 + n2).toDouble
     val mu = n1 * n2 / 2.0
-    val sigma = math.sqrt(n1 * n2 * (n1 + n2 + 1) / 12.0)
+    val tieAdj = if (n > 1) tieTerm / (n * (n - 1)) else 0.0
+    val sigma = math.sqrt(n1 * n2 / 12.0 * ((n + 1) - tieAdj))
     if (sigma == 0) 1.0
     else {
       // clamp: near the mean the continuity correction makes z negative
@@ -178,6 +188,10 @@ object Stats {
       math.min(1.0, 2.0 * new NormalDistribution().cumulativeProbability(-z))
     }
   }
+
+  /** Tie-free convenience overload. */
+  def mannWhitneyPValue(u: Double, n1: Long, n2: Long): Double =
+    mannWhitneyPValue(u, n1, n2, 0L)
 
   /** Two-sample KS p-value via the asymptotic Kolmogorov distribution
     * (two-term-beyond tail of `Q(λ) = 2 Σ (−1)^{k−1} e^{−2k²λ²}`). */

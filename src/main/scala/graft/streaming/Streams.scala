@@ -49,11 +49,17 @@ object Streams {
       .dropDuplicates(keys :+ "ts")
 
   /** Gap-based sessionization: a session closes when `gapSec` of event
-    * time passes with no activity for the user; emitted on event-time
-    * timeout. State per user is O(1). */
+    * time passes with no activity for the user. Sessions that close
+    * *inside* a batch (two bursts separated by more than the gap) are
+    * emitted immediately; the trailing open session is emitted on
+    * event-time timeout. State per user is O(1). */
   def sessionize(events: Dataset[Event], watermark: String,
                  gapSec: Long): Dataset[Session] = {
     import events.sparkSession.implicits._
+    val gapMs = gapSec * 1000
+    def emit(s: SessionState): Session =
+      Session(s.userId, new java.sql.Timestamp(s.startMs),
+        new java.sql.Timestamp(s.endMs), s.nEvents, s.totalValue)
     events.withWatermark("ts", watermark)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, Session](
@@ -62,20 +68,36 @@ object Streams {
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator(Session(s.userId, new java.sql.Timestamp(s.startMs),
-              new java.sql.Timestamp(s.endMs), s.nEvents, s.totalValue))
+            Iterator(emit(s))
           } else {
-            val batch = evts.toSeq
-            val lo = batch.map(_.ts.getTime).min
-            val hi = batch.map(_.ts.getTime).max
-            val prev = state.getOption
-              .getOrElse(SessionState(uid, lo, hi, 0L, 0.0))
-            val merged = SessionState(uid, math.min(prev.startMs, lo),
-              math.max(prev.endMs, hi), prev.nEvents + batch.size,
-              prev.totalValue + batch.map(_.value).sum)
-            state.update(merged)
-            state.setTimeoutTimestamp(merged.endMs + gapSec * 1000)
-            Iterator.empty
+            // Fold events in time order so a >gap jump — whether against
+            // carried state or between two events of this batch — closes
+            // the running session and starts a fresh one.
+            val batch = evts.toSeq.sortBy(_.ts.getTime)
+            val closed = Seq.newBuilder[Session]
+            var cur = state.getOption
+            batch.foreach { e =>
+              val t = e.ts.getTime
+              cur = cur match {
+                case Some(s) if t - s.endMs > gapMs =>
+                  closed += emit(s)
+                  Some(SessionState(uid, t, t, 1L, e.value))
+                case Some(s) =>
+                  Some(SessionState(uid, math.min(s.startMs, t),
+                    math.max(s.endMs, t), s.nEvents + 1L,
+                    s.totalValue + e.value))
+                case None =>
+                  Some(SessionState(uid, t, t, 1L, e.value))
+              }
+            }
+            val open = cur.get // batch is non-empty when not timed out
+            state.update(open)
+            // The timeout instant must be strictly later than the current
+            // watermark or Spark throws; a session already older than the
+            // watermark times out at the next possible tick instead.
+            val wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(math.max(wm + 1, open.endMs + gapMs))
+            closed.result().iterator
           }
       }
   }

@@ -102,4 +102,17 @@ class LlmOpsSpec extends SparkSpec {
       .toMap
     assert(out(100L) == 0.6 && out(200L) == 0.4) // both normalized to 1.0
   }
+
+  test("CF: hybrid blend normalizes per user, not by the global max") {
+    // user 2's tiny scores must still normalize to 1.0 within their own
+    // partition (the reference scores one household per request)
+    val assoc = Seq((1L, 100L, 8.0), (2L, 100L, 0.5)).toDF("u", "i", "score")
+    val cf = spark.emptyDataFrame
+      .sparkSession.createDataFrame(Seq.empty[(Long, Long, Double)])
+      .toDF("u", "i", "score")
+    val out = Collab.hybridBlend(assoc, cf, 0.5, 10)
+      .collect().map(r => (r.getAs[Long]("u"), r.getAs[Double]("hybrid_score")))
+      .toMap
+    assert(out(1L) == 0.5 && out(2L) == 0.5)
+  }
 }

@@ -26,8 +26,26 @@ class StatsSpec extends SparkSpec {
     val r = Stats.mannWhitneyU(groups, col("g"), col("v"), "x", "y").head()
     assert(r.getAs[Double]("u_stat") == 46.5)
     assert(math.abs(r.getAs[Double]("rank_biserial") - (-0.9375)) < 1e-6)
+    // one cross-group tie (12.1 appears in both samples): t=2 -> 2^3-2
+    assert(r.getAs[Long]("tie_term") == 6L)
     val p = Stats.mannWhitneyPValue(46.5, 8, 6)
     assert(p > 0 && p < 0.05)
+  }
+
+  test("X3 Mann-Whitney tie correction matches scipy on tied data") {
+    // x=[1,2,2,3], y=[2,3,3,4]: ranks 1,3,3,6 | 3,6,6,8 -> R1=13, U1=3;
+    // tie groups t={3,3} -> tie_term=48;
+    // sigma = sqrt(16/12*(9 - 48/56)) = 3.295018, z=(5-0.5)/sigma
+    // scipy.stats.mannwhitneyu(method='asymptotic') two-sided p = 0.17204
+    val tied = (Seq(1.0, 2.0, 2.0, 3.0).map(("x", _)) ++
+      Seq(2.0, 3.0, 3.0, 4.0).map(("y", _))).toDF("g", "v")
+    val r = Stats.mannWhitneyU(tied, col("g"), col("v"), "x", "y").head()
+    assert(r.getAs[Double]("u_stat") == 3.0)
+    assert(r.getAs[Long]("tie_term") == 48L)
+    val p = Stats.mannWhitneyPValue(3.0, 4, 4, 48L)
+    assert(math.abs(p - 0.17204) < 2e-3)
+    // and the correction matters: the uncorrected value is ~0.194
+    assert(p < Stats.mannWhitneyPValue(3.0, 4, 4) - 0.01)
   }
 
   test("X4 two-sample KS statistic") {

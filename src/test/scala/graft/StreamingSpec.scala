@@ -66,4 +66,30 @@ class StreamingSpec extends SparkSpec {
     assert(sessions(0).user_id == 1L && sessions(0).n_events == 2L
       && sessions(0).total_value == 3.0)
   }
+
+  test("sessionization splits bursts separated by more than the gap " +
+      "within a single batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Event]
+    val q = Streams.sessionize(in.toDS(), "10 seconds", gapSec = 300)
+      .writeStream.format("memory").queryName("sess2")
+      .outputMode("append").start()
+    // one batch, two bursts 20 minutes apart (gap is 5) — the first burst
+    // must be emitted as a closed session immediately, not merged
+    in.addData(
+      Event(7L, ts(600), "click", 1.0), Event(7L, ts(601), "view", 2.0),
+      Event(7L, ts(621), "click", 4.0))
+    q.processAllAvailable()
+    val closed = spark.table("sess2").as[Streams.Session].collect()
+    assert(closed.length == 1)
+    assert(closed(0).n_events == 2L && closed(0).total_value == 3.0)
+    assert(closed(0).start_ts == ts(600) && closed(0).end_ts == ts(601))
+    // the second burst is still open; advance the watermark to flush it
+    in.addData(Event(8L, ts(700), "click", 1.0))
+    q.processAllAvailable()
+    val all = spark.table("sess2").as[Streams.Session].collect()
+    q.stop()
+    val second = all.filter(s => s.user_id == 7L && s.n_events == 1L)
+    assert(second.length == 1 && second(0).total_value == 4.0)
+  }
 }
