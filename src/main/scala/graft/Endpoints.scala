@@ -77,8 +77,7 @@ object Endpoints {
     // the same user predicate restricts BOTH sources: recommend's sym view
     // keys targets as u1; assocScores keys them as u — applying it to only
     // one side would blend a filtered CF list against all-user assoc scores
-    val cf = Collab.recommend(counts, sims, Int.MaxValue,
-      targetUsers(col("u1"))).select(col("u"), col("i"), col("score"))
+    val cf = Collab.scoreCandidates(counts, sims, targetUsers(col("u1")))
     val rules = AssociationRules.rulesRaw(tx, basket, item,
       AssociationRules.Params(0.0, 0.0))
     val assoc = Collab.assocScores(

@@ -75,30 +75,37 @@ object Collab {
       .unionByName(sims.select(col("u2").as("u1"), col("u1").as("u2"),
         col("cos")))
 
-  /** CF candidate scoring (`collab_filter.py:64-76`): for each target user,
-    * score every item they have NOT purchased as Σ over similar users of
-    * sim × count, take top-k. `targetFilter` restricts which users get
-    * recommendations (the reference scores one household per request). */
-  def recommend(counts: DataFrame, sims: DataFrame, k: Int,
-                targetFilter: Column = lit(true)): DataFrame = {
+  /** CF candidate scores without the top-k ranking: for each target user,
+    * every item they have NOT purchased scored as Σ over similar users of
+    * sim × count. Use this directly when ALL candidates are needed (e.g.
+    * as the CF side of [[hybridBlend]]) — it skips [[recommend]]'s
+    * row_number window, a full per-user sort of the candidate set. */
+  def scoreCandidates(counts: DataFrame, sims: DataFrame,
+                      targetFilter: Column = lit(true)): DataFrame = {
     // No caching: materializing sims would block the targetFilter predicate
     // from pushing down into the pair join, and counts is one cheap shuffle
     // to recompute (measured at sf0.1).
     val sym = symmetricSimilarities(sims)
       .where(col("cos") > 0 && targetFilter)
-    val scored = sym
+    sym
       .join(counts.select(col("u").as("u2"), col("i"), col("c")), Seq("u2"))
       .join(counts.select(col("u").as("u1"), col("i")),
         Seq("u1", "i"), "left_anti")
       .groupBy(col("u1").as("u"), col("i"))
       .agg(stableRound(sum(col("cos") * col("c")), 6).as("score"))
-    scored
+  }
+
+  /** CF candidate scoring (`collab_filter.py:64-76`): [[scoreCandidates]]
+    * + top-k per user. `targetFilter` restricts which users get
+    * recommendations (the reference scores one household per request). */
+  def recommend(counts: DataFrame, sims: DataFrame, k: Int,
+                targetFilter: Column = lit(true)): DataFrame =
+    scoreCandidates(counts, sims, targetFilter)
       .withColumn("rn", row_number().over(
           Window.partitionBy(col("u"))
             .orderBy(col("score").desc, col("i").asc))
         .cast("long"))
       .where(col("rn") <= k)
-  }
 
   /** Association-rule candidate scores (`customers/views.py:84-126`): for
     * each user, rules whose antecedent is among the user's purchased items
