@@ -257,6 +257,60 @@ object Queries {
       },
       None),
 
+    // ------------------------------------------- R3 pairwise cross-check
+    // The single-antecedent slice of FP-Growth's output is exactly the
+    // pairwise-rule computation (MLlib emits single-item consequents, and
+    // any frequent pair's 1-item antecedent is itself frequent), which IS
+    // ANSI-expressible — giving the otherwise rows-only FP-Growth path a
+    // real oracle.
+    Spec("q_fpgrowth_pairs",
+      (s, dir) => {
+        val items = t(s, dir).lineitem.join(
+          broadcast(t(s, dir).part
+            .select(col("p_partkey").as("l_partkey"), col("p_brand"))),
+          Seq("l_partkey"), "left")
+        AssociationRules.fpGrowthRules(items, "l_orderkey", "p_brand",
+            AssociationRules.Params(minSupport = 0.02, minConfidence = 0.05))
+          .where(size(col("antecedent")) === 1 && size(col("consequent")) === 1)
+          .select(element_at(col("antecedent"), 1).as("antecedent"),
+            element_at(col("consequent"), 1).as("consequent"),
+            stableRound(col("confidence"), 6).as("confidence"),
+            stableRound(col("lift"), 6).as("lift"),
+            stableRound(col("support"), 6).as("support"))
+          .orderBy(col("antecedent"), col("consequent"))
+      },
+      Some("""WITH bib AS (SELECT DISTINCT l_orderkey AS basket,
+          p_brand AS item
+          FROM lineitem JOIN part ON p_partkey = l_partkey
+          WHERE p_brand IS NOT NULL),
+        okb AS (SELECT basket FROM bib GROUP BY basket
+          HAVING COUNT(*) BETWEEN 2 AND 500),
+        bi2 AS (SELECT bib.* FROM bib JOIN okb ON okb.basket = bib.basket),
+        nb AS (SELECT COUNT(DISTINCT basket) AS n FROM bi2),
+        cnt AS (SELECT item, COUNT(*) AS c FROM bi2 GROUP BY item),
+        pc AS (SELECT a.item AS ia, b.item AS ib, COUNT(*) AS pab
+          FROM bi2 a JOIN bi2 b ON a.basket = b.basket AND a.item < b.item
+          GROUP BY 1, 2),
+        both_dir AS (
+          SELECT ia AS antecedent, ib AS consequent, pab FROM pc
+          UNION ALL
+          SELECT ib, ia, pab FROM pc),
+        r AS (SELECT bd.antecedent, bd.consequent,
+            CAST(bd.pab AS DOUBLE) / ca.c AS confidence,
+            (CAST(bd.pab AS DOUBLE) / ca.c) / (CAST(cb.c AS DOUBLE) / nb.n)
+              AS lift,
+            CAST(bd.pab AS DOUBLE) / nb.n AS support
+          FROM both_dir bd CROSS JOIN nb
+          JOIN cnt ca ON ca.item = bd.antecedent
+          JOIN cnt cb ON cb.item = bd.consequent
+          WHERE CAST(bd.pab AS DOUBLE) / nb.n >= 0.02
+            AND CAST(bd.pab AS DOUBLE) / ca.c >= 0.05)
+        SELECT antecedent, consequent,
+          floor((confidence) * 1e6 + 0.5) / 1e6 AS confidence,
+          floor((lift) * 1e6 + 0.5) / 1e6 AS lift,
+          floor((support) * 1e6 + 0.5) / 1e6 AS support
+        FROM r ORDER BY antecedent, consequent""")),
+
     // ---------------------------------------------------------- U1/J12
     Spec("q_dedup_keep_latest",
       (s, dir) => Dedup.keepLatest(
@@ -1494,11 +1548,80 @@ object Queries {
         "doc_id", "text", 3, 0.05, 8),
       None),
 
+    // --------------------------------------- MinHash LSH (portable hash)
+    // Same banded-LSH algorithm, but with an md5-derived shingle hash and
+    // universal-hash minima — exact integer arithmetic mirrorable in SQL,
+    // so bucketing AND verification are oracle-gated (the MLlib variant
+    // above keeps its engine-internal hash and stays rows-only).
+    Spec("q_minhash_lsh",
+      (s, dir) => NearDup.minHashPortable(t(s, dir).documents,
+        "doc_id", "text", 3, 0.05, 16, 4),
+      Some {
+        val p = NearDup.MinHashP
+        val minCols = (0 until 16).map(j =>
+          s"MIN((hp * ${NearDup.MinHashA(j)} + ${NearDup.MinHashB(j)}) " +
+            s"% $p) AS mh$j").mkString(", ")
+        val bands = (0 until 4).map { t =>
+          val key = (0 until 4).map(x => s"CAST(mh${t * 4 + x} AS VARCHAR)")
+            .mkString(" || '_' || ")
+          s"SELECT id, $t AS band, $key AS key FROM mh"
+        }.mkString(" UNION ALL ")
+        s"""WITH $shingleSql,
+          hp AS (SELECT id,
+            CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % $p AS hp
+            FROM sh),
+          mh AS (SELECT id, $minCols FROM hp GROUP BY id),
+          banded AS ($bands),
+          cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            FROM banded a JOIN banded b
+            ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+          sz AS (SELECT id, COUNT(*) AS szc FROM sh GROUP BY id),
+          it AS (SELECT c.id_a, c.id_b, COUNT(*) AS i
+            FROM cand c JOIN sh sa ON sa.id = c.id_a
+            JOIN sh sb ON sb.id = c.id_b AND sb.s = sa.s
+            GROUP BY 1, 2),
+          jc AS (SELECT it.id_a, it.id_b,
+              floor((CAST(i AS DOUBLE) / (x.szc + y.szc - i)) * 1e6 + 0.5)
+                / 1e6 AS jaccard
+            FROM it JOIN sz x ON x.id = it.id_a
+            JOIN sz y ON y.id = it.id_b)
+          SELECT id_a, id_b, jaccard FROM jc WHERE jaccard >= 0.05
+          ORDER BY jaccard DESC, id_a, id_b"""
+      }),
+
     // ------------------------------------------------- SimHash banded pairs
     Spec("q_simhash_pairs",
       (s, dir) => NearDup.simHashPairs(t(s, dir).documents,
         "doc_id", "text", 16),
       None),
+
+    // ------------------------------------- SimHash (portable 32-bit hash)
+    Spec("q_simhash_portable",
+      (s, dir) => NearDup.simHashPortable(t(s, dir).documents,
+        "doc_id", "text", 3),
+      Some("""WITH words AS (SELECT doc_id AS id,
+          string_split_regex(trim(text), '\s+') AS wa FROM documents
+          WHERE len(string_split_regex(trim(text), '\s+')) > 0),
+        tok AS (SELECT id,
+            CAST(('0x' || substr(md5(t.x), 1, 15)) AS BIGINT) AS h
+          FROM words, UNNEST(wa) AS t(x)),
+        bits AS (SELECT id, b,
+            CASE WHEN SUM(2 * ((h >> CAST(b AS INT)) & 1) - 1) > 0
+              THEN (CAST(1 AS BIGINT) << CAST(b AS INT)) ELSE 0 END AS v
+          FROM tok, UNNEST(generate_series(0, 31)) AS g(b)
+          GROUP BY id, b),
+        fp AS (SELECT id, CAST(SUM(v) AS BIGINT) AS simhash
+          FROM bits GROUP BY id),
+        banded AS (SELECT id, simhash, band,
+            (simhash >> CAST(band * 8 AS INT)) & 255 AS key
+          FROM fp, UNNEST(generate_series(0, 3)) AS q(band)),
+        cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+            a.simhash AS sa, b.simhash AS sb
+          FROM banded a JOIN banded b
+          ON a.band = b.band AND a.key = b.key AND a.id < b.id)
+        SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+        FROM cand WHERE bit_count(xor(sa, sb)) <= 3
+        ORDER BY hamming, id_a, id_b""")),
 
     // ------------------------------------------------- ANN brute force
     Spec("q_ann_bruteforce",
@@ -1524,7 +1647,33 @@ object Queries {
     Spec("q_ann_lsh",
       (s, dir) => Ann.lshTopK(t(s, dir).embeddings, "vec_id", "embedding",
         10, 8).orderBy(col("query_id"), col("rn")),
-      None),
+      // full mirror: the sign-LSH bucket bits are integer arithmetic
+      // (quantized vector × multiplicative-hash weights), so bucket
+      // assignment is bit-identical cross-engine; candidate cosines use
+      // the same rounded-double convention as q_ann_bruteforce
+      Some("""WITH ev AS (SELECT vec_id AS id,
+          CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        dims AS (SELECT id, CAST(i - 1 AS BIGINT) AS i,
+            CAST(floor(v[i] * 1024.0 + 0.5) AS BIGINT) AS q
+          FROM ev, UNNEST(generate_series(1, len(v))) AS t(i)),
+        bits AS (SELECT id, j,
+            CASE WHEN SUM(q * ((j * 4096 + i) * 2654435761 % 2000 - 1000))
+              > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END AS b
+          FROM dims, UNNEST(generate_series(0, 7)) AS p(j)
+          GROUP BY id, j),
+        bk AS (SELECT id, CAST(SUM(b) AS BIGINT) AS bucket
+          FROM bits GROUP BY id),
+        n AS (SELECT ev.id, v, sqrt(list_dot_product(v, v)) AS nrm, bucket
+          FROM ev JOIN bk ON bk.id = ev.id),
+        scored AS (SELECT q.id AS query_id, c.id AS cand_id,
+            floor((list_dot_product(q.v, c.v) / (q.nrm * c.nrm))
+              * 1e4 + 0.5) / 1e4 AS cosine
+          FROM n q JOIN n c ON q.bucket = c.bucket AND q.id <> c.id)
+        SELECT query_id, cand_id, cosine, rn FROM (SELECT *,
+            CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, cand_id) AS BIGINT) AS rn
+          FROM scored)
+        WHERE rn <= 10 ORDER BY query_id, rn""")),
 
     // ------------------------------------------------- ANN via IVF
     Spec("q_ann_ivf",

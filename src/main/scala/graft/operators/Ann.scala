@@ -67,15 +67,21 @@ object Ann {
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane j, dim i):
-    * xxhash64 of the index pair folded to [-1, 1]. */
+    * a multiplicative hash of the index pair folded to an integer weight in
+    * [-1000, 999], applied to the vector quantized at 1/1024 resolution.
+    * The bucket bit is the sign of a pure INTEGER dot product — exact,
+    * order-independent, and expressible identically in ANSI SQL, so the
+    * bucketing is oracle-checkable cross-engine (a float dot's sign could
+    * flip between engines on near-zero sums; an integer's cannot).
+    * Quantization only perturbs the hyperplane boundary (recall changes
+    * negligibly); the candidate COSINE below stays full-precision. */
   private def planeExpr(nPlanes: Int): String =
     s"""aggregate(sequence(0, ${nPlanes - 1}), 0L, (acc, j) ->
        |  acc | CASE WHEN aggregate(
        |    zip_with(v, sequence(0, size(v) - 1), (x, i) ->
-       |      CAST(x AS DOUBLE) *
-       |      ((CAST(pmod(xxhash64(j * 4096 + i), 2000) AS DOUBLE)
-       |        / 1000.0) - 1.0)),
-       |    0.0D, (a, p) -> a + p) > 0
+       |      CAST(floor(CAST(x AS DOUBLE) * 1024.0 + 0.5) AS BIGINT)
+       |      * ((j * 4096 + i) * 2654435761L % 2000L - 1000L)),
+       |    0L, (a, p) -> a + p) > 0
        |  THEN shiftleft(1L, j) ELSE 0L END)""".stripMargin
 
   /** Sign-LSH bucket id for each vector. */

@@ -62,6 +62,76 @@ object NearDup {
       .limit(limit)
   }
 
+  /** Prime modulus and per-function coefficients for [[minHashPortable]]'s
+    * universal-hash family `(a·h + b) mod p` — fixed literals so the exact
+    * same family is expressible in ANSI SQL for the oracle gate. All
+    * arithmetic stays below 2^62 (h < p < 2^31, a < p). */
+  val MinHashP: Long = 2147483647L // 2^31 − 1
+  val MinHashA: IndexedSeq[Long] =
+    (0 until 16).map(j => (2654435761L * (2 * j + 1)) % MinHashP)
+  val MinHashB: IndexedSeq[Long] =
+    (0 until 16).map(j => (1779033703L * (j + 1)) % MinHashP)
+
+  /** Portable 60-bit shingle hash: the first 15 hex digits of md5, an
+    * identical value in any engine with md5 (unlike xxhash64/murmur). */
+  private val shingleHash =
+    s"CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT) % ${MinHashP}L"
+
+  /** MinHash + banded LSH with a PORTABLE hash family (md5-derived shingle
+    * hashes, universal-hash minima, integer band keys) — same algorithm as
+    * [[minHashCandidates]] but every step is exact integer arithmetic
+    * expressible in ANSI SQL, so the full pipeline (bucketing included) is
+    * oracle-checkable cross-engine. Candidates agreeing on any band of
+    * `bandSize` consecutive minhashes are verified by exact Jaccard over
+    * the shingle sets of candidate docs only — never all-pairs.
+    *
+    * 100 TB shape: shuffles are (shingle-hash, id) then (band-key, id);
+    * the verify stage touches only docs that collided in some band. */
+  def minHashPortable(docs: DataFrame, id: String, text: String, w: Int = 3,
+                      minJaccard: Double = 0.05, numHashes: Int = 16,
+                      bandSize: Int = 4): DataFrame = {
+    require(numHashes <= MinHashA.size && numHashes % bandSize == 0)
+    val sh = shingles(docs, id, text, w).cache()
+    val hp = sh.select(col("id"), expr(shingleHash).as("hp"))
+    val mins = hp.groupBy(col("id")).agg(
+      min((col("hp") * MinHashA.head + MinHashB.head) % MinHashP)
+        .as("mh0"),
+      (1 until numHashes).map(j =>
+        min((col("hp") * MinHashA(j) + MinHashB(j)) % MinHashP)
+          .as(s"mh$j")): _*)
+    val nBands = numHashes / bandSize
+    val banded = mins.select(col("id"), explode(array((0 until nBands).map {
+        t =>
+          struct(lit(t).as("band"),
+            concat_ws("_", (0 until bandSize).map(x =>
+              col(s"mh${t * bandSize + x}")): _*).as("key"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.key"))
+    val cand = banded.toDF("id_a", "band", "key")
+      .join(banded.toDF("id_b", "band", "key"), Seq("band", "key"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    // exact-Jaccard verify over candidate docs only
+    val candIds = cand.select(col("id_a").as("id"))
+      .unionByName(cand.select(col("id_b").as("id"))).distinct()
+    val shC = sh.join(broadcast(candIds), Seq("id"), "left_semi")
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val inter = shC.toDF("id_a", "s")
+      .join(shC.toDF("id_b", "s"), Seq("s"))
+      .join(cand, Seq("id_a", "id_b"), "left_semi")
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(broadcast(sizes.toDF("id_a", "sz_a")), Seq("id_a"))
+      .join(broadcast(sizes.toDF("id_b", "sz_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        stableRound(col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")), 6).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+      .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+  }
+
   /** MinHash-LSH candidate pairs with exact-Jaccard verification of the
     * candidates. `numHashTables` = LSH bands; more tables → higher recall.
     * Returns (id_a, id_b, jaccard) for candidates with jaccard ≥
@@ -98,6 +168,49 @@ object NearDup {
       .where(size(col("wa")) > 0)
       .select(col("id"),
         call_function("simhash64", col("wa")).as("simhash"))
+  }
+
+  /** Portable 32-bit SimHash near-dup pairs: per-token md5-derived hashes
+    * vote ±1 on each of 32 bit positions (multiset voting — every token
+    * occurrence counts); candidates agree on one of four 8-bit bands
+    * (guarantees candidacy for Hamming ≤ 3) and are verified by exact
+    * Hamming ≤ `maxHamming`. Pure integer arithmetic on a portable hash —
+    * the whole pipeline incl. bucketing mirrors into ANSI SQL for the
+    * oracle gate; [[simHashPairs]] below keeps the fast native-expression
+    * 64-bit form (xxhash64-based, engine-specific). */
+  def simHashPortable(docs: DataFrame, id: String, text: String,
+                      maxHamming: Int = 3): DataFrame = {
+    val fp = docs.select(col(id).as("id"),
+        split(trim(col(text)), "\\s+").as("wa"))
+      .where(size(col("wa")) > 0)
+      .select(col("id"), expr(
+        """transform(wa, t ->
+          |  CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT))"""
+          .stripMargin).as("hs"))
+      .select(col("id"), expr(
+        """aggregate(sequence(0, 31), 0L, (acc, b) ->
+          |  acc | CASE WHEN aggregate(hs, 0L, (a, h) ->
+          |    a + 2 * (shiftright(h, b) & 1) - 1) > 0
+          |  THEN shiftleft(1L, b) ELSE 0L END)""".stripMargin)
+        .as("simhash"))
+      .cache()
+    val banded = fp.select(col("id"), col("simhash"),
+        explode(expr(
+          """transform(sequence(0, 3), b -> named_struct(
+            |  'band', b,
+            |  'key', shiftright(simhash, b * 8) & 255L))""".stripMargin))
+          .as("bk"))
+      .select(col("id"), col("simhash"), col("bk.band"), col("bk.key"))
+    banded.toDF("id_a", "sh_a", "band", "key")
+      .join(banded.toDF("id_b", "sh_b", "band", "key"), Seq("band", "key"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .distinct()
+      .withColumn("hamming",
+        expr("CAST(bit_count(sh_a ^ sh_b) AS BIGINT)"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy(col("hamming"), col("id_a"), col("id_b"))
   }
 
   /** SimHash near-dup candidates: docs agreeing on any 16-bit band of the

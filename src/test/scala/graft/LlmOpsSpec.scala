@@ -27,6 +27,34 @@ class LlmOpsSpec extends SparkSpec {
     assert(cand.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
   }
 
+  test("near-dup: portable MinHash-LSH finds the planted near-duplicate " +
+      "with exact Jaccard attached") {
+    val out = NearDup.minHashPortable(docs, "doc_id", "text", 3, 0.05)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(out.contains((1L, 2L)) && out((1L, 2L)) > 0.7)
+    // unrelated docs must not survive the jaccard verify
+    assert(!out.contains((1L, 3L)))
+  }
+
+  test("near-dup: portable SimHash pairs the planted near-duplicate") {
+    // 40-token docs differing in ONE word: hamming 2, inside the 8-bit
+    // banding guarantee (the 13-token `docs` fixture lands at hamming 5 —
+    // too noisy for a 32-bit fingerprint)
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra " +
+      "tango uniform victor whiskey xray yankee zulu one two three four " +
+      "five six seven eight nine ten eleven twelve thirteen fourteen"
+    val near = base.replace("fourteen", "fifteen")
+    val far = docs.where($"doc_id" === 3L).head().getString(1)
+    val in = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val out = NearDup.simHashPortable(in, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(out.contains((1L, 2L)) && out((1L, 2L)) <= 3L)
+    assert(!out.contains((1L, 3L)))
+  }
+
   test("near-dup: SimHash hamming is small for near-dups, large otherwise") {
     val fp = NearDup.simHash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
