@@ -180,19 +180,12 @@ object NearDup {
     * 64-bit form (xxhash64-based, engine-specific). */
   def simHashPortable(docs: DataFrame, id: String, text: String,
                       maxHamming: Int = 3): DataFrame = {
+    graft.plans.GraftExtensions.register(docs.sparkSession)
     val fp = docs.select(col(id).as("id"),
         split(trim(col(text)), "\\s+").as("wa"))
       .where(size(col("wa")) > 0)
-      .select(col("id"), expr(
-        """transform(wa, t ->
-          |  CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT))"""
-          .stripMargin).as("hs"))
-      .select(col("id"), expr(
-        """aggregate(sequence(0, 31), 0L, (acc, b) ->
-          |  acc | CASE WHEN aggregate(hs, 0L, (a, h) ->
-          |    a + 2 * (shiftright(h, b) & 1) - 1) > 0
-          |  THEN shiftleft(1L, b) ELSE 0L END)""".stripMargin)
-        .as("simhash"))
+      .select(col("id"),
+        call_function("simhash_portable32", col("wa")).as("simhash"))
       .cache()
     val banded = fp.select(col("id"), col("simhash"),
         explode(expr(

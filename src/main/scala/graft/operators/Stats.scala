@@ -90,23 +90,37 @@ object Stats {
   /** X3 — Mann-Whitney U (group-1 statistic, scipy `mannwhitneyu(x, y)`
     * convention) + rank-biserial effect size (`views.py:1860-1895`).
     * Average ranks for ties = RANK() + (tie_count−1)/2 — half-integers,
-    * so the rank sum is exact in double. */
+    * so the rank sum is exact in double.
+    *
+    * Scale shape: the rank sum needs only one term per DISTINCT value —
+    * `avg_rank(v) = (rows before v) + (cnt(v)+1)/2`, and
+    * `R1 = Σ_v n1(v)·avg_rank(v)` — so the data is first collapsed by a
+    * hash aggregation on v and the (unavoidably single-partition) ordered
+    * window runs over the distinct-value frame, not the raw rows. For
+    * 2-decimal money axes that is thousands of rows regardless of input
+    * scale; a raw-row global rank window would serialize the whole table
+    * through one task. */
   def mannWhitneyU(df: DataFrame, group: Column, value: Column,
                    g1: String, g2: String): DataFrame = {
     val in = df.where(group.isin(g1, g2))
       .select(group.as("g"), value.as("v"))
-    val ranked = in
-      .withColumn("rk", rank().over(Window.orderBy(col("v"))))
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("v"))))
-      .withColumn("avg_rank", col("rk") + (col("cnt") - 1) / lit(2.0))
+    val perValue = in.groupBy(col("v")).agg(
+      count(lit(1)).as("cnt"),
+      count(when(col("g") === g1, lit(1))).as("cnt1"),
+      count(when(col("g") === g2, lit(1))).as("cnt2"))
+    val wBefore = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1L)
+    val ranked = perValue
+      .withColumn("before", coalesce(sum(col("cnt")).over(wBefore), lit(0L)))
+      .withColumn("avg_rank", col("before") + (col("cnt") + 1) / lit(2.0))
     val u1 = col("r1") - col("n1") * (col("n1") + 1) / lit(2.0)
-    // Σ(t³−t) over tied values — each value with t rows contributes
-    // t·(t²−1) when summed per-row as cnt²−1. Integer arithmetic, exact.
+    // Σ(t³−t) over tied values (scipy's sigma tie correction input);
+    // integer arithmetic, exact.
     ranked.agg(
-        sum(when(col("g") === g1, col("avg_rank"))).as("r1"),
-        count(when(col("g") === g1, lit(1))).as("n1"),
-        count(when(col("g") === g2, lit(1))).as("n2"),
-        sum(col("cnt") * col("cnt") - 1).as("tie_term"))
+        sum(col("cnt1") * col("avg_rank")).as("r1"),
+        sum(col("cnt1")).as("n1"),
+        sum(col("cnt2")).as("n2"),
+        sum(col("cnt") * col("cnt") * col("cnt") - col("cnt")).as("tie_term"))
       .select(col("n1"), col("n2"),
         stableRound(u1, 6).as("u_stat"),
         stableRound(lit(1.0) - lit(2.0) * u1 / (col("n1") * col("n2")), 6)

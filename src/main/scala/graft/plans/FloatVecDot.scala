@@ -125,6 +125,71 @@ case class SimHash64(child: Expression)
       : Expression = copy(child = newChild)
 }
 
+/** Native 32-bit portable SimHash over a token array: each token's
+  * md5-derived 60-bit hash (the value of
+  * `CAST(conv(substr(md5(t), 1, 15), 16, 10) AS BIGINT)` — first 15 hex
+  * digits of md5, i.e. the big-endian first 8 bytes logically shifted
+  * right by 4) votes ±1 on bits 0..31; the sign of each vote sum is the
+  * fingerprint bit. Bit-identical to the HOF form it replaces in
+  * [[graft.operators.NearDup.simHashPortable]], which costs tokens×32
+  * interpreted lambda calls per document; md5 stays portable so the
+  * DuckDB oracle still mirrors the pipeline exactly. */
+case class SimHashPortable32(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash_portable32 expects ARRAY<STRING>, got ${other.sql}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_portable32"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val tokens = input.asInstanceOf[ArrayData]
+    val md = SimHashPortable32.digest.get()
+    val votes = new Array[Long](32)
+    var t = 0
+    val n = tokens.numElements()
+    while (t < n) {
+      val s = tokens.getUTF8String(t)
+      if (s != null) {
+        md.reset()
+        val d = md.digest(s.getBytes)
+        // first 15 hex digits = big-endian first 8 bytes >>> 4
+        var v = 0L
+        var j = 0
+        while (j < 8) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+        val h = v >>> 4
+        var i = 0
+        while (i < 32) {
+          votes(i) += (if (((h >>> i) & 1L) == 1L) 1L else -1L)
+          i += 1
+        }
+      }
+      t += 1
+    }
+    var fp = 0L
+    var i = 0
+    while (i < 32) {
+      if (votes(i) > 0) fp |= (1L << i)
+      i += 1
+    }
+    fp
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+object SimHashPortable32 {
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+}
+
 /** Registers graft's native expressions. Two paths:
   *  - `spark.sql.extensions=graft.plans.GraftExtensions` at session build
   *    (the canonical `SparkSessionExtensions` route), or
@@ -147,7 +212,11 @@ object GraftExtensions {
         FloatVecDot(children.head, children(1))),
     (new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (children: Seq[Expression]) => SimHash64(children.head)))
+      (children: Seq[Expression]) => SimHash64(children.head)),
+    (new FunctionIdentifier("simhash_portable32"),
+      new ExpressionInfo(classOf[SimHashPortable32].getName,
+        "simhash_portable32"),
+      (children: Seq[Expression]) => SimHashPortable32(children.head)))
 
   def register(spark: SparkSession): Unit =
     registrations.foreach { case (id, info, builder) =>
