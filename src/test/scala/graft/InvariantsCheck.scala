@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.ColumnFns
-import graft.operators.{AssociationRules, Dedup, Rfm}
+import graft.operators.{AssociationRules, Dedup, NearDup, Rfm}
 import graft.operators.AssociationRules.Params
 import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Properties, Test}
@@ -69,6 +69,45 @@ object InvariantsCheck extends Properties("graft.invariants") {
         (0 until 3).forall { i =>
           val v = r.getLong(i); v >= 1 && v <= 5
         })
+    }
+
+  private val docGen: Gen[List[(Long, String)]] = for {
+    n <- Gen.choose(3, 6)
+    docs <- Gen.listOfN(n, Gen.choose(5, 25).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf("alpha", "bravo", "charlie", "delta",
+        "echo", "foxtrot", "golf", "hotel")).map(_.mkString(" "))))
+  } yield docs.zipWithIndex.map { case (d, i) => (i.toLong + 1, d) }
+
+  property("minHashPortable pairs are a sound subset of exact Jaccard") =
+    forAll(docGen) { rows =>
+      val df = rows.toDF("doc_id", "text")
+      val approx = NearDup.minHashPortable(df, "doc_id", "text", 3, 0.2)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+      val exact = NearDup.jaccardPairs(df, "doc_id", "text", 3, 0.2, 10000)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+      approx.forall { case (pair, j) => exact.get(pair).contains(j) }
+    }
+
+  property("simHashPortable emits EVERY pair within the banding " +
+      "guarantee (hamming <= 3)") =
+    forAll(docGen) { rows =>
+      val df = rows.toDF("doc_id", "text")
+      graft.plans.GraftExtensions.register(spark)
+      val fps = df.select($"doc_id",
+          call_function("simhash_portable32",
+            split(trim($"text"), "\\s+")).as("fp"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expected = (for {
+        a <- fps.keys; b <- fps.keys if a < b
+        h = java.lang.Long.bitCount(fps(a) ^ fps(b))
+        if h <= 3
+      } yield (a, b, h.toLong)).toSet
+      val got = NearDup.simHashPortable(df, "doc_id", "text", 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      got == expected
     }
 
   property("moneySum is invariant under row order and partitioning") =
