@@ -69,6 +69,41 @@ object Collab {
         (col("dot") / (col("nrm1") * col("nrm2"))).as("cos"))
   }
 
+  /** DIMSUM user-user cosine (Zadeh & Goel, KDD'13) — the documented
+    * 100 TB path for [[userSimilarities]]: items as matrix rows, users as
+    * columns, `RowMatrix.columnSimilarities(threshold)`. With
+    * `threshold > 0` hot columns are probabilistically sampled with
+    * provable error bounds, turning the per-item users² blow-up into
+    * O(users·log users) shuffle entries; `threshold = 0` is exact brute
+    * force (tested equal to the long-form join). mllib's RDD API is the
+    * one place DIMSUM lives in Spark — the conversion stays
+    * per-partition and columnar. */
+  def userSimilaritiesDimsum(counts: DataFrame,
+                             threshold: Double = 0.1): DataFrame = {
+    import org.apache.spark.mllib.linalg.Vectors
+    import org.apache.spark.mllib.linalg.distributed.RowMatrix
+    val spark = counts.sparkSession
+    import spark.implicits._
+    // contiguous user index, deterministic (sorted by user id)
+    val uidx = counts.select(col("u")).distinct().orderBy(col("u"))
+      .rdd.map(_.getLong(0)).zipWithIndex()
+      .map { case (u, i) => (u, i.toInt) }.toDF("u", "uidx").cache()
+    val nUsers = uidx.count().toInt
+    val itemRows = counts.join(uidx, Seq("u"))
+      .select(col("i"), col("uidx"), col("c").cast("double"))
+      .rdd.map(r => (r.getLong(0), (r.getInt(1), r.getDouble(2))))
+      .groupByKey()
+      .map { case (_, es) => Vectors.sparse(nUsers, es.toSeq) }
+    val entries = new RowMatrix(itemRows).columnSimilarities(threshold)
+      .entries.map(e => (e.i.toInt, e.j.toInt, e.value))
+      .toDF("ia", "ib", "cos")
+    entries
+      .join(uidx.select(col("uidx").as("ia"), col("u").as("u1")), Seq("ia"))
+      .join(uidx.select(col("uidx").as("ib"), col("u").as("u2")), Seq("ib"))
+      .select(least(col("u1"), col("u2")).as("u1"),
+        greatest(col("u1"), col("u2")).as("u2"), col("cos"))
+  }
+
   /** Both-direction similarity view (u, v, cos). */
   def symmetricSimilarities(sims: DataFrame): DataFrame =
     sims.select(col("u1"), col("u2"), col("cos"))

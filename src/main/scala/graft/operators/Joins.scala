@@ -78,4 +78,27 @@ object Joins {
   def intersectKeys(a: DataFrame, b: DataFrame, key: String): DataFrame =
     a.select(col(key)).distinct()
       .join(b.select(col(key)).distinct(), Seq(key), "left_semi")
+
+  /** Skew-salted equi-join: spreads each hot key of `big` over `nSalts`
+    * shuffle partitions by salting the big side deterministically (hash of
+    * the whole row) and replicating the small side once per salt value.
+    * Result is identical to `big.join(small, keys)` (inner).
+    *
+    * When to reach for this: Spark 4's AQE skew-join
+    * (`spark.sql.adaptive.skewJoin.enabled`, on by default) already splits
+    * skewed SORT-MERGE partitions at runtime and is the first line of
+    * defense. Manual salting remains for the cases AQE cannot rewrite —
+    * a skewed join feeding a same-keyed aggregation (AQE's split would be
+    * undone by the next shuffle), stream-static joins, or a forced
+    * shuffled-hash join. Replication cost: `small` is duplicated
+    * `nSalts`×, so keep `nSalts` ≈ the hot-key multiplicity over the
+    * average, not the partition count. */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
+                 nSalts: Int): DataFrame = {
+    val saltedBig = big.withColumn("__salt",
+      pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(nSalts)))
+    val saltedSmall = small.withColumn("__salt",
+      explode(sequence(lit(0L), lit(nSalts - 1L))))
+    saltedBig.join(saltedSmall, keys :+ "__salt").drop("__salt")
+  }
 }

@@ -122,6 +122,20 @@ class LlmOpsSpec extends SparkSpec {
     assert(!recs.exists(r => r.getAs[Long]("u") == 3L))
   }
 
+  test("CF: DIMSUM at threshold 0 equals the exact long-form cosine") {
+    val tx = Seq((1L, 10L), (1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L),
+      (2L, 12L), (3L, 12L), (3L, 11L), (4L, 13L)).toDF("u0", "i0")
+    val counts = Collab.userItemCounts(tx, "u0", "i0")
+    val exact = Collab.userSimilarities(counts)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val dimsum = Collab.userSimilaritiesDimsum(counts, 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(dimsum.keySet == exact.keySet)
+    assert(exact.forall { case (k, v) => math.abs(dimsum(k) - v) < 1e-9 })
+  }
+
   test("CF: hybrid blend weights sources by alpha") {
     val assoc = Seq((1L, 100L, 2.0)).toDF("u", "i", "score")
     val cf = Seq((1L, 200L, 4.0)).toDF("u", "i", "score")

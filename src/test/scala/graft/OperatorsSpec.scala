@@ -104,4 +104,22 @@ class OperatorsSpec extends SparkSpec {
     assert(c.count() == 2)
     assert(c.agg(sum("v")).head().getDouble(0) == 7.0)
   }
+
+  test("saltedJoin equals the plain join on a skewed key distribution") {
+    // 90% of the big side lands on one key — the salting target scenario
+    val big = ((1 to 900).map(i => (1L, i)) ++ (1 to 100).map(i =>
+      (i.toLong % 7 + 2, i))).toDF("k", "payload")
+    val dim = Seq((1L, "hot"), (2L, "a"), (3L, "b"), (4L, "c"))
+      .toDF("k", "label")
+    val plain = big.join(dim, Seq("k"))
+      .select($"k", $"payload", $"label").collect().toSet
+    val salted = graft.operators.Joins.saltedJoin(big, dim, Seq("k"), 8)
+      .select($"k", $"payload", $"label").collect().toSet
+    assert(salted == plain)
+    // and the salt spreads the hot key: >1 distinct salt for k=1
+    val nSalts = big.withColumn("__salt",
+        pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(8)))
+      .where($"k" === 1L).select("__salt").distinct().count()
+    assert(nSalts > 1)
+  }
 }
