@@ -124,10 +124,13 @@ object Collab {
       .where(col("cos") > 0 && targetFilter)
     sym
       .join(counts.select(col("u").as("u2"), col("i"), col("c")), Seq("u2"))
-      .join(counts.select(col("u").as("u1"), col("i")),
-        Seq("u1", "i"), "left_anti")
       .groupBy(col("u1").as("u"), col("i"))
       .agg(stableRound(sum(col("cos") * col("c")), 6).as("score"))
+      // exclude already-purchased items AFTER the aggregation: the
+      // anti-join key (u, i) is the group key, so filtering commutes —
+      // and it now touches the aggregated candidate grain, not the
+      // (sim × item) pre-aggregation blow-up
+      .join(counts.select(col("u"), col("i")), Seq("u", "i"), "left_anti")
   }
 
   /** CF candidate scoring (`collab_filter.py:64-76`): [[scoreCandidates]]
