@@ -95,6 +95,10 @@ object Joins {
     * average, not the partition count. */
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
                  nSalts: Int): DataFrame = {
+    require(nSalts > 0 && !big.columns.contains("__salt")
+      && !small.columns.contains("__salt"),
+      "saltedJoin: nSalts must be positive and inputs must not already " +
+        "have a __salt column")
     val saltedBig = big.withColumn("__salt",
       pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(nSalts)))
     val saltedSmall = small.withColumn("__salt",

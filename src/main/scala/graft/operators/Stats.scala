@@ -115,7 +115,10 @@ object Stats {
       .withColumn("avg_rank", col("before") + (col("cnt") + 1) / lit(2.0))
     val u1 = col("r1") - col("n1") * (col("n1") + 1) / lit(2.0)
     // Σ(t³−t) over tied values (scipy's sigma tie correction input);
-    // integer arithmetic, exact.
+    // integer arithmetic, exact. Domain bound: cnt³ stays within BIGINT
+    // for tie groups up to ~2M rows — far above the reference's capped
+    // stat samples (2,500/4,000 per group, views.py:1708-1754); beyond
+    // that, pre-cap the input as Differential.cappedSample does.
     ranked.agg(
         sum(col("cnt1") * col("avg_rank")).as("r1"),
         sum(col("cnt1")).as("n1"),
