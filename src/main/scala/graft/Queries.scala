@@ -158,11 +158,46 @@ object Queries {
     // ------------------------------------------ W3 scale path (no oracle:
     // quantile-edge bins diverge from ntile on heavily tied frequencies,
     // the documented qcut-vs-ntile tradeoff — SURVEY §7.5#1)
+    // relativeError = 0 makes approxQuantile return exact order
+    // statistics, which measurably equal DuckDB's quantile_disc on all
+    // three metrics at every SF — so the scale-path variant gets a real
+    // oracle. Production keeps the default ε=1e-4 (the plan shape is
+    // identical; only the sketch memory differs).
     Spec("q_rfm_scores_scalable",
       (s, dir) => Rfm.scoresByQuantileEdges(ordersTx(s, dir),
-        "o_custkey", "o_orderkey", "o_totalprice", "day")
+        "o_custkey", "o_orderkey", "o_totalprice", "day",
+        relativeError = 0.0)
         .orderBy(col("customer")),
-      None),
+      Some("""WITH b AS (SELECT o_custkey AS customer,
+          MAX(CAST(o_orderdate AS DATE)) AS last_day,
+          COUNT(DISTINCT o_orderkey) AS frequency,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS monetary
+          FROM orders GROUP BY 1),
+        r AS (SELECT *, CAST(date_diff('day', last_day,
+            (SELECT MAX(CAST(o_orderdate AS DATE)) FROM orders))
+            AS BIGINT) AS recency FROM b),
+        e AS (SELECT
+          quantile_disc(CAST(recency AS DOUBLE), [0.2,0.4,0.6,0.8]) AS re,
+          quantile_disc(CAST(frequency AS DOUBLE), [0.2,0.4,0.6,0.8]) AS fe,
+          quantile_disc(monetary, [0.2,0.4,0.6,0.8]) AS me FROM r)
+        SELECT customer, last_day, frequency, monetary, recency,
+          CAST(6 - (CASE WHEN CAST(recency AS DOUBLE) <= re[1] THEN 1
+            WHEN CAST(recency AS DOUBLE) <= re[2] THEN 2
+            WHEN CAST(recency AS DOUBLE) <= re[3] THEN 3
+            WHEN CAST(recency AS DOUBLE) <= re[4] THEN 4
+            ELSE 5 END) AS BIGINT) AS r_score,
+          CAST(CASE WHEN CAST(frequency AS DOUBLE) <= fe[1] THEN 1
+            WHEN CAST(frequency AS DOUBLE) <= fe[2] THEN 2
+            WHEN CAST(frequency AS DOUBLE) <= fe[3] THEN 3
+            WHEN CAST(frequency AS DOUBLE) <= fe[4] THEN 4
+            ELSE 5 END AS BIGINT) AS f_score,
+          CAST(CASE WHEN monetary <= me[1] THEN 1
+            WHEN monetary <= me[2] THEN 2
+            WHEN monetary <= me[3] THEN 3
+            WHEN monetary <= me[4] THEN 4
+            ELSE 5 END AS BIGINT) AS m_score
+        FROM r, e ORDER BY customer""")),
 
     // ---------------------------------------------------------- A16/A10
     Spec("q_rfm_segment_summary",
