@@ -112,11 +112,13 @@ object NearDup {
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    // exact-Jaccard verify over candidate docs only
+    // exact-Jaccard verify over candidate docs only — shingle sets AND
+    // sizes are both restricted to colliding docs, so the broadcasts
+    // below scale with the candidate set, not the corpus
     val candIds = cand.select(col("id_a").as("id"))
       .unionByName(cand.select(col("id_b").as("id"))).distinct()
     val shC = sh.join(broadcast(candIds), Seq("id"), "left_semi")
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val sizes = shC.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val inter = shC.toDF("id_a", "s")
       .join(shC.toDF("id_b", "s"), Seq("s"))
       .join(cand, Seq("id_a", "id_b"), "left_semi")
@@ -177,7 +179,13 @@ object NearDup {
     * Hamming ≤ `maxHamming`. Pure integer arithmetic on a portable hash —
     * the whole pipeline incl. bucketing mirrors into ANSI SQL for the
     * oracle gate; [[simHashPairs]] below keeps the fast native-expression
-    * 64-bit form (xxhash64-based, engine-specific). */
+    * 64-bit form (xxhash64-based, engine-specific).
+    *
+    * Scale caveat: 8-bit bands give only 256 buckets per band, so bucket
+    * occupancy — and the candidate join — grows quadratically with corpus
+    * size. This variant exists to make the ALGORITHM oracle-checkable;
+    * at corpus scale use the 64-bit [[simHashPairs]] (65,536 buckets per
+    * band) or widen both fingerprint and bands further. */
   def simHashPortable(docs: DataFrame, id: String, text: String,
                       maxHamming: Int = 3): DataFrame = {
     graft.plans.GraftExtensions.register(docs.sparkSession)
