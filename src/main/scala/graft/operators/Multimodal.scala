@@ -82,4 +82,42 @@ object Multimodal {
     expr(s"""transform(sequence(0, ${dim - 1}), j ->
       |  CAST(pmod(xxhash64(substring(blob, j * 8 + 1, 16)), 10000L)
       |    AS DOUBLE) / 10000.0)""".stripMargin)
+
+  final case class Decoded(id: Long, width: Long, height: Long,
+                           channels: Long, n_frames: Long)
+
+  /** The codec seam for [[decodePartitioned]]: ONE instance per
+    * partition, so a real decoder's expensive native init (JNI/FFI
+    * library load, GPU context) is paid partitions-times, not rows-times.
+    * This fake reproduces [[decodeStub]]'s arithmetic exactly so the
+    * expression path and the partition path are testable against each
+    * other; a real implementation replaces only this class. */
+  class StubCodec extends Serializable {
+    def decode(blob: Array[Byte]): (Long, Long, Long, Long) = {
+      val n = blob.length.toLong
+      (64L + n % 577L, 64L + n % 417L, 3L, 1L + n % 30L)
+    }
+  }
+
+  /** Per-partition decode path (the brief's `mapInPandas` shape in its
+    * Scala form): iterator-in/iterator-out `mapPartitions`, so rows
+    * stream through the codec without materializing a partition, and the
+    * blob bytes are projected away in the SAME stage — nothing wide ever
+    * carries them. Schema and row shape are identical to consuming
+    * [[withDecodedMeta]]'s `decoded` struct. */
+  def decodePartitioned(blobs: DataFrame,
+                        codec: () => StubCodec = () => new StubCodec)
+      : DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.select(col("id"), col("blob")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val c = codec() // per-partition init point
+        it.map { case (id, b) =>
+          val (w, h, ch, f) = c.decode(b)
+          Decoded(id, w, h, ch, f)
+        }
+      }
+      .toDF()
+  }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Ann, Collab, NearDup, TextAnalysis}
+import graft.operators.{Ann, Collab, Multimodal, NearDup, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 class LlmOpsSpec extends SparkSpec {
@@ -103,6 +103,19 @@ class LlmOpsSpec extends SparkSpec {
     // 'the'(1) + 'cat,'(1) + 'extraordinarily'(4) + 'long-worded!'(3)
     assert(m.getAs[Long]("token_estimate") == 9L)
     assert(m.getAs[Double]("stopword_ratio") == 0.25)
+  }
+
+  test("multimodal: partitioned codec path equals the expression stub") {
+    val blobs = Multimodal.asBlobTable(docs.repartition(3), "doc_id", "text")
+    val viaExpr = Multimodal.withDecodedMeta(blobs)
+      .select($"id", $"decoded.width", $"decoded.height",
+        $"decoded.channels", $"decoded.n_frames")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val viaPartitions = Multimodal.decodePartitioned(blobs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(viaPartitions == viaExpr && viaExpr.size == 4)
   }
 
   test("CF: cosine similarity and recommendation on a hand-checked case") {
