@@ -33,6 +33,15 @@ object Streams {
         "event_type STRING, value DOUBLE, props STRING")
       .parquet(dir)
 
+  /** Stream-static enrichment (the streaming form of J1/J4/J5): join the
+    * event stream against a batch dimension table. Spark plans the static
+    * side as a broadcast per micro-batch when it is small — the same
+    * dimension-broadcast reasoning as the batch operators; no stream
+    * state is required for this join shape. */
+  def enrich(events: DataFrame, dim: DataFrame,
+             keys: Seq[String]): DataFrame =
+    events.join(dim, keys, "left")
+
   /** Watermarked sliding-window counts per event type — the streaming
     * form of A17/A18's bucketed rollups. */
   def windowedCounts(events: DataFrame, watermark: String, windowDur: String,

@@ -46,6 +46,23 @@ class StreamingSpec extends SparkSpec {
     assert(n == 2) // the duplicate (user 1, same ts) is dropped
   }
 
+  test("stream-static enrichment joins each micro-batch against the dim") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val in = MemoryStream[Event]
+    val q = Streams.enrich(in.toDF(), dim, Seq("user_id"))
+      .writeStream.format("memory").queryName("enr")
+      .outputMode("append").start()
+    in.addData(Event(1L, ts(1), "click", 1.0), Event(3L, ts(2), "view", 2.0))
+    q.processAllAvailable()
+    val rows = spark.table("enr")
+      .select($"user_id", $"tier").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    q.stop()
+    assert(rows(1L).contains("gold"))
+    assert(rows(3L).isEmpty) // unmatched key survives the left join
+  }
+
   test("sessionization closes a session after the event-time gap") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
