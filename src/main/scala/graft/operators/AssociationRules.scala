@@ -165,6 +165,10 @@ object AssociationRules {
     * when the two confidences differ (`views.py:310`, `views.py:502` —
     * bug-compatible per SURVEY §7.5#3). Input: `rulesRaw` output. */
   def bothDirections(raw: DataFrame, minConfidence: Double): DataFrame = {
+    // the union's two branches would otherwise each recompute the whole
+    // mining pipeline behind `raw`; the rule table is ≤ pairLimit rows,
+    // so pinning it costs nothing and halves the work
+    raw.cache()
     val fwd = raw.select(
       col("item_a").as("antecedent"), col("item_b").as("consequent"),
       col("support"), col("confidence"), col("lift"))

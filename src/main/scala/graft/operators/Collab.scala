@@ -151,8 +151,11 @@ object Collab {
     * are excluded (anti-join), votes sum per (user, item). */
   def assocScores(purchased: DataFrame, rules: DataFrame): DataFrame =
     purchased.select(col("u"), col("i").as("item_a"))
-      .join(rules.select(col("item_a"), col("item_b"),
-        col("confidence"), col("lift")), Seq("item_a"))
+      // rules are capped at pairLimit (~2000) rows but arrive as a
+      // computed frame without stats — without the hint Spark plans a
+      // shuffle join of the purchase table against them
+      .join(broadcast(rules.select(col("item_a"), col("item_b"),
+        col("confidence"), col("lift"))), Seq("item_a"))
       .select(col("u"), col("item_b").as("i"),
         (col("confidence") * col("lift")).as("s"))
       .join(purchased.select(col("u"), col("i")), Seq("u", "i"), "left_anti")
