@@ -25,10 +25,11 @@ import org.apache.spark.sql.functions._
   */
 object NearDup {
 
-  /** Distinct word w-shingles per doc: (id, shingle). Docs shorter than
-    * `w` words drop out. */
-  def shingles(docs: DataFrame, id: String, text: String,
-               w: Int = 3): DataFrame = {
+  /** Word w-shingles per doc WITH duplicates: (id, shingle), map-only.
+    * Use when the consumer is duplicate-insensitive (e.g. a MIN over
+    * hashes) — it skips [[shingles]]' distinct shuffle entirely. */
+  def rawShingles(docs: DataFrame, id: String, text: String,
+                  w: Int = 3): DataFrame = {
     val words = docs.select(col(id).as("id"),
       split(trim(col(text)), "\\s+").as("wa"))
     words.where(size(col("wa")) >= w)
@@ -36,8 +37,13 @@ object NearDup {
         s"""transform(sequence(1, size(wa) - ${w - 1}), i ->
            |  concat_ws(' ', ${(0 until w).map(j => s"element_at(wa, i + $j)")
              .mkString(", ")}))""".stripMargin)).as("s"))
-      .distinct()
   }
+
+  /** Distinct word w-shingles per doc: (id, shingle). Docs shorter than
+    * `w` words drop out. */
+  def shingles(docs: DataFrame, id: String, text: String,
+               w: Int = 3): DataFrame =
+    rawShingles(docs, id, text, w).distinct()
 
   /** Exact pairwise Jaccard over shingle sets: self-join on shingle →
     * intersection counts → |A∩B| / (|A|+|B|−|A∩B|). Keep pairs with
@@ -91,8 +97,12 @@ object NearDup {
                       minJaccard: Double = 0.05, numHashes: Int = 16,
                       bandSize: Int = 4): DataFrame = {
     require(numHashes <= MinHashA.size && numHashes % bandSize == 0)
-    val sh = shingles(docs, id, text, w).cache()
-    val hp = sh.select(col("id"), expr(shingleHash).as("hp"))
+    // min over duplicate shingles == min over distinct shingles, so the
+    // minhash stage reads the map-only raw stream (partial-aggregated
+    // mins, no corpus-wide distinct shuffle); only colliding docs pay
+    // for distinct shingle sets, in the verify stage below
+    val raw = rawShingles(docs, id, text, w).cache()
+    val hp = raw.select(col("id"), expr(shingleHash).as("hp"))
     val mins = hp.groupBy(col("id")).agg(
       min((col("hp") * MinHashA.head + MinHashB.head) % MinHashP)
         .as("mh0"),
@@ -112,12 +122,14 @@ object NearDup {
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    // exact-Jaccard verify over candidate docs only — shingle sets AND
-    // sizes are both restricted to colliding docs, so the broadcasts
-    // below scale with the candidate set, not the corpus
+    // exact-Jaccard verify over candidate docs only — distinct shingle
+    // sets and sizes are computed ONLY for colliding docs, so both the
+    // distinct shuffle and the broadcasts below scale with the candidate
+    // set, not the corpus
     val candIds = cand.select(col("id_a").as("id"))
       .unionByName(cand.select(col("id_b").as("id"))).distinct()
-    val shC = sh.join(broadcast(candIds), Seq("id"), "left_semi")
+    val shC = raw.join(broadcast(candIds), Seq("id"), "left_semi")
+      .distinct()
     val sizes = shC.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val inter = shC.toDF("id_a", "s")
       .join(shC.toDF("id_b", "s"), Seq("s"))
