@@ -155,7 +155,10 @@ object NearDup {
                         w: Int = 3, minJaccard: Double = 0.5,
                         numHashTables: Int = 8,
                         seed: Long = 42L): DataFrame = {
-    val sh = shingles(docs, id, text, w)
+    // binary HashingTF collapses duplicate shingles to the same index
+    // set, so the raw (map-only) shingle stream gives the identical
+    // sparse vector without a corpus-wide distinct shuffle
+    val sh = rawShingles(docs, id, text, w)
       .groupBy(col("id")).agg(collect_list(col("s")).as("sh"))
     val tf = new HashingTF().setInputCol("sh").setOutputCol("features")
       .setNumFeatures(1 << 18).setBinary(true)
