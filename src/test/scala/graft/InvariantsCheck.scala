@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.ColumnFns
-import graft.operators.{AssociationRules, Dedup, NearDup, Rfm}
+import graft.operators.{AssociationRules, Dedup, NearDup, Rfm, Stats}
 import graft.operators.AssociationRules.Params
 import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Properties, Test}
@@ -108,6 +108,34 @@ object InvariantsCheck extends Properties("graft.invariants") {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
         .toSet
       got == expected
+    }
+
+  private val twoGroupGen: Gen[List[(String, Double)]] = for {
+    xs <- Gen.listOfN(6, Gen.choose(1, 400))
+    ys <- Gen.listOfN(5, Gen.choose(1, 400))
+  } yield xs.map(v => ("x", v / 4.0)) ++ ys.map(v => ("y", v / 4.0))
+
+  property("Mann-Whitney: U1 + U2 = n1*n2 and rank-biserial in [-1,1]") =
+    forAll(twoGroupGen) { rows =>
+      val df = rows.toDF("g", "v")
+      val a = Stats.mannWhitneyU(df, col("g"), col("v"), "x", "y").head()
+      val b = Stats.mannWhitneyU(df, col("g"), col("v"), "y", "x").head()
+      val (n1, n2) = (a.getAs[Long]("n1"), a.getAs[Long]("n2"))
+      val rb = a.getAs[Double]("rank_biserial")
+      a.getAs[Double]("u_stat") + b.getAs[Double]("u_stat") ==
+        n1.toDouble * n2 &&
+        rb >= -1 - 1e-9 && rb <= 1 + 1e-9 &&
+        a.getAs[Long]("tie_term") == b.getAs[Long]("tie_term")
+    }
+
+  property("KS statistic is in [0,1] and symmetric under group swap") =
+    forAll(twoGroupGen) { rows =>
+      val df = rows.toDF("g", "v")
+      val a = Stats.ks2(df, col("g"), col("v"), "x", "y").head()
+        .getAs[Double]("ks_stat")
+      val b = Stats.ks2(df, col("g"), col("v"), "y", "x").head()
+        .getAs[Double]("ks_stat")
+      a >= 0 && a <= 1 && a == b
     }
 
   property("moneySum is invariant under row order and partitioning") =
