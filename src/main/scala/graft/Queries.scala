@@ -1716,6 +1716,41 @@ object Queries {
         10, 16, 2).orderBy(col("query_id"), col("rn")),
       None),
 
+    // -------------------------------------- ANN via IVF, sample quantizer
+    // Same inverted-file structure with a deterministic strided-sample
+    // coarse quantizer instead of k-means — every step is the proven
+    // rounded-cosine arithmetic, so the full IVF pipeline (assignment,
+    // probing, scoring) is oracle-gated.
+    Spec("q_ann_ivf_flat",
+      (s, dir) => Ann.ivfFlatTopK(t(s, dir).embeddings, "vec_id",
+        "embedding", 10, 16, 2).orderBy(col("query_id"), col("rn")),
+      Some("""WITH e AS (SELECT vec_id AS id,
+          CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        b AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        st AS (SELECT greatest(1, COUNT(*) // 16) AS stride FROM b),
+        centers AS (SELECT id AS cell, v AS cv0, nrm AS cn0
+          FROM b, st WHERE id % stride = 0 ORDER BY id LIMIT 16),
+        sims AS (SELECT b.id, b.v, b.nrm, c.cell,
+            floor((list_dot_product(b.v, c.cv0) / (b.nrm * c.cn0))
+              * 1e4 + 0.5) / 1e4 AS csim
+          FROM b CROSS JOIN centers c),
+        ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+            ORDER BY csim DESC, cell) AS pr FROM sims),
+        assigned AS (SELECT cell, id AS cand_id, v AS cv, nrm AS cn
+          FROM ranked WHERE pr = 1),
+        probes AS (SELECT id AS query_id, v AS qv, nrm AS qn, cell
+          FROM ranked WHERE pr <= 2),
+        scored AS (SELECT p.query_id, a.cand_id,
+            floor((list_dot_product(p.qv, a.cv) / (p.qn * a.cn))
+              * 1e4 + 0.5) / 1e4 AS cosine
+          FROM probes p JOIN assigned a ON a.cell = p.cell
+          WHERE p.query_id <> a.cand_id)
+        SELECT query_id, cand_id, cosine, rn FROM (SELECT *,
+            CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, cand_id) AS BIGINT) AS rn
+          FROM scored)
+        WHERE rn <= 10 ORDER BY query_id, rn""")),
+
     // ------------------------------------------------- embedding near-dups
     Spec("q_cosine_dups",
       (s, dir) => Ann.cosineDupPairs(t(s, dir).embeddings,

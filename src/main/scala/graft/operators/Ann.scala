@@ -174,6 +174,52 @@ object Ann {
       .where(col("rn") <= k)
   }
 
+  /** IVF with a deterministic SAMPLE coarse quantizer: cell centers are
+    * `nCells` evenly-strided vectors of the corpus itself (the classic
+    * cheap alternative to k-means centers, also its usual init), so —
+    * unlike [[ivfTopK]]'s trained centroids — assignment and probing are
+    * plain rounded-cosine arithmetic expressible in ANSI SQL, making the
+    * whole IVF structure oracle-checkable. Same plan shape as
+    * [[ivfTopK]]: centers broadcast, (cell, vector) linear shuffle,
+    * per-cell exact scoring. Recall is below k-means IVF at equal
+    * `nCells` (centers are not optimized), which is the price of the
+    * verifiability. */
+  def ivfFlatTopK(df: DataFrame, id: String, vec: String, k: Int,
+                  nCells: Int = 16, nProbe: Int = 2): DataFrame = {
+    GraftExtensions.register(df.sparkSession)
+    val base = normalized(df, id, vec, "id", "v", "nrm").cache()
+    val n = base.count()
+    val stride = math.max(1L, n / nCells)
+    val centers = base.where(col("id") % stride === 0)
+      .orderBy(col("id")).limit(nCells)
+      .select(col("id").as("cell"), col("v").as("cv0"),
+        col("nrm").as("cn0"))
+    val simToCenters = base.crossJoin(broadcast(centers))
+      .select(col("id"), col("v"), col("nrm"), col("cell"),
+        stableRound(nativeDot(col("v"), col("cv0"))
+          / (col("nrm") * col("cn0")), 4).as("csim"))
+    val byCloseness = Window.partitionBy(col("id"))
+      .orderBy(col("csim").desc, col("cell").asc)
+    val ranked = simToCenters
+      .withColumn("pr", row_number().over(byCloseness))
+    val assigned = ranked.where(col("pr") === 1)
+      .select(col("cell"), col("id").as("cand_id"), col("v").as("cv"),
+        col("nrm").as("cn"))
+    val probes = ranked.where(col("pr") <= nProbe)
+      .select(col("id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("cell"))
+    probes.join(assigned, Seq("cell"))
+      .where(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        stableRound(nativeDot(col("qv"), col("cv")) / (col("qn") * col("cn")),
+          4).as("cosine"))
+      .withColumn("rn", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("cosine").desc, col("cand_id").asc))
+        .cast("long"))
+      .where(col("rn") <= k)
+  }
+
   /** Exact embedding-cosine near-duplicate pairs above a threshold —
     * the embedding variant of [[NearDup.jaccardPairs]]. */
   def cosineDupPairs(df: DataFrame, id: String, vec: String,

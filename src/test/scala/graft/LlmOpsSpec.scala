@@ -95,6 +95,21 @@ class LlmOpsSpec extends SparkSpec {
       .head().getLong(0) <= 10)
   }
 
+  test("ANN: sample-quantizer IVF recalls a meaningful share of " +
+      "brute-force top-1") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val brute = Ann.bruteForceTopK(e, e, "vec_id", "embedding", 1)
+      .select($"query_id", $"cand_id".as("true_nn"))
+    val ivf = Ann.ivfFlatTopK(e, "vec_id", "embedding", 10, 8, 2)
+      .select($"query_id", $"cand_id")
+    val hits = brute.join(ivf,
+      brute("query_id") === ivf("query_id")
+        && brute("true_nn") === ivf("cand_id")).count()
+    val recall = hits.toDouble / brute.count()
+    // sample centers are unoptimized, so the bar sits below k-means IVF's
+    assert(recall > 0.25, s"IVF-flat recall@10 of top-1 = $recall")
+  }
+
   test("text: token estimate and quality metrics on a known string") {
     val one = Seq((1L, "the cat, extraordinarily long-worded!"))
       .toDF("doc_id", "text")
