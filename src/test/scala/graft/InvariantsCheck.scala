@@ -138,6 +138,22 @@ object InvariantsCheck extends Properties("graft.invariants") {
       a >= 0 && a <= 1 && a == b
     }
 
+  property("chi-square: statistic >= 0, Cramer's V in [0,1], p in [0,1]") =
+    forAll(for {
+      rows <- Gen.nonEmptyListOf(for {
+        g <- Gen.oneOf("r1", "r2", "r3")
+        c <- Gen.oneOf("c1", "c2")
+      } yield (g, c))
+      // ensure at least 2 distinct values on each axis
+      padded = rows ++ List(("r1", "c1"), ("r2", "c2"))
+    } yield padded) { rows =>
+      val r = Stats.chiSquare(rows.toDF("g", "c"), col("g"), col("c")).head()
+      val chi2 = r.getAs[Double]("chi2")
+      val v = r.getAs[Double]("cramers_v")
+      val p = Stats.chi2PValue(chi2, r.getAs[Long]("dof"))
+      chi2 >= -1e-9 && v >= -1e-9 && v <= 1 + 1e-9 && p >= 0 && p <= 1
+    }
+
   property("moneySum is invariant under row order and partitioning") =
     forAll(Gen.nonEmptyListOf(Gen.choose(-100000, 100000))) { cents =>
       val vals = cents.map(_ / 100.0)
