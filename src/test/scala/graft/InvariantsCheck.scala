@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.ColumnFns
-import graft.operators.{AssociationRules, Dedup, NearDup, Rfm, Stats}
+import graft.operators.{AssociationRules, Dedup, Joins, NearDup, Rfm, Stats}
 import graft.operators.AssociationRules.Params
 import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Properties, Test}
@@ -136,6 +136,27 @@ object InvariantsCheck extends Properties("graft.invariants") {
       val b = Stats.ks2(df, col("g"), col("v"), "y", "x").head()
         .getAs[Double]("ks_stat")
       a >= 0 && a <= 1 && a == b
+    }
+
+  property("saltedJoin equals the plain inner join for any salt count") =
+    forAll(for {
+      big <- Gen.nonEmptyListOf(for {
+        k <- Gen.choose(1L, 4L); p <- Gen.choose(0, 1000)
+      } yield (k, p))
+      dim <- Gen.nonEmptyListOf(for {
+        k <- Gen.choose(1L, 6L); l <- Gen.oneOf("a", "b")
+      } yield (k, l))
+      n <- Gen.choose(1, 8)
+    } yield (big, dim.distinct, n)) { case (big, dim, n) =>
+      val b = big.toDF("k", "p")
+      val d = dim.toDF("k", "l")
+      val plain = b.join(d, Seq("k")).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val salted = Joins.saltedJoin(b, d, Seq("k"), n).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      salted == plain // multiset equality: no row lost or duplicated
     }
 
   property("chi-square: statistic >= 0, Cramer's V in [0,1], p in [0,1]") =
