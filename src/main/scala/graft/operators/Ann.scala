@@ -152,7 +152,10 @@ object Ann {
     // the vector's own assigned cell.)
     val probes = assigned.select(col("id"), col("v"), col("nrm"))
       .crossJoin(broadcast(centers))
-      .withColumn("csim", dot(col("v"), col("centroid")) / col("cnorm"))
+      // native dot (float v × double centroid) — the HOF `dot` here was
+      // rows × nCells interpreted lambda folds, the one stage the native
+      // expression was built for; double centroids keep csim bit-identical
+      .withColumn("csim", nativeDot(col("v"), col("centroid")) / col("cnorm"))
       .withColumn("pr", row_number().over(
         Window.partitionBy(col("id"))
           .orderBy(col("csim").desc, col("cell").asc)))

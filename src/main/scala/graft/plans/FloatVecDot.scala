@@ -8,7 +8,8 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 
-/** Native Catalyst expression for `Σ aᵢ·bᵢ` over two float-array columns,
+/** Native Catalyst expression for `Σ aᵢ·bᵢ` over two numeric-array columns
+  * (each side independently `ARRAY<FLOAT>` or `ARRAY<DOUBLE>`),
   * accumulating in double.
   *
   * Why a custom Expression (the brief's option (b)) instead of the
@@ -29,25 +30,33 @@ case class FloatVecDot(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
-      case ArrayType(FloatType, _) => true
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
       case _ => false
     })
     if (ok) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"fvec_dot expects two ARRAY<FLOAT> arguments, got " +
+      s"fvec_dot expects ARRAY<FLOAT> or ARRAY<DOUBLE> arguments, got " +
         s"${left.dataType.sql} and ${right.dataType.sql}")
   }
   override def dataType: DataType = DoubleType
   override def prettyName: String = "fvec_dot"
 
+  private def isDouble(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val (xd, yd) = (isDouble(left), isDouble(right))
     val n = math.min(x.numElements(), y.numElements())
     var acc = 0.0
     var i = 0
     while (i < n) {
-      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      val xv = if (xd) x.getDouble(i) else x.getFloat(i).toDouble
+      val yv = if (yd) y.getDouble(i) else y.getFloat(i).toDouble
+      acc += xv * yv
       i += 1
     }
     acc
@@ -59,11 +68,15 @@ case class FloatVecDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      val ax = if (isDouble(left)) s"$a.getDouble($i)"
+               else s"(double) $a.getFloat($i)"
+      val bx = if (isDouble(right)) s"$b.getDouble($i)"
+               else s"(double) $b.getFloat($i)"
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  $acc += $ax * $bx;
          |}
          |${ev.value} = $acc;
        """.stripMargin

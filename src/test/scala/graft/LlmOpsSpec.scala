@@ -76,6 +76,21 @@ class LlmOpsSpec extends SparkSpec {
     assert(top(1).getAs[Long]("cand_id") == 4L)
   }
 
+  test("fvec_dot on a double-array side is bit-equal to the HOF dot") {
+    graft.plans.GraftExtensions.register(spark)
+    val df = Seq(
+      (Array(0.25f, -1.5f, 3.125f), Array(2.0, 0.5, -0.125)),
+      (Array(1e-3f, 2e3f, -7.75f), Array(-1.0, 1e-4, 64.0)))
+      .toDF("f", "d")
+    val rows = df.select(
+      Ann.nativeDot($"f", $"d").as("nat"),
+      Ann.dot($"f", $"d").as("hof")).collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
   test("ANN: IVF probe recalls a meaningful share of brute-force top-1") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val brute = Ann.bruteForceTopK(e, e, "vec_id", "embedding", 1)
