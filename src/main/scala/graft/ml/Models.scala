@@ -26,27 +26,43 @@ import org.apache.spark.sql.functions._
   */
 object Models {
 
-  /** Feature preprocessing: index+one-hot categoricals, assemble with
-    * numerics, standard-scale (`ml_models.py:416-430`, 535-536). */
-  def featureStages(numericCols: Seq[String], categoricalCols: Seq[String])
+  /** Feature preprocessing (`ml_models.py:416-430`, 535-536), reference
+    * semantics: label-encode categoricals to their sorted-class code
+    * ([[LabelEncoder]] — unseen → class 0), assemble the CODES directly
+    * with the numerics (the reference feeds integer codes to its scaler;
+    * it does NOT one-hot), then standard-scale. `oneHot = true` keeps the
+    * round-2/3 one-hot variant as an explicit divergence for callers who
+    * want the better-conditioned encoding. */
+  def featureStages(numericCols: Seq[String], categoricalCols: Seq[String],
+                    oneHot: Boolean = false)
       : Array[org.apache.spark.ml.PipelineStage] = {
-    val indexers = categoricalCols.map(c =>
-      new StringIndexer().setInputCol(c).setOutputCol(s"${c}_idx")
-        .setHandleInvalid("keep"))
-    val encoder =
-      if (categoricalCols.nonEmpty)
-        Seq(new OneHotEncoder()
-          .setInputCols(categoricalCols.map(c => s"${c}_idx").toArray)
-          .setOutputCols(categoricalCols.map(c => s"${c}_oh").toArray)
-          .setDropLast(true))
-      else Seq.empty
+    val (encStages, catFeatureCols) =
+      if (oneHot) {
+        val indexers = categoricalCols.map(c =>
+          new StringIndexer().setInputCol(c).setOutputCol(s"${c}_idx")
+            .setHandleInvalid("keep")
+            : org.apache.spark.ml.PipelineStage)
+        val encoder =
+          if (categoricalCols.nonEmpty)
+            Seq(new OneHotEncoder()
+              .setInputCols(categoricalCols.map(c => s"${c}_idx").toArray)
+              .setOutputCols(categoricalCols.map(c => s"${c}_oh").toArray)
+              .setDropLast(true)
+              : org.apache.spark.ml.PipelineStage)
+          else Seq.empty
+        (indexers ++ encoder, categoricalCols.map(c => s"${c}_oh"))
+      } else {
+        (categoricalCols.map(c =>
+          new LabelEncoder().setInputCol(c).setOutputCol(s"${c}_code")
+            : org.apache.spark.ml.PipelineStage),
+          categoricalCols.map(c => s"${c}_code"))
+      }
     val assembler = new VectorAssembler()
-      .setInputCols((numericCols ++ categoricalCols.map(c => s"${c}_oh"))
-        .toArray)
+      .setInputCols((catFeatureCols ++ numericCols).toArray)
       .setOutputCol("rawFeatures")
     val scaler = new StandardScaler().setInputCol("rawFeatures")
       .setOutputCol("features").setWithMean(true).setWithStd(true)
-    (indexers ++ encoder ++ Seq(assembler, scaler)).toArray
+    (encStages ++ Seq(assembler, scaler)).toArray
   }
 
   /** Stratified train/test split (seed 42): exact per-label fractions via
@@ -69,23 +85,54 @@ object Models {
   }
 
   /** The model zoo (`ml_models.py:538-543`), MLlib estimators keyed by the
-    * reference's names. */
-  def zoo(featureCount: Int, seed: Long = 42L)
-      : Map[String, org.apache.spark.ml.PipelineStage] = Map(
-    "neural_network" -> new MultilayerPerceptronClassifier()
-      .setLayers(Array(featureCount, 16, 8, 2)).setMaxIter(100)
-      .setSeed(seed).setFeaturesCol("features").setLabelCol("label"),
-    "random_forest" -> new RandomForestClassifier().setNumTrees(150)
-      .setMaxDepth(15).setMinInstancesPerNode(5).setSeed(seed)
-      .setFeaturesCol("features").setLabelCol("label"),
-    // bug-compatible: the reference's "gradient_boost" is a 2nd RF
-    "gradient_boost" -> new RandomForestClassifier().setNumTrees(150)
-      .setMaxDepth(15).setMinInstancesPerNode(5).setSeed(seed + 1)
-      .setFeaturesCol("features").setLabelCol("label"),
-    "gbt" -> new GBTClassifier().setMaxIter(50).setSeed(seed)
-      .setFeaturesCol("features").setLabelCol("label"),
-    "svm" -> new LinearSVC().setMaxIter(50)
-      .setFeaturesCol("features").setLabelCol("label"))
+    * reference's names. Defaults are the REFERENCE's hyperparameters:
+    *  - neural_network: hidden (128, 64, 32), max_iter 300;
+    *  - random_forest: 150 trees, depth 15, min_samples_split 10 — MLlib
+    *    has no parent-size split bound, so the closest mapping is
+    *    minInstancesPerNode 5 (forbids any split of a ≤9-sample node,
+    *    exactly sklearn's constraint for balanced splits; additionally
+    *    forbids very unbalanced splits of larger nodes — divergence noted);
+    *  - gradient_boost: bug-compatibly a 2nd RandomForest
+    *    (`ml_models.py:541`) WITHOUT min_samples_split (sklearn default 2
+    *    → minInstancesPerNode 1);
+    *  - svm: no RBF-kernel SVM in MLlib → LinearSVC (divergence recorded);
+    *    the reference caps SVC training at 5K rows (`ml_models.py:549-553`).
+    *  - gbt: a real GBT, extra to the reference's zoo.
+    * `toyScale = true` shrinks iterations/capacity for sandbox-sized
+    * frames (the registered queries use it; parity defaults would spend
+    * minutes of local[n] scheduling on toy data for identical accuracy). */
+  def zoo(featureCount: Int, seed: Long = 42L, toyScale: Boolean = false)
+      : Map[String, org.apache.spark.ml.PipelineStage] = {
+    val mlpLayers =
+      if (toyScale) Array(featureCount, 16, 8, 2)
+      else Array(featureCount, 128, 64, 32, 2)
+    val mlpIters = if (toyScale) 60 else 300
+    val nTrees = if (toyScale) 20 else 150
+    val depth = if (toyScale) 8 else 15
+    val svcIters = if (toyScale) 20 else 50
+    Map(
+      "neural_network" -> new MultilayerPerceptronClassifier()
+        .setLayers(mlpLayers).setMaxIter(mlpIters)
+        .setSeed(seed).setFeaturesCol("features").setLabelCol("label"),
+      "random_forest" -> new RandomForestClassifier().setNumTrees(nTrees)
+        .setMaxDepth(depth).setMinInstancesPerNode(5).setSeed(seed)
+        .setFeaturesCol("features").setLabelCol("label"),
+      "gradient_boost" -> new RandomForestClassifier().setNumTrees(nTrees)
+        .setMaxDepth(depth).setMinInstancesPerNode(1).setSeed(seed + 1)
+        .setFeaturesCol("features").setLabelCol("label"),
+      "gbt" -> new GBTClassifier().setMaxIter(if (toyScale) 10 else 50)
+        .setSeed(seed).setFeaturesCol("features").setLabelCol("label"),
+      "svm" -> new LinearSVC().setMaxIter(svcIters)
+        .setFeaturesCol("features").setLabelCol("label"))
+  }
+
+  /** The reference zoo's model names (`ml_models.py:538-543`) — the four
+    * trained per horizon. */
+  val ReferenceZoo: Seq[String] =
+    Seq("neural_network", "random_forest", "gradient_boost", "svm")
+
+  /** The reference's SVC training cap (`ml_models.py:549-553`). */
+  val SvmTrainCap: Int = 5000
 
   /** Churn pipeline (§2.12): preprocess + GBT (closest in-box analogue of
     * the reference's XGBoost binary:logistic, 100 estimators). */
@@ -105,6 +152,63 @@ object Models {
     Seq("accuracy", "weightedPrecision", "weightedRecall", "f1")
       .map(mn => mn -> ev.setMetricName(mn).evaluate(scored)).toMap
   }
+
+  /** §2.13/S8 — train the full zoo end-to-end: for each (horizon name,
+    * label column), stratified 80/20 split (seed 42, `ml_models.py:528`),
+    * fit the preprocessing on the TRAIN side only (the reference's
+    * `scaler.fit_transform(X_train)` / `transform(X_test)` split
+    * discipline), train every reference zoo model, and score the held-out
+    * test set (`ml_models.py:509-596`). Returns `"h_model" ->
+    * {accuracy, precision, recall, f1, horizon_days}` — the reference's
+    * `model_metrics.json` shape with weighted averaging
+    * (`ml_models.py:559-567`).
+    *
+    * The SVC is fit on a capped sample ([[SvmTrainCap]] rows; the
+    * reference draws them with an unseeded `np.random.choice` — here a
+    * deterministic prefix, divergence noted). */
+  def trainZoo(features: DataFrame,
+               horizons: Seq[(String, String, Int)],
+               numericCols: Seq[String], categoricalCols: Seq[String],
+               trainFrac: Double = 0.8, seed: Long = 42L,
+               toyScale: Boolean = false,
+               modelNames: Seq[String] = ReferenceZoo)
+      : Map[String, Map[String, Double]] = {
+    val featureCount = categoricalCols.size + numericCols.size
+    horizons.flatMap { case (h, labelCol, days) =>
+      val df = features.withColumn("label", col(labelCol).cast("double"))
+      val (train, test) = stratifiedSplit(df, "label", trainFrac, seed)
+      val prep = new Pipeline()
+        .setStages(featureStages(numericCols, categoricalCols)).fit(train)
+      val trainF = prep.transform(train)
+        .select(col("features"), col("label")).cache()
+      val testF = prep.transform(test)
+        .select(col("features"), col("label")).cache()
+      trainF.count(); testF.count()
+      val ests = zoo(featureCount, seed, toyScale)
+      val out = modelNames.map { mn =>
+        val fitDf = if (mn == "svm") trainF.limit(SvmTrainCap) else trainF
+        val model = ests(mn).asInstanceOf[org.apache.spark.ml.Estimator[_]]
+          .fit(fitDf).asInstanceOf[org.apache.spark.ml.Transformer]
+        val m = evaluate(model.transform(testF))
+        s"${h}_$mn" -> Map(
+          "accuracy" -> m("accuracy"),
+          "precision" -> m("weightedPrecision"),
+          "recall" -> m("weightedRecall"),
+          "f1" -> m("f1"),
+          "horizon_days" -> days.toDouble)
+      }
+      trainF.unpersist(); testF.unpersist()
+      out
+    }.toMap
+  }
+
+  /** S8 — model store: persist / reload a fitted pipeline (the
+    * reference's joblib dump/load per (horizon, model),
+    * `ml_models.py:101-178`). */
+  def saveModel(model: PipelineModel, path: String): Unit =
+    model.write.overwrite().save(path)
+
+  def loadModel(path: String): PipelineModel = PipelineModel.load(path)
 
   /** S8 — persist per-(horizon, model) metrics as JSON next to the saved
     * models (the reference's `model_metrics.json`, `ml_models.py:101-178`). */

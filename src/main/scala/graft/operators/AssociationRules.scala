@@ -182,6 +182,69 @@ object AssociationRules {
     fwd.unionByName(rev).where(col("confidence") >= minConfidence)
   }
 
+  /** Explode each basket's sorted item array into ordered (a < b < c)
+    * triples and count — the 3-item analogue of [[explodePairs]], same
+    * codegen'd array-lambda shape. Size-2 baskets contribute nothing. */
+  private def explodeTriples(baskets: DataFrame): DataFrame =
+    baskets
+      .select(explode(expr(
+        """flatten(transform(items, (x, i) ->
+          |  flatten(transform(slice(items, i + 2, size(items)), (y, j) ->
+          |    transform(slice(items, i + j + 3, size(items)), z ->
+          |      named_struct('item_a', x, 'item_b', y, 'item_c', z))))))"""
+          .stripMargin))
+        .as("t"))
+      .select(col("t.item_a"), col("t.item_b"), col("t.item_c"))
+      .groupBy(col("item_a"), col("item_b"), col("item_c"))
+      .agg(count(lit(1)).as("triple_baskets"))
+
+  /** R3' — 2-antecedent rules `[a,b] → c` from per-basket triples, the
+    * FP-Growth rule shape (`analytics.py:15-184` mines multi-item
+    * antecedents) computed with plain relational algebra so it stays
+    * ANSI-SQL-expressible (unlike MLlib FP-Growth's traversal order):
+    *   confidence = triple_baskets / pair_baskets(a,b)
+    *   lift       = confidence / (c_baskets / total_baskets)
+    * Same minSupport floor as [[rulesRaw]]
+    * (`max(1, floor(total·minSupport))`), top `maxRules` by triple count
+    * with full-key tiebreaks. Triple explosion is bounded by
+    * `maxBasketSize`³/6 per basket; at coarse item grains (brand /
+    * department, the reference's levels) baskets hold a handful of
+    * distinct items, so the stream stays linear-ish. */
+  def tripleRules(tx: DataFrame, basket: String, item: String,
+                  params: Params = Params()): DataFrame = {
+    val is = itemsets(tx, basket, item).cache()
+    val totalBaskets = is.select(col("basket")).distinct().count()
+    val minTriple =
+      math.max(1L, math.floor(totalBaskets * params.minSupport).toLong)
+    val baskets = is.groupBy(col("basket"))
+      .agg(array_sort(collect_set(col("item"))).as("items"))
+      .where(size(col("items")).between(2, params.maxBasketSize))
+    val pairs = explodePairs(baskets)
+    val counts = is.groupBy(col("item")).agg(count(lit(1)).as("item_baskets"))
+    val tot = lit(totalBaskets)
+    explodeTriples(baskets)
+      .where(col("triple_baskets") >= minTriple)
+      .join(pairs.toDF("item_a", "item_b", "pair_baskets"),
+        Seq("item_a", "item_b"))
+      .join(broadcast(counts.toDF("item_c", "c_baskets")), Seq("item_c"))
+      .withColumn("confidence",
+        col("triple_baskets").cast("double") / col("pair_baskets"))
+      .withColumn("lift",
+        (col("triple_baskets").cast("double") / col("pair_baskets")) /
+          (col("c_baskets").cast("double") / tot))
+      .where(col("confidence") >= params.minConfidence)
+      .orderBy(col("triple_baskets").desc, col("item_a").asc,
+        col("item_b").asc, col("item_c").asc)
+      .limit(params.maxRules)
+      .select(array(col("item_a"), col("item_b")).as("antecedent"),
+        array(col("item_c")).as("consequent"),
+        col("triple_baskets"),
+        stableRound(col("triple_baskets").cast("double") / tot, 6)
+          .as("support"),
+        stableRound(col("confidence"), 6).as("confidence"),
+        stableRound(col("lift"), 6).as("lift"))
+  }
+
   /** R3 — full multi-itemset mining via MLlib's parallel FP-Growth
     * (Han et al. SIGMOD'00; PFP, Li et al. RecSys'08) replacing the
     * reference's in-memory Apriori (`analytics.py:15-184`). */

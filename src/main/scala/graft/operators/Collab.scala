@@ -167,12 +167,23 @@ object Collab {
     * the user's purchased set. `purchasedSets` is (u, items array);
     * `rules` has array `antecedent`/`consequent` (FP-Growth shape).
     * Subset test is `array_except(antecedent, items) == []` — codegen'd,
-    * no UDF; rules are broadcast (they are top-N small). */
-  def matchingRules(purchasedSets: DataFrame, rules: DataFrame): DataFrame =
+    * no UDF; rules are broadcast (they are top-N small).
+    *
+    * The crossJoin is sound ONLY because the rule side is small; an
+    * unbounded rule table would silently go quadratic, so the size is
+    * asserted up front (`maxRules`, default 10 000 — far above the
+    * reference's top-500-per-level fetch, `customers/views.py:68`). */
+  def matchingRules(purchasedSets: DataFrame, rules: DataFrame,
+                    maxRules: Int = 10000): DataFrame = {
+    val n = rules.limit(maxRules + 1).count()
+    require(n <= maxRules,
+      s"matchingRules: rule table exceeds $maxRules rows — broadcast " +
+        "crossJoin would go quadratic; pre-limit the rules (top-N by lift)")
     purchasedSets.crossJoin(
         broadcast(rules.select(col("antecedent"), col("consequent"),
           col("confidence"), col("lift"))))
       .where(size(array_except(col("antecedent"), col("items"))) === 0)
+  }
 
   /** Hybrid blend (`customers/views.py:127-163`): normalize each source's
     * scores by its PER-USER max (the reference scores one household per

@@ -108,13 +108,39 @@ class SinksAndMlSpec extends SparkSpec {
     assert(frac1 > 0.1 && frac1 < 0.3)
   }
 
+  test("LabelEncoder: sorted classes, unseen and null map to class 0") {
+    // sklearn parity (ml_models.py:416-430): classes_ = sorted unique,
+    // unseen -> classes_[0]
+    val train = Seq("banana", "apple", "cherry", "apple").toDF("fruit")
+    val enc = new graft.ml.LabelEncoder().setInputCol("fruit")
+      .setOutputCol("code").fit(train)
+    assert(enc.getClasses.toSeq == Seq("apple", "banana", "cherry"))
+    val test_ = Seq(Some("cherry"), Some("durian"), None).toDF("fruit")
+    val codes = enc.transform(test_).select("code").as[Double].collect().toSeq
+    assert(codes == Seq(2.0, 0.0, 0.0))
+  }
+
+  test("LabelEncoder survives pipeline persistence inside a PipelineModel") {
+    val df = Seq(("b", 1.0, 0.0), ("a", 2.0, 1.0), ("c", 3.0, 1.0),
+      ("a", 4.0, 0.0)).toDF("seg", "x", "label")
+    val pipe = new org.apache.spark.ml.Pipeline()
+      .setStages(Models.featureStages(Seq("x"), Seq("seg")))
+    val fitted = pipe.fit(df)
+    val dir = java.nio.file.Files.createTempDirectory("graftle").toString
+    fitted.write.overwrite().save(dir)
+    val loaded = org.apache.spark.ml.PipelineModel.load(dir)
+    val a = fitted.transform(df).select("seg_code").as[Double].collect().toSeq
+    val b = loaded.transform(df).select("seg_code").as[Double].collect().toSeq
+    assert(a == b && a == Seq(1.0, 0.0, 2.0, 0.0))
+  }
+
   test("model zoo estimators all train on a tiny frame") {
     val feats = ((1 to 40).map(i => (Vector(i.toDouble, 100.0 - i), 0.0)) ++
       (41 to 80).map(i => (Vector(i.toDouble + 100, i.toDouble), 1.0)))
       .map { case (v, l) =>
         (org.apache.spark.ml.linalg.Vectors.dense(v.toArray), l)
       }.toDF("features", "label")
-    Models.zoo(2).foreach { case (name, est) =>
+    Models.zoo(2, toyScale = true).foreach { case (name, est) =>
       val model = est.asInstanceOf[org.apache.spark.ml.Estimator[_]]
         .fit(feats).asInstanceOf[org.apache.spark.ml.Transformer]
       val acc = Models.evaluate(model.transform(feats))("accuracy")
