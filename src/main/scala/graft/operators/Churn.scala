@@ -71,4 +71,56 @@ object Churn {
       case None => labeled
     }
   }
+
+  /** One sweep row: threshold (days), accuracy, churn (class-1) recall. */
+  final case class SweepPoint(threshold: Int, accuracy: Double,
+                              churnRecall: Double)
+  final case class SweepResult(points: Seq[SweepPoint], best: Int)
+
+  /** Churn-threshold optimization
+    * (`management/commands/optimize_churn_model.py:16-48`): evaluate each
+    * candidate churn-day threshold and pick the one maximizing CHURN
+    * recall — the reference's "Key Metric" — with the reference's
+    * first-max tie rule (`idxmax`). `evalAt` abstracts "prepare data at
+    * this threshold, train, report (accuracy, class-1 recall)" so the
+    * selection logic is testable without a model fit per point; the
+    * production evaluator is [[churnEval]]. */
+  def thresholdSweep(evalAt: Int => (Double, Double),
+                     thresholds: Seq[Int] = 10 to 30 by 3): SweepResult = {
+    val pts = thresholds.map { t =>
+      val (acc, rec) = evalAt(t)
+      SweepPoint(t, acc, rec)
+    }
+    // maxBy keeps the FIRST maximum — pandas idxmax parity
+    SweepResult(pts, pts.maxBy(_.churnRecall).threshold)
+  }
+
+  /** The sweep's production evaluator: leak-free features at the given
+    * offset, stratified 80/20 split, §2.12 churn GBT, held-out accuracy +
+    * class-1 recall (the reference's `classification_report['1']
+    * ['recall']`). */
+  def churnEval(tx: DataFrame, customer: String, item: String,
+                sales: String, day: Column,
+                demographics: Option[(DataFrame, String, Seq[String])] = None,
+                maxIter: Int = 10, trainFrac: Double = 0.8,
+                seed: Long = 42L): Int => (Double, Double) = { offset =>
+    import graft.ml.Models
+    val catCols = demographics.map(_._3).getOrElse(Seq.empty)
+    val feats = features(tx, customer, item, sales, day, offset,
+      demographics).repartition(8)
+    val df = feats.withColumn("label", col("is_churn").cast("double"))
+    val (train, test) = Models.stratifiedSplit(df, "label", trainFrac, seed)
+    val model = Models.churnPipeline(
+      Seq("recency", "frequency", "monetary", "product_variety",
+        "avg_purchase_gap"), catCols, seed, maxIter).fit(train)
+    val scored = model.transform(test).cache()
+    val acc = Models.evaluate(scored)("accuracy")
+    val churnRecall = new org.apache.spark.ml.evaluation
+      .MulticlassClassificationEvaluator()
+      .setLabelCol("label").setPredictionCol("prediction")
+      .setMetricName("recallByLabel").setMetricLabel(1.0)
+      .evaluate(scored)
+    scored.unpersist()
+    (acc, churnRecall)
+  }
 }

@@ -37,11 +37,26 @@ object Collab {
     counts.groupBy(col("u"))
       .agg(sqrt(sum(col("c") * col("c"))).as("nrm"))
 
+  /** Items shared by more than this many users are dropped from the
+    * similarity numerator by default: the per-item pair blow-up is
+    * users², so one item bought by 10⁶ users would emit 5·10¹¹ pairs —
+    * the silent scale-killer of the naive self-join. At the default cap
+    * an item contributes ≤ ~5·10⁷ pairs (bounded, shuffle-spreadable),
+    * while any item POPULAR enough to hit the cap carries near-zero
+    * cosine signal anyway (it co-occurs with everything — the classic
+    * tf-idf argument). Dense test data sits far below the cap, so the
+    * default is exact there; pass `maxItemUsers = None` for guaranteed
+    * exactness, or switch to [[userSimilaritiesDimsum]] for provable
+    * error bounds under real skew. */
+  val DefaultMaxItemUsers: Int = 10000
+
   /** One-directional (u1 < u2) nonzero cosine similarities via item
     * self-join. `maxItemUsers` drops items shared by more than that many
-    * users (quadratic-blowup guard; None = keep all). */
+    * users (quadratic-blowup guard, ON by default at
+    * [[DefaultMaxItemUsers]]; `None` = exact mode, keep all). */
   def userSimilarities(counts: DataFrame,
-                       maxItemUsers: Option[Int] = None): DataFrame = {
+                       maxItemUsers: Option[Int] = Some(DefaultMaxItemUsers))
+      : DataFrame = {
     // deliberately un-cached: the counts aggregation is one cheap shuffle,
     // and a cache barrier here would cost more in materialization and lost
     // scan pipelining than the recompute (measured at sf0.1)

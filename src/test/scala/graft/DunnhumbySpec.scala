@@ -122,6 +122,32 @@ class DunnhumbySpec extends SparkSpec {
     assert(rescored.count() == 80)
   }
 
+  test("churn threshold sweep picks the recall-maximizing threshold, " +
+      "first max on ties") {
+    // synthetic evaluator with a known optimum at 19 days
+    val sweep = Churn.thresholdSweep(t =>
+      (0.5, 1.0 - math.abs(t - 19) / 20.0))
+    assert(sweep.points.map(_.threshold) == Seq(10, 13, 16, 19, 22, 25, 28))
+    assert(sweep.best == 19)
+    // pandas-idxmax parity: the FIRST of tied maxima wins
+    val tied = Churn.thresholdSweep(
+      t => (0.9, if (t == 13 || t == 22) 0.7 else 0.1))
+    assert(tied.best == 13)
+  }
+
+  test("churn sweep evaluator returns sane metrics on real testdata") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val tx = li.select(col("l_orderkey").as("o_orderkey"),
+        col("l_partkey"), col("l_extendedprice"))
+      .join(o.select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate")), Seq("o_orderkey"))
+    val (acc, rec) = Churn.churnEval(tx, "o_custkey", "l_partkey",
+      "l_extendedprice", col("o_orderdate"), maxIter = 5)(90)
+    assert(acc > 0.0 && acc <= 1.0, s"accuracy=$acc")
+    assert(rec >= 0.0 && rec <= 1.0, s"churn recall=$rec")
+  }
+
   test("J11 multi-item antecedent matching fires only on subset") {
     val purchased = Seq(
       (1L, Array("A", "B", "C")), (2L, Array("A"))).toDF("u", "items")

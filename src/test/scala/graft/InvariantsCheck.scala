@@ -175,6 +175,39 @@ object InvariantsCheck extends Properties("graft.invariants") {
       chi2 >= -1e-9 && v >= -1e-9 && v <= 1 + 1e-9 && p >= 0 && p <= 1
     }
 
+  property("CF: default-capped userSimilarities equals exact mode when " +
+      "no item is hotter than the cap") =
+    forAll(Gen.nonEmptyListOf(for {
+      u <- Gen.choose(1L, 8L)
+      i <- Gen.choose(1L, 5L)
+    } yield (u, i))) { rows =>
+      val counts = graft.operators.Collab.userItemCounts(
+        rows.toDF("u0", "i0"), "u0", "i0")
+      def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      // ≤8 users per item here, far under DefaultMaxItemUsers — the
+      // default path must be EXACT below the cap
+      key(graft.operators.Collab.userSimilarities(counts)) ==
+        key(graft.operators.Collab.userSimilarities(counts, None))
+    }
+
+  property("CF: a binding hot-item cap only ever drops pairs, never " +
+      "invents or inflates them") =
+    forAll(Gen.nonEmptyListOf(for {
+      u <- Gen.choose(1L, 8L)
+      i <- Gen.choose(1L, 4L)
+    } yield (u, i))) { rows =>
+      val counts = graft.operators.Collab.userItemCounts(
+        rows.toDF("u0", "i0"), "u0", "i0")
+      val capped = graft.operators.Collab
+        .userSimilarities(counts, Some(2)).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = graft.operators.Collab
+        .userSimilarities(counts, None).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      capped.subsetOf(exact)
+    }
+
   property("moneySum is invariant under row order and partitioning") =
     forAll(Gen.nonEmptyListOf(Gen.choose(-100000, 100000))) { cents =>
       val vals = cents.map(_ / 100.0)
