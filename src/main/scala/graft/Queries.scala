@@ -1162,8 +1162,12 @@ object Queries {
             "12months" -> 365).map { case (nm, h) =>
             s"target_$nm" -> (d > lit(pd) && d <= date_add(lit(pd), h))
           })
+        // 2 partitions: every zoo fit at this sample size is
+        // per-iteration JOB-SCHEDULING bound (an MLP takes one gradient
+        // job per LBFGS step), so fewer tasks per job is the lever —
+        // 5000 rows do not need parallelism
         val sample = labeled.orderBy(col("o_custkey")).limit(5000)
-          .repartition(8).cache()
+          .repartition(2).cache()
         val metrics = ml.Models.trainZoo(sample,
           Seq(("1month", "target_1month", 30),
             ("3months", "target_3months", 90),
@@ -1860,6 +1864,42 @@ object Queries {
             floor((list_dot_product(q.v, c.v) / (q.nrm * c.nrm))
               * 1e4 + 0.5) / 1e4 AS cosine
           FROM n q JOIN n c ON q.bucket = c.bucket AND q.id <> c.id)
+        SELECT query_id, cand_id, cosine, rn FROM (SELECT *,
+            CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, cand_id) AS BIGINT) AS rn
+          FROM scored)
+        WHERE rn <= 10 ORDER BY query_id, rn""")),
+
+    // -------------------------------------- ANN, multi-probe sign-LSH
+    // Same bucket arithmetic as q_ann_lsh plus Hamming-distance-1 probe
+    // expansion (query's bucket XOR one plane bit) — the recall-raising
+    // 100 TB path, still a linear bucket join, fully oracle-gated.
+    Spec("q_ann_lsh_multiprobe",
+      (s, dir) => Ann.lshTopKMultiProbe(t(s, dir).embeddings, "vec_id",
+        "embedding", 10, 8, 8).orderBy(col("query_id"), col("rn")),
+      Some("""WITH ev AS (SELECT vec_id AS id,
+          CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        dims AS (SELECT id, CAST(i - 1 AS BIGINT) AS i,
+            CAST(floor(v[i] * 1024.0 + 0.5) AS BIGINT) AS q
+          FROM ev, UNNEST(generate_series(1, len(v))) AS t(i)),
+        bits AS (SELECT id, j,
+            CASE WHEN SUM(q * ((j * 4096 + i) * 2654435761 % 2000 - 1000))
+              > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END AS b
+          FROM dims, UNNEST(generate_series(0, 7)) AS p(j)
+          GROUP BY id, j),
+        bk AS (SELECT id, CAST(SUM(b) AS BIGINT) AS bucket
+          FROM bits GROUP BY id),
+        n AS (SELECT ev.id, v, sqrt(list_dot_product(v, v)) AS nrm, bucket
+          FROM ev JOIN bk ON bk.id = ev.id),
+        probes AS (SELECT id, bucket FROM bk
+          UNION ALL
+          SELECT id, xor(bucket, CAST(1 AS BIGINT) << CAST(j AS INT))
+          FROM bk, UNNEST(generate_series(0, 7)) AS p(j)),
+        scored AS (SELECT p.id AS query_id, c.id AS cand_id,
+            floor((list_dot_product(q.v, c.v) / (q.nrm * c.nrm))
+              * 1e4 + 0.5) / 1e4 AS cosine
+          FROM probes p JOIN n q ON q.id = p.id
+          JOIN n c ON c.bucket = p.bucket AND c.id <> p.id)
         SELECT query_id, cand_id, cosine, rn FROM (SELECT *,
             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
               ORDER BY cosine DESC, cand_id) AS BIGINT) AS rn

@@ -106,7 +106,7 @@ object Models {
     val mlpLayers =
       if (toyScale) Array(featureCount, 16, 8, 2)
       else Array(featureCount, 128, 64, 32, 2)
-    val mlpIters = if (toyScale) 60 else 300
+    val mlpIters = if (toyScale) 30 else 300
     val nTrees = if (toyScale) 20 else 150
     val depth = if (toyScale) 8 else 15
     val svcIters = if (toyScale) 20 else 50
@@ -145,12 +145,17 @@ object Models {
           : org.apache.spark.ml.PipelineStage))
 
   /** Accuracy + weighted precision/recall/F1 on a scored frame
-    * (`ml_models.py:559-567`). */
+    * (`ml_models.py:559-567`). The evaluator takes one full pass PER
+    * metric, so the two columns it reads are pinned for the four passes —
+    * without this, `transform` (a model scoring pass) re-runs 4×. */
   def evaluate(scored: DataFrame): Map[String, Double] = {
+    val pl = scored.select(col("prediction"), col("label")).cache()
     val ev = new MulticlassClassificationEvaluator()
       .setLabelCol("label").setPredictionCol("prediction")
-    Seq("accuracy", "weightedPrecision", "weightedRecall", "f1")
-      .map(mn => mn -> ev.setMetricName(mn).evaluate(scored)).toMap
+    val out = Seq("accuracy", "weightedPrecision", "weightedRecall", "f1")
+      .map(mn => mn -> ev.setMetricName(mn).evaluate(pl)).toMap
+    pl.unpersist()
+    out
   }
 
   /** §2.13/S8 — train the full zoo end-to-end: for each (horizon name,
@@ -173,8 +178,17 @@ object Models {
                toyScale: Boolean = false,
                modelNames: Seq[String] = ReferenceZoo)
       : Map[String, Map[String, Double]] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
     val featureCount = categoricalCols.size + numericCols.size
-    horizons.flatMap { case (h, labelCol, days) =>
+    // every fit here is per-iteration JOB-SCHEDULING bound at sandbox row
+    // counts (an MLP takes one gradient job per LBFGS step), so the
+    // horizons — and the models within one — train CONCURRENTLY: Spark
+    // schedules many small jobs at once and the scheduling gaps overlap.
+    // Each estimator is independent and seeded, so the metrics are
+    // identical to the sequential loop.
+    val perHorizon = horizons.map { case (h, labelCol, days) => Future {
       val df = features.withColumn("label", col(labelCol).cast("double"))
       val (train, test) = stratifiedSplit(df, "label", trainFrac, seed)
       val prep = new Pipeline()
@@ -185,7 +199,7 @@ object Models {
         .select(col("features"), col("label")).cache()
       trainF.count(); testF.count()
       val ests = zoo(featureCount, seed, toyScale)
-      val out = modelNames.map { mn =>
+      val out = Await.result(Future.sequence(modelNames.map { mn => Future {
         val fitDf = if (mn == "svm") trainF.limit(SvmTrainCap) else trainF
         val model = ests(mn).asInstanceOf[org.apache.spark.ml.Estimator[_]]
           .fit(fitDf).asInstanceOf[org.apache.spark.ml.Transformer]
@@ -196,10 +210,11 @@ object Models {
           "recall" -> m("weightedRecall"),
           "f1" -> m("f1"),
           "horizon_days" -> days.toDouble)
-      }
+      }}), Duration.Inf)
       trainF.unpersist(); testF.unpersist()
       out
-    }.toMap
+    }}
+    Await.result(Future.sequence(perHorizon), Duration.Inf).flatten.toMap
   }
 
   /** S8 — model store: persist / reload a fitted pipeline (the

@@ -111,6 +111,43 @@ object Ann {
       .where(col("rn") <= k)
   }
 
+  /** Multi-probe sign-LSH (the multi-probe idea of Lv et al., VLDB'07,
+    * applied to Charikar sign buckets): each query probes its OWN bucket
+    * plus the `probes` buckets at Hamming distance 1 (one plane bit
+    * flipped — the likeliest buckets for a near neighbor that fell on the
+    * other side of one hyperplane). Recall rises toward brute force as
+    * `probes` → nPlanes with NO extra hashing and the same linear
+    * (bucket, vec) shuffle — the documented 100 TB escalation of
+    * [[lshTopK]]. Each candidate lives in exactly one bucket and the
+    * probe list has pairwise-distinct bucket ids, so no candidate dedup
+    * is needed. Probing strictly grows the candidate set, so the true
+    * nearest neighbor can only gain rank — recall is monotone in
+    * `probes` (pinned by a test). */
+  def lshTopKMultiProbe(df: DataFrame, id: String, vec: String, k: Int,
+                        nPlanes: Int = 8, probes: Int = 8): DataFrame = {
+    GraftExtensions.register(df.sparkSession)
+    require(probes <= nPlanes, "probes flip one of nPlanes bits")
+    val b = lshBuckets(df, id, vec, nPlanes).cache()
+    val probeBuckets = array(
+      (col("bucket") +: (0 until probes).map(j =>
+        col("bucket").bitwiseXOR(lit(1L << j)))): _*)
+    val q = b.select(col("id").as("query_id"), col("v").as("qv"),
+        sqrt(nativeDot(col("v"), col("v"))).as("qn"),
+        explode(probeBuckets).as("bucket"))
+    val c = b.select(col("bucket"), col("id").as("cand_id"),
+      col("v").as("cv"), sqrt(nativeDot(col("v"), col("v"))).as("cn"))
+    q.join(c, Seq("bucket"))
+      .where(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        stableRound(nativeDot(col("qv"), col("cv")) / (col("qn") * col("cn")),
+          4).as("cosine"))
+      .withColumn("rn", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("cosine").desc, col("cand_id").asc))
+        .cast("long"))
+      .where(col("rn") <= k)
+  }
+
   /** IVF ANN (the inverted-file structure of FAISS-style indexes): a
     * k-means coarse quantizer assigns every vector to a cell; a query
     * probes its `nProbe` nearest cells (by centroid cosine) and scores

@@ -190,13 +190,16 @@ object Collab {
     * reference's top-500-per-level fetch, `customers/views.py:68`). */
   def matchingRules(purchasedSets: DataFrame, rules: DataFrame,
                     maxRules: Int = 10000): DataFrame = {
-    val n = rules.limit(maxRules + 1).count()
+    // pin the (tiny, post-guard) rule table: the guard count below must
+    // not re-run the whole mining pipeline a second time when the
+    // broadcast materializes
+    val r = rules.select(col("antecedent"), col("consequent"),
+      col("confidence"), col("lift")).cache()
+    val n = r.limit(maxRules + 1).count()
     require(n <= maxRules,
       s"matchingRules: rule table exceeds $maxRules rows — broadcast " +
         "crossJoin would go quadratic; pre-limit the rules (top-N by lift)")
-    purchasedSets.crossJoin(
-        broadcast(rules.select(col("antecedent"), col("consequent"),
-          col("confidence"), col("lift"))))
+    purchasedSets.crossJoin(broadcast(r))
       .where(size(array_except(col("antecedent"), col("items"))) === 0)
   }
 

@@ -110,6 +110,25 @@ class LlmOpsSpec extends SparkSpec {
       .head().getLong(0) <= 10)
   }
 
+  test("ANN: multi-probe LSH recall dominates single-probe recall") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val brute = Ann.bruteForceTopK(e, e, "vec_id", "embedding", 1)
+      .select($"query_id", $"cand_id".as("true_nn"))
+    // candidate sets grow monotonically with probing, and the true NN has
+    // the max cosine of any candidate — so its hit set is a superset
+    val single = Ann.lshTopK(e, "vec_id", "embedding", 10, 8)
+      .select($"query_id", $"cand_id")
+    val multi = Ann.lshTopKMultiProbe(e, "vec_id", "embedding", 10, 8, 8)
+      .select($"query_id", $"cand_id")
+    def recallOf(df: org.apache.spark.sql.DataFrame) = brute.join(df,
+      brute("query_id") === df("query_id")
+        && brute("true_nn") === df("cand_id")).count()
+    val rs = recallOf(single)
+    val rm = recallOf(multi)
+    assert(rm >= rs, s"multi-probe recall $rm < single-probe $rs")
+    assert(rm > 0)
+  }
+
   test("ANN: sample-quantizer IVF recalls a meaningful share of " +
       "brute-force top-1") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
