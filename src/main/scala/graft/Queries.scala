@@ -1119,19 +1119,24 @@ object Queries {
         tc AS (SELECT p2.ia, p2.ib, c.item AS ic, COUNT(*) AS tabc
           FROM p2 JOIN bi2 c ON c.basket = p2.basket AND c.item > p2.ib
           GROUP BY 1, 2, 3),
-        r AS (SELECT tc.ia, tc.ib, tc.ic, tc.tabc,
-            floor((CAST(tc.tabc AS DOUBLE) / pc.pab) * 1e6 + 0.5) / 1e6
+        -- all three orientations of each triple (each member as the
+        -- consequent), mirroring FP-Growth's emission
+        tor AS (SELECT ia AS a1, ib AS a2, ic AS co, tabc FROM tc
+          UNION ALL SELECT ia, ic, ib, tabc FROM tc
+          UNION ALL SELECT ib, ic, ia, tabc FROM tc),
+        r AS (SELECT tor.a1, tor.a2, tor.co, tor.tabc,
+            floor((CAST(tor.tabc AS DOUBLE) / pc.pab) * 1e6 + 0.5) / 1e6
               AS confidence,
-            floor(((CAST(tc.tabc AS DOUBLE) / pc.pab)
+            floor(((CAST(tor.tabc AS DOUBLE) / pc.pab)
               / (CAST(cn.c AS DOUBLE) / nb.n)) * 1e6 + 0.5) / 1e6 AS lift
-          FROM tc JOIN pc ON pc.ia = tc.ia AND pc.ib = tc.ib
-          CROSS JOIN nb JOIN cnt cn ON cn.item = tc.ic
-          WHERE tc.tabc >= GREATEST(1, CAST(FLOOR(nb.n * 0.002) AS BIGINT))
-            AND CAST(tc.tabc AS DOUBLE) / pc.pab >= 0.05
-          ORDER BY tc.tabc DESC, tc.ia, tc.ib, tc.ic LIMIT 200),
+          FROM tor JOIN pc ON pc.ia = tor.a1 AND pc.ib = tor.a2
+          CROSS JOIN nb JOIN cnt cn ON cn.item = tor.co
+          WHERE tor.tabc >= GREATEST(1, CAST(FLOOR(nb.n * 0.002) AS BIGINT))
+            AND CAST(tor.tabc AS DOUBLE) / pc.pab >= 0.05
+          ORDER BY tor.tabc DESC, tor.a1, tor.a2, tor.co LIMIT 200),
         matched AS (SELECT x.u, r.confidence, r.lift
-          FROM r JOIN ub x ON x.b = r.ia
-          JOIN ub y ON y.u = x.u AND y.b = r.ib)
+          FROM r JOIN ub x ON x.b = r.a1
+          JOIN ub y ON y.u = x.u AND y.b = r.a2)
         SELECT u, COUNT(*) AS n_rules,
           floor((SUM(confidence * lift)) * 1e6 + 0.5) / 1e6 AS vote_score,
           floor((MAX(lift)) * 1e6 + 0.5) / 1e6 AS best_lift

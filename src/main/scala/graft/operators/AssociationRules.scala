@@ -222,22 +222,36 @@ object AssociationRules {
     val pairs = explodePairs(baskets)
     val counts = is.groupBy(col("item")).agg(count(lit(1)).as("item_baskets"))
     val tot = lit(totalBaskets)
-    explodeTriples(baskets)
+    // every orientation of a frequent triple (a<b<c) is a rule — each
+    // member as consequent with the other two as antecedent, exactly
+    // FP-Growth's emission (tested equal in AssociationRulesSpec). The
+    // two antecedents stay sorted in all three cases.
+    val oriented = explodeTriples(baskets)
       .where(col("triple_baskets") >= minTriple)
-      .join(pairs.toDF("item_a", "item_b", "pair_baskets"),
-        Seq("item_a", "item_b"))
-      .join(broadcast(counts.toDF("item_c", "c_baskets")), Seq("item_c"))
+      .select(explode(array(
+          struct(col("item_a").as("ant1"), col("item_b").as("ant2"),
+            col("item_c").as("cons")),
+          struct(col("item_a").as("ant1"), col("item_c").as("ant2"),
+            col("item_b").as("cons")),
+          struct(col("item_b").as("ant1"), col("item_c").as("ant2"),
+            col("item_a").as("cons")))).as("o"),
+        col("triple_baskets"))
+      .select(col("o.ant1"), col("o.ant2"), col("o.cons"),
+        col("triple_baskets"))
+    oriented
+      .join(pairs.toDF("ant1", "ant2", "pair_baskets"), Seq("ant1", "ant2"))
+      .join(broadcast(counts.toDF("cons", "c_baskets")), Seq("cons"))
       .withColumn("confidence",
         col("triple_baskets").cast("double") / col("pair_baskets"))
       .withColumn("lift",
         (col("triple_baskets").cast("double") / col("pair_baskets")) /
           (col("c_baskets").cast("double") / tot))
       .where(col("confidence") >= params.minConfidence)
-      .orderBy(col("triple_baskets").desc, col("item_a").asc,
-        col("item_b").asc, col("item_c").asc)
+      .orderBy(col("triple_baskets").desc, col("ant1").asc,
+        col("ant2").asc, col("cons").asc)
       .limit(params.maxRules)
-      .select(array(col("item_a"), col("item_b")).as("antecedent"),
-        array(col("item_c")).as("consequent"),
+      .select(array(col("ant1"), col("ant2")).as("antecedent"),
+        array(col("cons")).as("consequent"),
         col("triple_baskets"),
         stableRound(col("triple_baskets").cast("double") / tot, 6)
           .as("support"),

@@ -80,6 +80,37 @@ class AssociationRulesSpec extends SparkSpec {
     assert(pc.count() == 1) // only basket 2 survives the cap
   }
 
+  test("tripleRules equals FP-Growth's 2-antecedent slice exactly") {
+    // the two implementations share NO code path (relational triples vs
+    // MLlib's PFP tree traversal) — agreement cross-validates both. On
+    // this fixture every basket has 2-3 items, so neither side's
+    // basket-size filter binds and the totals coincide.
+    def key(ant: Seq[String], cons: Seq[String]) =
+      (ant.sorted.mkString(","), cons.mkString(","))
+    val fp = AssociationRules.fpGrowthRules(fixture, "basket_id", "item",
+        Params(minSupport = 0.1, minConfidence = 0.05))
+      .where(size($"antecedent") === 2 && size($"consequent") === 1)
+      .collect().map { r =>
+        key(r.getSeq[String](0), r.getSeq[String](1)) ->
+          (r.getAs[Double]("support"), r.getAs[Double]("confidence"),
+            r.getAs[Double]("lift"))
+      }.toMap
+    val tr = AssociationRules.tripleRules(fixture, "basket_id", "item",
+        Params(minSupport = 0.1, minConfidence = 0.05, maxRules = 1000))
+      .collect().map { r =>
+        key(r.getSeq[String](0), r.getSeq[String](1)) ->
+          (r.getAs[Double]("support"), r.getAs[Double]("confidence"),
+            r.getAs[Double]("lift"))
+      }.toMap
+    assert(tr.keySet == fp.keySet, s"rule sets differ: $tr vs $fp")
+    assert(tr.nonEmpty)
+    tr.foreach { case (k, (s, c, l)) =>
+      val (fs, fc, fl) = fp(k)
+      assert(math.abs(s - fs) < 1e-6 && math.abs(c - fc) < 1e-6 &&
+        math.abs(l - fl) < 1e-6, s"metrics differ at $k")
+    }
+  }
+
   test("FPGrowth agrees with pairwise confidence on single-item antecedents") {
     val fp = AssociationRules.fpGrowthRules(fixture, "basket_id", "item",
       Params(minSupport = 0.1, minConfidence = 0.1))

@@ -144,6 +144,21 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall > 0.25, s"IVF-flat recall@10 of top-1 = $recall")
   }
 
+  test("IVF cell-partitioned layout prunes probe reads to probed cells") {
+    // the SCALE.md claim behind ivfTopK's 100 TB shape: with vectors
+    // written partitioned by cell, a probe list becomes a
+    // partition-pruned read — asserted on the physical plan
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .withColumn("cell", col("vec_id") % 8)
+    val dir = java.nio.file.Files.createTempDirectory("graftivf").toString
+    e.write.mode("overwrite").partitionBy("cell").parquet(dir)
+    val probed = spark.read.parquet(dir).where(col("cell").isin(2, 5))
+    val scan = probed.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("cell"),
+      s"expected partition pruning in:\n$scan")
+    assert(probed.count() == e.where(col("cell").isin(2, 5)).count())
+  }
+
   test("text: token estimate and quality metrics on a known string") {
     val one = Seq((1L, "the cat, extraordinarily long-worded!"))
       .toDF("doc_id", "text")
