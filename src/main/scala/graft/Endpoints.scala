@@ -84,4 +84,47 @@ object Endpoints {
       counts.where(targetUsers(col("u"))), rules)
     Collab.hybridBlend(assoc, cf, alpha, topN)
   }
+
+  /** EP-6 `POST /analysis/api/ml/train/` full zoo
+    * (`views.py:3209-3339` → `ml_models.py:509-596`): train every
+    * (horizon, model), persist the metrics artifact, return the metrics
+    * map. `horizons` are (name, labelCol, days) over an already-labeled
+    * feature frame (J6 labels + §2.12 features). */
+  def trainZoo(features: DataFrame,
+               horizons: Seq[(String, String, Int)],
+               numericCols: Seq[String], categoricalCols: Seq[String],
+               metricsPath: Option[String], toyScale: Boolean = false)
+      : Map[String, Map[String, Double]] = {
+    val metrics = ml.Models.trainZoo(features, horizons, numericCols,
+      categoricalCols, toyScale = toyScale)
+    metricsPath.foreach(ml.Models.saveMetrics(metrics, _))
+    metrics
+  }
+
+  /** EP-7 customer-detail rule matching (`customers/views.py:84-116`):
+    * rules whose full antecedent set the customer has purchased, scored
+    * confidence × lift — the J11 surface over FP-Growth-shaped rules. */
+  def matchedRules(tx: DataFrame, user: String, item: String,
+                   rules: DataFrame): DataFrame = {
+    val sets = tx.groupBy(col(user).as("u"))
+      .agg(sort_array(collect_set(col(item))).as("items"))
+    Collab.matchingRules(sets, rules)
+      .select(col("u"), col("antecedent"), col("consequent"),
+        col("confidence"), col("lift"),
+        (col("confidence") * col("lift")).as("score"))
+  }
+
+  /** EP-8 `manage.py optimize_churn_model`
+    * (`management/commands/optimize_churn_model.py:16-48`): sweep churn
+    * thresholds, return the per-threshold metrics and the
+    * churn-recall-maximizing threshold. */
+  def optimizeChurnThreshold(tx: DataFrame, customer: String, item: String,
+                             sales: String, day: Column,
+                             demographics: Option[(DataFrame, String,
+                               Seq[String])] = None,
+                             thresholds: Seq[Int] = 10 to 30 by 3,
+                             maxIter: Int = 10): Churn.SweepResult =
+    Churn.thresholdSweep(
+      Churn.churnEval(tx, customer, item, sales, day, demographics,
+        maxIter), thresholds)
 }

@@ -28,6 +28,28 @@ class EndpointsSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() == seg.count())
   }
 
+  test("EP-7 matched rules score = confidence x lift per fired rule") {
+    import spark.implicits._
+    val tx = Seq((1L, "A"), (1L, "B"), (2L, "A")).toDF("u0", "i0")
+    val rules = Seq((Array("A", "B"), Array("C"), 0.5, 2.0))
+      .toDF("antecedent", "consequent", "confidence", "lift")
+    val out = Endpoints.matchedRules(tx, "u0", "i0", rules).collect()
+    assert(out.length == 1 && out(0).getAs[Long]("u") == 1L)
+    assert(out(0).getAs[Double]("score") == 1.0)
+  }
+
+  test("EP-8 threshold sweep runs end-to-end on testdata") {
+    val tx = li.select(col("l_orderkey").as("o_orderkey"),
+        col("l_partkey"), col("l_extendedprice"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderdate")), Seq("o_orderkey"))
+    val sweep = Endpoints.optimizeChurnThreshold(tx, "o_custkey",
+      "l_partkey", "l_extendedprice", col("o_orderdate"),
+      thresholds = Seq(30, 90), maxIter = 3)
+    assert(sweep.points.length == 2)
+    assert(Seq(30, 90).contains(sweep.best))
+  }
+
   test("EP-4 differential quarters returns the three tests") {
     val res = Endpoints.differentialQuarters(li,
       col("l_shipdate").cast("date"), col("l_orderkey"),
