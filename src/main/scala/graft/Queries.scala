@@ -1716,6 +1716,36 @@ object Queries {
 
   // ================================================= LLM-pipeline operators
 
+  /** Strided-sample IVF mirror ([[Ann.ivfFlatTopK]]), shared by the
+    * in-memory and persisted-index variants (identical math). */
+  private def ivfFlatSql =
+    """WITH e AS (SELECT vec_id AS id,
+        CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      b AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      st AS (SELECT greatest(1, COUNT(*) // 16) AS stride FROM b),
+      centers AS (SELECT id AS cell, v AS cv0, nrm AS cn0
+        FROM b, st WHERE id % stride = 0 ORDER BY id LIMIT 16),
+      sims AS (SELECT b.id, b.v, b.nrm, c.cell,
+          floor((list_dot_product(b.v, c.cv0) / (b.nrm * c.cn0))
+            * 1e4 + 0.5) / 1e4 AS csim
+        FROM b CROSS JOIN centers c),
+      ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+          ORDER BY csim DESC, cell) AS pr FROM sims),
+      assigned AS (SELECT cell, id AS cand_id, v AS cv, nrm AS cn
+        FROM ranked WHERE pr = 1),
+      probes AS (SELECT id AS query_id, v AS qv, nrm AS qn, cell
+        FROM ranked WHERE pr <= 2),
+      scored AS (SELECT p.query_id, a.cand_id,
+          floor((list_dot_product(p.qv, a.cv) / (p.qn * a.cn))
+            * 1e4 + 0.5) / 1e4 AS cosine
+        FROM probes p JOIN assigned a ON a.cell = p.cell
+        WHERE p.query_id <> a.cand_id)
+      SELECT query_id, cand_id, cosine, rn FROM (SELECT *,
+          CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cosine DESC, cand_id) AS BIGINT) AS rn
+        FROM scored)
+      WHERE rn <= 10 ORDER BY query_id, rn"""
+
   /** Word-trigram shingle CTE over `documents` — DuckDB mirror of
     * [[NearDup.shingles]]. */
   private def shingleSql =
@@ -1925,32 +1955,23 @@ object Queries {
     Spec("q_ann_ivf_flat",
       (s, dir) => Ann.ivfFlatTopK(t(s, dir).embeddings, "vec_id",
         "embedding", 10, 16, 2).orderBy(col("query_id"), col("rn")),
-      Some("""WITH e AS (SELECT vec_id AS id,
-          CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        b AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-        st AS (SELECT greatest(1, COUNT(*) // 16) AS stride FROM b),
-        centers AS (SELECT id AS cell, v AS cv0, nrm AS cn0
-          FROM b, st WHERE id % stride = 0 ORDER BY id LIMIT 16),
-        sims AS (SELECT b.id, b.v, b.nrm, c.cell,
-            floor((list_dot_product(b.v, c.cv0) / (b.nrm * c.cn0))
-              * 1e4 + 0.5) / 1e4 AS csim
-          FROM b CROSS JOIN centers c),
-        ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY id
-            ORDER BY csim DESC, cell) AS pr FROM sims),
-        assigned AS (SELECT cell, id AS cand_id, v AS cv, nrm AS cn
-          FROM ranked WHERE pr = 1),
-        probes AS (SELECT id AS query_id, v AS qv, nrm AS qn, cell
-          FROM ranked WHERE pr <= 2),
-        scored AS (SELECT p.query_id, a.cand_id,
-            floor((list_dot_product(p.qv, a.cv) / (p.qn * a.cn))
-              * 1e4 + 0.5) / 1e4 AS cosine
-          FROM probes p JOIN assigned a ON a.cell = p.cell
-          WHERE p.query_id <> a.cand_id)
-        SELECT query_id, cand_id, cosine, rn FROM (SELECT *,
-            CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-              ORDER BY cosine DESC, cand_id) AS BIGINT) AS rn
-          FROM scored)
-        WHERE rn <= 10 ORDER BY query_id, rn""")),
+      Some(ivfFlatSql)),
+
+    // ----------------------- ANN via a PERSISTED, cell-partitioned index
+    // writeIvfIndex + ivfIndexedTopK: same quantizer/probe/scoring math
+    // as q_ann_ivf_flat but candidates come from a parquet layout
+    // partitioned by cell, so the probe list becomes a partition-pruned
+    // scan (the 100 TB read path). Shares the flat-IVF oracle — the
+    // persisted round trip must not change a single row.
+    Spec("q_ann_ivf_indexed",
+      (s, dir) => {
+        val path = "/tmp/graft_sink/ivf_index"
+        Ann.writeIvfIndex(t(s, dir).embeddings, "vec_id", "embedding",
+          path, 16)
+        Ann.ivfIndexedTopK(t(s, dir).embeddings, "vec_id", "embedding",
+          path, 10, 2).orderBy(col("query_id"), col("rn"))
+      },
+      Some(ivfFlatSql)),
 
     // ------------------------------------------------- embedding near-dups
     Spec("q_cosine_dups",

@@ -260,6 +260,79 @@ object Ann {
       .where(col("rn") <= k)
   }
 
+  /** Persist an IVF index: vectors assigned to their nearest
+    * strided-sample center (the [[ivfFlatTopK]] quantizer) and WRITTEN
+    * PARTITIONED BY CELL, centers saved alongside — the on-disk layout
+    * that turns probe lists into partition-pruned reads at 100 TB (one
+    * directory per cell; a query batch touching p cells scans p/nCells
+    * of the corpus; LlmOpsSpec pins the `PartitionFilters` plan). */
+  def writeIvfIndex(df: DataFrame, id: String, vec: String, path: String,
+                    nCells: Int = 16): Unit = {
+    GraftExtensions.register(df.sparkSession)
+    val base = normalized(df, id, vec, "id", "v", "nrm").cache()
+    val n = base.count()
+    val stride = math.max(1L, n / nCells)
+    val centers = base.where(col("id") % stride === 0)
+      .orderBy(col("id")).limit(nCells)
+      .select(col("id").as("cell"), col("v").as("cv0"),
+        col("nrm").as("cn0"))
+    centers.write.mode("overwrite").parquet(s"$path/centers")
+    val byCloseness = Window.partitionBy(col("id"))
+      .orderBy(col("csim").desc, col("cell").asc)
+    base.crossJoin(broadcast(centers))
+      .select(col("id"), col("v"), col("nrm"), col("cell"),
+        stableRound(nativeDot(col("v"), col("cv0"))
+          / (col("nrm") * col("cn0")), 4).as("csim"))
+      .withColumn("pr", row_number().over(byCloseness))
+      .where(col("pr") === 1)
+      .select(col("id"), col("v"), col("nrm"), col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/vectors")
+  }
+
+  /** Query a persisted IVF index: probe each query's `nProbe` nearest
+    * cells by center cosine, then score exact cosine ONLY against the
+    * probed cells' partitions — the `.where(cell IN probed)` literal
+    * filter prunes the vector scan to those directories. Identical
+    * ranking math to [[ivfFlatTopK]] (same quantizer, probes, rounding),
+    * so querying an index built from the same corpus returns the same
+    * top-k (tested). */
+  def ivfIndexedTopK(queries: DataFrame, id: String, vec: String,
+                     path: String, k: Int, nProbe: Int = 2): DataFrame = {
+    val spark = queries.sparkSession
+    GraftExtensions.register(spark)
+    val centers = spark.read.parquet(s"$path/centers")
+    val q = normalized(queries, id, vec, "query_id", "qv", "qn")
+    val probes = q.crossJoin(broadcast(centers))
+      .select(col("query_id"), col("qv"), col("qn"), col("cell"),
+        stableRound(nativeDot(col("qv"), col("cv0"))
+          / (col("qn") * col("cn0")), 4).as("csim"))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("csim").desc, col("cell").asc)))
+      .where(col("pr") <= nProbe)
+      .select(col("query_id"), col("qv"), col("qn"), col("cell"))
+      .cache()
+    // literal probe-cell list → partition pruning on the vector scan
+    // (probed cells ≤ nCells, a tiny driver-side collect)
+    val probedCells = probes.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val cand = spark.read.parquet(s"$path/vectors")
+      .where(col("cell").isin(probedCells: _*))
+      .select(col("cell"), col("id").as("cand_id"), col("v").as("cv"),
+        col("nrm").as("cn"))
+    probes.join(cand, Seq("cell"))
+      .where(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        stableRound(nativeDot(col("qv"), col("cv")) / (col("qn") * col("cn")),
+          4).as("cosine"))
+      .withColumn("rn", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("cosine").desc, col("cand_id").asc))
+        .cast("long"))
+      .where(col("rn") <= k)
+  }
+
   /** Exact embedding-cosine near-duplicate pairs above a threshold —
     * the embedding variant of [[NearDup.jaccardPairs]]. */
   def cosineDupPairs(df: DataFrame, id: String, vec: String,

@@ -144,6 +144,22 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall > 0.25, s"IVF-flat recall@10 of top-1 = $recall")
   }
 
+  test("persisted IVF index: identical top-k to the inline path, " +
+      "partition-pruned candidate scan") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val path = java.nio.file.Files.createTempDirectory("graftidx").toString
+    Ann.writeIvfIndex(e, "vec_id", "embedding", path, 8)
+    val indexed = Ann.ivfIndexedTopK(e, "vec_id", "embedding", path, 10, 2)
+    val inline = Ann.ivfFlatTopK(e, "vec_id", "embedding", 10, 8, 2)
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+    assert(keyed(indexed) == keyed(inline))
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"expected a partition-pruned candidate scan in:\n$plan")
+  }
+
   test("IVF cell-partitioned layout prunes probe reads to probed cells") {
     // the SCALE.md claim behind ivfTopK's 100 TB shape: with vectors
     // written partitioned by cell, a probe list becomes a
