@@ -1669,6 +1669,26 @@ object Queries {
       Some("""SELECT p_partkey, p_name, p_brand, p_retailprice FROM part
         ORDER BY p_partkey LIMIT 1000""")),
 
+    // ---------------------------------------------------------- S9 JDBC
+    // Round trip through a real embedded Derby database (ships in
+    // /opt/spark/jars): write `part` over JDBC, read it back through the
+    // partitioned Tables.jdbc scan, hash-compare against the parquet
+    // original. The one §2 source that had no gate in rounds 1-3.
+    Spec("q_jdbc_roundtrip",
+      (s, dir) => {
+        val url = "jdbc:derby:/tmp/graft_sink/derby_rt;create=true"
+        val part = t(s, dir).part.select(col("p_partkey"), col("p_name"),
+          col("p_brand"), col("p_retailprice"))
+        part.write.mode("overwrite")
+          .jdbc(url, "part_jdbc", new java.util.Properties)
+        val hi = part.agg(max(col("p_partkey"))).head().getLong(0)
+        sources.Tables.jdbc(s, url, "part_jdbc", "p_partkey", 1L,
+            math.max(2L, hi), 4)
+          .orderBy(col("p_partkey"))
+      },
+      Some("""SELECT p_partkey, p_name, p_brand, p_retailprice FROM part
+        ORDER BY p_partkey""")),
+
     // ---------------------------------------------------------- S6 upsert
     Spec("q_upsert",
       (s, dir) => {

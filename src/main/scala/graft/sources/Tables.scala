@@ -52,8 +52,9 @@ object Tables {
     * `Website/market/market/settings.py:79-92`). Partitioned read so the
     * scan parallelizes across executors; parquet remains the primary
     * format — this exists so a reference deployment can point the engine
-    * at its live database without an export step. (No database ships in
-    * this environment, so this path is compile-checked only.) */
+    * at its live database without an export step. Tested against an
+    * embedded Derby database (SinksAndMlSpec): 4-way partitioned scan,
+    * range predicates pushed to the database. */
   def jdbc(spark: SparkSession, url: String, table: String,
            partitionColumn: String, lowerBound: Long, upperBound: Long,
            numPartitions: Int,
