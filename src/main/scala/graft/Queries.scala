@@ -1205,10 +1205,12 @@ object Queries {
           "l_partkey", "l_extendedprice", col("o_orderdate"), 90,
           Some((t(s, dir).customer, "c_custkey", Seq("c_mktsegment"))))
           .repartition(8)
+        // 5 trees: the gate is the save→load→re-score BIT-EQUALITY, not
+        // model quality (q_churn_model_bands carries the accuracy story)
         val (model, scored) = ml.Models.churnScores(feats,
           Seq("recency", "frequency", "monetary", "product_variety",
             "avg_purchase_gap"),
-          Seq("c_mktsegment"), "is_churn", maxIter = 10)
+          Seq("c_mktsegment"), "is_churn", maxIter = 5)
         val path = "/tmp/graft_models/churn_gbt"
         ml.Models.saveModel(model, path)
         val reScored = ml.Models.loadModel(path).transform(feats)

@@ -57,6 +57,30 @@ object Streams {
     events.withWatermark("ts", watermark)
       .dropDuplicates(keys :+ "ts")
 
+  /** Watermarked stream-stream interval join: match each left event with
+    * right events for the same key whose event time falls within
+    * `[left.ts − before, left.ts + after]` (the impression↔click shape).
+    * BOTH sides carry watermarks and the join predicate bounds the time
+    * range in BOTH directions, so Spark can prove state eviction: each
+    * side buffers only `watermark + interval` of data per key — without
+    * the two-sided bound, stream-stream state grows forever. Inner join:
+    * unmatched rows drop when their watermark passes. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   watermark: String, beforeSec: Long, afterSec: Long)
+      : DataFrame = {
+    val l = left.withWatermark("ts", watermark)
+      .select(col(key).as("k"), col("ts").as("l_ts"),
+        col("event_type").as("l_type"), col("value").as("l_value"))
+    val r = right.withWatermark("ts", watermark)
+      .select(col(key).as("rk"), col("ts").as("r_ts"),
+        col("event_type").as("r_type"), col("value").as("r_value"))
+    l.join(r,
+      col("k") === col("rk") &&
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $beforeSec SECONDS") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $afterSec SECONDS"))
+      .drop("rk")
+  }
+
   /** Gap-based sessionization: a session closes when `gapSec` of event
     * time passes with no activity for the user. Sessions that close
     * *inside* a batch (two bursts separated by more than the gap) are

@@ -63,6 +63,29 @@ class StreamingSpec extends SparkSpec {
     assert(rows(3L).isEmpty) // unmatched key survives the left join
   }
 
+  test("stream-stream interval join matches clicks to in-window views " +
+      "per user") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val views = MemoryStream[Event]
+    val q = Streams.intervalJoin(clicks.toDF(), views.toDF(), "user_id",
+        "10 minutes", beforeSec = 0L, afterSec = 300L)
+      .writeStream.format("memory").queryName("ij")
+      .outputMode("append").start()
+    clicks.addData(Event(1L, ts(1000), "click", 1.0),
+      Event(2L, ts(1000), "click", 1.0))
+    views.addData(
+      Event(1L, ts(1002), "view", 5.0),  // within 5 min after → match
+      Event(1L, ts(1009), "view", 7.0),  // 9 min after → no match
+      Event(2L, ts(999), "view", 9.0))   // before the click → no match
+    q.processAllAvailable()
+    val rows = spark.table("ij")
+      .select($"k", $"l_type", $"r_type", $"r_value").collect()
+    q.stop()
+    assert(rows.length == 1)
+    assert(rows(0).getLong(0) == 1L && rows(0).getDouble(3) == 5.0)
+  }
+
   test("sessionization closes a session after the event-time gap") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Event]
