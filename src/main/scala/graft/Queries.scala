@@ -2008,6 +2008,36 @@ object Queries {
         SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.4
         ORDER BY cosine DESC, id_a, id_b""")),
 
+    // ------------------------------- embedding near-dups, bucketed path
+    // Same-bucket LSH collisions scored with the exact rounded cosine —
+    // the linear-shuffle variant of q_cosine_dups; bucket arithmetic and
+    // scoring both mirrored, so the gate covers candidate generation AND
+    // verification.
+    Spec("q_cosine_dups_lsh",
+      (s, dir) => Ann.cosineDupPairsLsh(t(s, dir).embeddings,
+        "vec_id", "embedding", 0.4),
+      Some("""WITH ev AS (SELECT vec_id AS id,
+          CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        dims AS (SELECT id, CAST(i - 1 AS BIGINT) AS i,
+            CAST(floor(v[i] * 1024.0 + 0.5) AS BIGINT) AS q
+          FROM ev, UNNEST(generate_series(1, len(v))) AS t(i)),
+        bits AS (SELECT id, j,
+            CASE WHEN SUM(q * ((j * 4096 + i) * 2654435761 % 2000 - 1000))
+              > 0 THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE 0 END AS b
+          FROM dims, UNNEST(generate_series(0, 7)) AS p(j)
+          GROUP BY id, j),
+        bk AS (SELECT id, CAST(SUM(b) AS BIGINT) AS bucket
+          FROM bits GROUP BY id),
+        n AS (SELECT ev.id, v, sqrt(list_dot_product(v, v)) AS nrm, bucket
+          FROM ev JOIN bk ON bk.id = ev.id)
+        SELECT a.id AS id_a, b.id AS id_b,
+          floor((list_dot_product(a.v, b.v) / (a.nrm * b.nrm))
+            * 1e4 + 0.5) / 1e4 AS cosine
+        FROM n a JOIN n b ON a.bucket = b.bucket AND a.id < b.id
+        WHERE floor((list_dot_product(a.v, b.v) / (a.nrm * b.nrm))
+            * 1e4 + 0.5) / 1e4 >= 0.4
+        ORDER BY cosine DESC, id_a, id_b""")),
+
     // ------------------------------------------------- text quality metrics
     Spec("q_text_quality",
       (s, dir) => TextAnalysis.qualityMetrics(t(s, dir).documents,

@@ -333,6 +333,31 @@ object Ann {
       .where(col("rn") <= k)
   }
 
+  /** Bucketed embedding near-duplicate pairs: candidates are same-bucket
+    * sign-LSH collisions only, emitted when the exact rounded cosine
+    * clears the threshold — the LINEAR-shuffle scale path for
+    * [[cosineDupPairs]]'s all-pairs baseline (the same
+    * baseline-vs-banded pairing as Jaccard vs MinHash-LSH). Every
+    * emitted pair carries its true cosine, so the output is a sound
+    * subset of the exact pairs (pinned by a test); recall grows with
+    * fewer planes or multi-probe, exactly as in [[lshTopKMultiProbe]]. */
+  def cosineDupPairsLsh(df: DataFrame, id: String, vec: String,
+                        minCosine: Double, nPlanes: Int = 8): DataFrame = {
+    GraftExtensions.register(df.sparkSession)
+    val b = lshBuckets(df, id, vec, nPlanes)
+      .withColumn("nrm", sqrt(nativeDot(col("v"), col("v")))).cache()
+    b.select(col("bucket"), col("id").as("id_a"), col("v").as("va"),
+        col("nrm").as("na"))
+      .join(b.select(col("bucket"), col("id").as("id_b"),
+        col("v").as("vb"), col("nrm").as("nb")), Seq("bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        stableRound(nativeDot(col("va"), col("vb")) / (col("na") * col("nb")),
+          4).as("cosine"))
+      .where(col("cosine") >= minCosine)
+      .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
+  }
+
   /** Exact embedding-cosine near-duplicate pairs above a threshold —
     * the embedding variant of [[NearDup.jaccardPairs]]. */
   def cosineDupPairs(df: DataFrame, id: String, vec: String,

@@ -144,6 +144,16 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall > 0.25, s"IVF-flat recall@10 of top-1 = $recall")
   }
 
+  test("bucketed cosine dups are a sound subset of exact cosine dups") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = keyed(Ann.cosineDupPairsLsh(e, "vec_id", "embedding", 0.4))
+    val exact = keyed(Ann.cosineDupPairs(e, "vec_id", "embedding", 0.4))
+    assert(lsh.nonEmpty)
+    assert(lsh.forall { case (p, c) => exact.get(p).contains(c) })
+  }
+
   test("persisted IVF index: identical top-k to the inline path, " +
       "partition-pruned candidate scan") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
