@@ -1151,6 +1151,16 @@ object Queries {
     // (sample_size=100000, `ml_models.py:520`); mirrored with a
     // deterministic 5000-customer cap so the query's cost is
     // scale-independent.
+    // Divergence note: the reference moves the prediction point per
+    // horizon (1mo trains on weeks ≤98 ... 12mo on ≤50,
+    // `ml_models.py:231-240`) to maximize each horizon's training data;
+    // here ONE prediction point feeds all four label columns (the J6
+    // one-pass label shape), trading a little training data on the short
+    // horizons for a single feature scan. Also: the reference's
+    // `product_repurchase_rate` feature leaks the target
+    // (`ml_models.py:356-364`, documented in BASELINE.md) — these
+    // features are leak-free, so accuracies sit below the reference's
+    // inflated table by design.
     Spec("q_model_metrics",
       (s, dir) => {
         val tx = custItemTx(s, dir)
