@@ -1778,6 +1778,46 @@ object Queries {
         FROM scored)
       WHERE rn <= 10 ORDER BY query_id, rn"""
 
+  /** Portable MinHash-LSH mirror ([[NearDup.minHashPortable]], 16 hashes
+    * × 4-band keys) over doc rows supplied by a CTE `src(doc_id, text)`;
+    * ends at CTE `jc` (id_a, id_b, jaccard — verified candidates, no
+    * threshold applied). Shared by q_minhash_lsh and q_corpus_dedup. */
+  private def minhashJcSql: String = {
+    val p = NearDup.MinHashP
+    val minCols = (0 until 16).map(j =>
+      s"MIN((hp * ${NearDup.MinHashA(j)} + ${NearDup.MinHashB(j)}) " +
+        s"% $p) AS mh$j").mkString(", ")
+    val bands = (0 until 4).map { t =>
+      val key = (0 until 4).map(x => s"CAST(mh${t * 4 + x} AS VARCHAR)")
+        .mkString(" || '_' || ")
+      s"SELECT id, $t AS band, $key AS key FROM mh"
+    }.mkString(" UNION ALL ")
+    s"""words AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        FROM src),
+      sh AS (SELECT DISTINCT doc_id AS id,
+          w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        FROM words, UNNEST(generate_series(1, len(w)-2)) AS t(i)
+        WHERE len(w) >= 3),
+      hp AS (SELECT id,
+        CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % $p AS hp
+        FROM sh),
+      mh AS (SELECT id, $minCols FROM hp GROUP BY id),
+      banded AS ($bands),
+      cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM banded a JOIN banded b
+        ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+      sz AS (SELECT id, COUNT(*) AS szc FROM sh GROUP BY id),
+      it AS (SELECT c.id_a, c.id_b, COUNT(*) AS i
+        FROM cand c JOIN sh sa ON sa.id = c.id_a
+        JOIN sh sb ON sb.id = c.id_b AND sb.s = sa.s
+        GROUP BY 1, 2),
+      jc AS (SELECT it.id_a, it.id_b,
+          floor((CAST(i AS DOUBLE) / (x.szc + y.szc - i)) * 1e6 + 0.5)
+            / 1e6 AS jaccard
+        FROM it JOIN sz x ON x.id = it.id_a
+        JOIN sz y ON y.id = it.id_b)"""
+  }
+
   /** Word-trigram shingle CTE over `documents` — DuckDB mirror of
     * [[NearDup.shingles]]. */
   private def shingleSql =
@@ -1818,38 +1858,29 @@ object Queries {
     Spec("q_minhash_lsh",
       (s, dir) => NearDup.minHashPortable(t(s, dir).documents,
         "doc_id", "text", 3, 0.05, 16, 4),
-      Some {
-        val p = NearDup.MinHashP
-        val minCols = (0 until 16).map(j =>
-          s"MIN((hp * ${NearDup.MinHashA(j)} + ${NearDup.MinHashB(j)}) " +
-            s"% $p) AS mh$j").mkString(", ")
-        val bands = (0 until 4).map { t =>
-          val key = (0 until 4).map(x => s"CAST(mh${t * 4 + x} AS VARCHAR)")
-            .mkString(" || '_' || ")
-          s"SELECT id, $t AS band, $key AS key FROM mh"
-        }.mkString(" UNION ALL ")
-        s"""WITH $shingleSql,
-          hp AS (SELECT id,
-            CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % $p AS hp
-            FROM sh),
-          mh AS (SELECT id, $minCols FROM hp GROUP BY id),
-          banded AS ($bands),
-          cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-            FROM banded a JOIN banded b
-            ON a.band = b.band AND a.key = b.key AND a.id < b.id),
-          sz AS (SELECT id, COUNT(*) AS szc FROM sh GROUP BY id),
-          it AS (SELECT c.id_a, c.id_b, COUNT(*) AS i
-            FROM cand c JOIN sh sa ON sa.id = c.id_a
-            JOIN sh sb ON sb.id = c.id_b AND sb.s = sa.s
-            GROUP BY 1, 2),
-          jc AS (SELECT it.id_a, it.id_b,
-              floor((CAST(i AS DOUBLE) / (x.szc + y.szc - i)) * 1e6 + 0.5)
-                / 1e6 AS jaccard
-            FROM it JOIN sz x ON x.id = it.id_a
-            JOIN sz y ON y.id = it.id_b)
-          SELECT id_a, id_b, jaccard FROM jc WHERE jaccard >= 0.05
-          ORDER BY jaccard DESC, id_a, id_b"""
-      }),
+      Some(s"""WITH src AS (SELECT doc_id, text FROM documents),
+          $minhashJcSql
+        SELECT id_a, id_b, jaccard FROM jc WHERE jaccard >= 0.05
+        ORDER BY jaccard DESC, id_a, id_b""")),
+
+    // ------------------------------- end-to-end corpus dedup pipeline
+    // The training-data cleaning shape as ONE call: exact-MD5 dedup
+    // (keep smallest id), then MinHash-LSH near-dup pruning among the
+    // survivors (drop the higher id of every verified pair). Both stages
+    // reuse already-gated primitives; the composition gets its own
+    // oracle via the shared minhash mirror over the exact-survivor CTE.
+    Spec("q_corpus_dedup",
+      (s, dir) => Dedup.dedupCorpus(t(s, dir).documents, "doc_id", "text",
+        3, 0.05, 16, 4),
+      Some(s"""WITH exact AS (SELECT MIN(doc_id) AS doc_id
+            FROM documents GROUP BY md5(text)),
+          src AS (SELECT d.doc_id, d.text FROM documents d
+            JOIN exact ON exact.doc_id = d.doc_id),
+          $minhashJcSql
+        SELECT doc_id FROM src
+        WHERE doc_id NOT IN
+          (SELECT DISTINCT id_b FROM jc WHERE jaccard >= 0.05)
+        ORDER BY doc_id""")),
 
     // ------------------------------------------------- SimHash banded pairs
     Spec("q_simhash_pairs",

@@ -52,4 +52,28 @@ object Dedup {
     docs.select(col(id), md5(col(content)).as("content_hash"))
       .groupBy(col("content_hash"))
       .agg(min(col(id)).as(id), count(lit(1)).as("n_copies"))
+
+  /** End-to-end corpus dedup — the training-data cleaning pipeline as one
+    * call: (1) exact content dedup keeping the smallest id per MD5;
+    * (2) near-dup pruning among the exact survivors via portable
+    * MinHash-LSH ([[NearDup.minHashPortable]]): every survivor that
+    * collides with a lower-id survivor at `jaccard ≥ minJaccard` is
+    * dropped. The greedy keep-lowest-id policy is deterministic and needs
+    * no connected-components iteration (on a chain A~B~C with A≁C it
+    * keeps only A — the conservative choice for training data, where
+    * over-dropping borderline dups beats keeping them). Returns the
+    * surviving ids; both stages shuffle hashes/ids, never document
+    * bodies. */
+  def dedupCorpus(docs: DataFrame, id: String, content: String,
+                  shingleLen: Int = 3, minJaccard: Double = 0.5,
+                  numHashes: Int = 16, bandSize: Int = 4): DataFrame = {
+    val keep = exactByContent(docs, id, content).select(col(id))
+    val survivors = docs.join(keep, Seq(id), "left_semi")
+    val nearPairs = NearDup.minHashPortable(survivors, id, content,
+      shingleLen, minJaccard, numHashes, bandSize)
+    survivors.select(col(id))
+      .join(nearPairs.select(col("id_b").as(id)).distinct(),
+        Seq(id), "left_anti")
+      .orderBy(col(id))
+  }
 }
