@@ -144,6 +144,23 @@ class LlmOpsSpec extends SparkSpec {
     assert(recall > 0.25, s"IVF-flat recall@10 of top-1 = $recall")
   }
 
+  test("dedupCorpus drops exact copies and near-dups, keeps lowest ids") {
+    val base = "the quick brown fox jumps over the lazy dog again and " +
+      "again until the sun goes down behind the tall green hills tonight"
+    val docs = Seq(
+      1L -> base,
+      2L -> base,                                // exact copy of 1 → drop
+      3L -> (base + " extra"),                   // near-dup of 1 → drop
+      4L -> ("completely different words about spark catalyst plans " +
+        "and shuffle partitions written for an unrelated purpose here"),
+      5L -> base                                 // exact copy of 1 → drop
+    ).toDF("doc_id", "text")
+    val kept = graft.operators.Dedup.dedupCorpus(docs, "doc_id", "text",
+        3, 0.5, 16, 4)
+      .as[Long].collect().toSeq
+    assert(kept == Seq(1L, 4L), s"kept=$kept")
+  }
+
   test("bucketed cosine dups are a sound subset of exact cosine dups") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
