@@ -36,7 +36,12 @@ object Bench {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
-        name -> (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // intentional per-operator caches (LSH/IVF bucketed frames) are
+        // query-local: drop them so 97 queries × passes don't accumulate
+        // blocks and skew later queries via memory pressure
+        spark.catalog.clearCache()
+        name -> dt
     }.toMap
 
     if (new java.io.File(warmDir).isDirectory) runPass(warmDir)
@@ -45,11 +50,34 @@ object Bench {
       name -> passes.map(_(name)).min
     }.toMap
 
-    val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + v }
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def toJson(entries: Seq[(String, Double)]): String = entries
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // The harness that wraps this main keeps only a short tail of stdout
+    // (~2000 chars), so the final line must stay well under that: inline
+    // only the heaviest queries and dump the full per-query map to a side
+    // file (and stderr, which is captured separately).
+    val full = results.toSeq.sortBy(_._1)
+    val fullJson =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nqueries":${full.size},"queries":${toJson(full)},"sf":"$sfDir"}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_details.json"),
+      (fullJson + "\n").getBytes("UTF-8"))
+    System.err.println(fullJson)
+
+    val top = results.toSeq.sortBy(-_._2).take(30)
+    var line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nqueries":${full.size},"queries":${toJson(top)},"sf":"$sfDir"}"""
+    var n = top.size
+    while (line.length > 1800 && n > 5) { // hard cap for the tail window
+      n -= 1
+      line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nqueries":${full.size},"queries":${toJson(top.take(n))},"sf":"$sfDir"}"""
+    }
+    println(line)
     spark.stop()
   }
 }

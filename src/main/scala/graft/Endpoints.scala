@@ -94,7 +94,7 @@ object Endpoints {
                horizons: Seq[(String, String, Int)],
                numericCols: Seq[String], categoricalCols: Seq[String],
                metricsPath: Option[String], toyScale: Boolean = false)
-      : Map[String, Map[String, Double]] = {
+      : Map[String, ml.Models.ZooResult] = {
     val metrics = ml.Models.trainZoo(features, horizons, numericCols,
       categoricalCols, toyScale = toyScale)
     metricsPath.foreach(ml.Models.saveMetrics(metrics, _))

@@ -1194,11 +1194,12 @@ object Queries {
         ml.Models.saveMetrics(metrics, "/tmp/graft_models/model_metrics.json")
         sample.unpersist()
         import s.implicits._
-        metrics.toSeq.sortBy(_._1).map { case (k, m) =>
-          (k, m("horizon_days").toLong, m("accuracy"), m("precision"),
-            m("recall"), m("f1"))
-        }.toDF("model_key", "horizon_days", "accuracy", "precision",
-          "recall", "f1")
+        metrics.toSeq.sortBy(_._1).map { case (k, r) =>
+          val m = r.metrics
+          (k, r.horizon, m("horizon_days").toLong, m("accuracy"),
+            m("precision"), m("recall"), m("f1"))
+        }.toDF("model_key", "horizon", "horizon_days", "accuracy",
+          "precision", "recall", "f1")
       },
       None),
 

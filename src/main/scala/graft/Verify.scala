@@ -31,6 +31,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // several operators (LSH/IVF bucketed frames) intentionally return
+      // results backed by a cached intermediate; across ~100 queries those
+      // would pile up, so each query's caches are dropped once its result
+      // is on disk
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -8,13 +8,18 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, StructType}
 
 /** sklearn-`LabelEncoder` parity (`ml_models.py:416-430`):
+  *  - the reference first does `astype(str)`, which turns missing values
+  *    into the literal string `'nan'` — so nulls here are encoded as
+  *    `"nan"` at BOTH fit and transform time, and `'nan'` sorts into
+  *    `classes_` like any other string (a null-bearing column therefore
+  *    shifts the codes of everything that sorts after `"nan"`);
   *  - classes are the SORTED distinct string values seen at fit time
   *    (`np.unique` sorts), index = rank in that order;
-  *  - at transform time an unseen (or null) value maps to CLASS 0 — the
-  *    reference remaps unknowns to `encoder.classes_[0]` before
-  *    `transform`, NOT to a fresh index (which is what MLlib's
-  *    `StringIndexer(handleInvalid="keep")` would do — the round-3
-  *    divergence this class closes).
+  *  - at transform time an unseen value (including a null when no null
+  *    was seen at fit) maps to CLASS 0 — the reference remaps unknowns
+  *    to `encoder.classes_[0]` before `transform`, NOT to a fresh index
+  *    (which is what MLlib's `StringIndexer(handleInvalid="keep")` would
+  *    do — the round-3 divergence this class closes).
   *
   * Output is the double-valued code, fed directly (no one-hot) into the
   * feature vector exactly as the reference feeds integer codes to its
@@ -38,11 +43,13 @@ class LabelEncoder(override val uid: String)
   def setOutputCol(v: String): this.type = set(outputCol, v)
 
   override def fit(ds: Dataset[_]): LabelEncoderModel = {
-    val classes = ds.select(col($(inputCol)).cast("string"))
-      .na.drop().distinct()
+    // pandas astype(str) parity: null → the literal string "nan", which
+    // participates in the sorted class list like any other value
+    val classes = ds
+      .select(coalesce(col($(inputCol)).cast("string"), lit("nan")))
+      .distinct()
       .collect().map(_.getString(0)).sorted
-    require(classes.nonEmpty, s"LabelEncoder: no non-null values in " +
-      s"${$(inputCol)}")
+    require(classes.nonEmpty, s"LabelEncoder: no values in ${$(inputCol)}")
     val m = new LabelEncoderModel(uid).setClasses(classes).setParent(this)
     copyValues(m)
   }
@@ -71,9 +78,13 @@ class LabelEncoderModel(override val uid: String)
     val codeMap = map($(classes).zipWithIndex.flatMap { case (c, i) =>
       Seq(lit(c), lit(i.toDouble))
     }: _*)
-    // unseen and null both coalesce to class 0 (reference classes_[0])
+    // null → "nan" first (pandas astype(str)); an unseen value — which
+    // includes "nan" itself when fit saw no nulls — falls back to class 0
+    // (reference classes_[0])
     ds.withColumn($(outputCol),
-      coalesce(element_at(codeMap, col($(inputCol)).cast("string")),
+      coalesce(
+        element_at(codeMap,
+          coalesce(col($(inputCol)).cast("string"), lit("nan"))),
         lit(0.0)))
   }
 

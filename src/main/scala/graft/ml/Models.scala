@@ -158,15 +158,20 @@ object Models {
     out
   }
 
+  /** One (horizon, model) zoo result: the horizon NAME (the reference's
+    * string `"horizon"` field in `model_metrics.json`) plus the numeric
+    * metrics (accuracy/precision/recall/f1/horizon_days). */
+  final case class ZooResult(horizon: String, metrics: Map[String, Double])
+
   /** §2.13/S8 — train the full zoo end-to-end: for each (horizon name,
     * label column), stratified 80/20 split (seed 42, `ml_models.py:528`),
     * fit the preprocessing on the TRAIN side only (the reference's
     * `scaler.fit_transform(X_train)` / `transform(X_test)` split
     * discipline), train every reference zoo model, and score the held-out
     * test set (`ml_models.py:509-596`). Returns `"h_model" ->
-    * {accuracy, precision, recall, f1, horizon_days}` — the reference's
-    * `model_metrics.json` shape with weighted averaging
-    * (`ml_models.py:559-567`).
+    * ZooResult(h, {accuracy, precision, recall, f1, horizon_days})` — the
+    * reference's `model_metrics.json` shape (string `horizon` + weighted
+    * averaging, `ml_models.py:559-567`).
     *
     * The SVC is fit on a capped sample ([[SvmTrainCap]] rows; the
     * reference draws them with an unseeded `np.random.choice` — here a
@@ -177,44 +182,72 @@ object Models {
                trainFrac: Double = 0.8, seed: Long = 42L,
                toyScale: Boolean = false,
                modelNames: Seq[String] = ReferenceZoo)
-      : Map[String, Map[String, Double]] = {
+      : Map[String, ZooResult] = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
     val featureCount = categoricalCols.size + numericCols.size
     // every fit here is per-iteration JOB-SCHEDULING bound at sandbox row
     // counts (an MLP takes one gradient job per LBFGS step), so the
     // horizons — and the models within one — train CONCURRENTLY: Spark
     // schedules many small jobs at once and the scheduling gaps overlap.
     // Each estimator is independent and seeded, so the metrics are
-    // identical to the sequential loop.
-    val perHorizon = horizons.map { case (h, labelCol, days) => Future {
-      val df = features.withColumn("label", col(labelCol).cast("double"))
-      val (train, test) = stratifiedSplit(df, "label", trainFrac, seed)
-      val prep = new Pipeline()
-        .setStages(featureStages(numericCols, categoricalCols)).fit(train)
-      val trainF = prep.transform(train)
-        .select(col("features"), col("label")).cache()
-      val testF = prep.transform(test)
-        .select(col("features"), col("label")).cache()
-      trainF.count(); testF.count()
-      val ests = zoo(featureCount, seed, toyScale)
-      val out = Await.result(Future.sequence(modelNames.map { mn => Future {
-        val fitDf = if (mn == "svm") trainF.limit(SvmTrainCap) else trainF
-        val model = ests(mn).asInstanceOf[org.apache.spark.ml.Estimator[_]]
-          .fit(fitDf).asInstanceOf[org.apache.spark.ml.Transformer]
-        val m = evaluate(model.transform(testF))
-        s"${h}_$mn" -> Map(
-          "accuracy" -> m("accuracy"),
-          "precision" -> m("weightedPrecision"),
-          "recall" -> m("weightedRecall"),
-          "f1" -> m("f1"),
-          "horizon_days" -> days.toDouble)
-      }}), Duration.Inf)
-      trainF.unpersist(); testF.unpersist()
-      out
-    }}
-    Await.result(Future.sequence(perHorizon), Duration.Inf).flatten.toMap
+    // identical to the sequential loop. A DEDICATED bounded pool (not
+    // ExecutionContext.global) and flatMap-composed futures (no nested
+    // Await) keep the concurrency deadlock-free by construction; each
+    // horizon's cached frames are released in an onComplete tied to that
+    // horizon's own model futures, so a failed fit cannot leak them.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, horizons.size * modelNames.size))
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutorService(pool)
+    try {
+      val perHorizon: Seq[Future[Seq[(String, ZooResult)]]] =
+        horizons.map { case (h, labelCol, days) =>
+          val prepF: Future[(DataFrame, DataFrame)] = Future {
+            val df = features
+              .withColumn("label", col(labelCol).cast("double"))
+            val (train, test) = stratifiedSplit(df, "label", trainFrac, seed)
+            val prep = new Pipeline()
+              .setStages(featureStages(numericCols, categoricalCols))
+              .fit(train)
+            val trainF = prep.transform(train)
+              .select(col("features"), col("label")).cache()
+            val testF = prep.transform(test)
+              .select(col("features"), col("label")).cache()
+            trainF.count(); testF.count()
+            (trainF, testF)
+          }
+          val modelFs = modelNames.map { mn =>
+            prepF.map { case (trainF, testF) =>
+              val ests = zoo(featureCount, seed, toyScale)
+              val fitDf =
+                if (mn == "svm") trainF.limit(SvmTrainCap) else trainF
+              val model = ests(mn)
+                .asInstanceOf[org.apache.spark.ml.Estimator[_]]
+                .fit(fitDf).asInstanceOf[org.apache.spark.ml.Transformer]
+              val m = evaluate(model.transform(testF))
+              s"${h}_$mn" -> ZooResult(h, Map(
+                "accuracy" -> m("accuracy"),
+                "precision" -> m("weightedPrecision"),
+                "recall" -> m("weightedRecall"),
+                "f1" -> m("f1"),
+                "horizon_days" -> days.toDouble))
+            }
+          }
+          // andThen: the returned future completes only AFTER the cleanup
+          // callback has run, so awaiting it below guarantees the caches
+          // are released before this method returns — success or failure.
+          // prepF is necessarily complete here (every modelF maps over it),
+          // so .value reads it synchronously.
+          Future.sequence(modelFs).andThen { case _ =>
+            prepF.value.foreach(_.foreach { case (trainF, testF) =>
+              trainF.unpersist(); testF.unpersist()
+            })
+          }
+        }
+      Await.result(Future.sequence(perHorizon), Duration.Inf)
+        .flatten.toMap
+    } finally pool.shutdown()
   }
 
   /** S8 — model store: persist / reload a fitted pipeline (the
@@ -226,11 +259,15 @@ object Models {
   def loadModel(path: String): PipelineModel = PipelineModel.load(path)
 
   /** S8 — persist per-(horizon, model) metrics as JSON next to the saved
-    * models (the reference's `model_metrics.json`, `ml_models.py:101-178`). */
-  def saveMetrics(metrics: Map[String, Map[String, Double]],
+    * models (the reference's `model_metrics.json`, `ml_models.py:101-178`):
+    * each entry carries the string `"horizon"` name the reference stores,
+    * alongside the numeric fields (including the `horizon_days` extra). */
+  def saveMetrics(metrics: Map[String, ZooResult],
                   path: String): Unit = {
-    val json = metrics.toSeq.sortBy(_._1).map { case (k, ms) =>
-      "\"" + k + "\": {" + ms.toSeq.sortBy(_._1)
+    val json = metrics.toSeq.sortBy(_._1).map { case (k, r) =>
+      val fields = ("horizon" -> ("\"" + r.horizon + "\"")) +:
+        r.metrics.toSeq.sortBy(_._1).map { case (m, v) => m -> v.toString }
+      "\"" + k + "\": {" + fields.sortBy(_._1)
         .map { case (m, v) => "\"" + m + "\": " + v }.mkString(", ") + "}"
     }.mkString("{", ", ", "}")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path)

@@ -23,6 +23,15 @@ import org.apache.spark.sql.functions._
   * codegen'd Catalyst expression (tight primitive loop) replacing the
   * interpreted `aggregate(zip_with(...))` form, bit-identical results
   * (same index order, double accumulation).
+  *
+  * Retained-cache contract: the top-k/pair functions return LAZY frames
+  * backed by a cached intermediate (the normalized or bucketed corpus —
+  * cached so the self-join's two sides don't each recompute the hashing).
+  * The cache must outlive the returned frame's materialization, so these
+  * functions cannot unpersist it themselves; callers running many such
+  * queries per session should `spark.catalog.clearCache()` once a result
+  * is materialized (Verify/Bench do, per query). Terminal operations here
+  * ([[writeIvfIndex]]) release their caches before returning.
   */
 object Ann {
 
@@ -288,6 +297,10 @@ object Ann {
       .select(col("id"), col("v"), col("nrm"), col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/vectors")
+    // both writes are done — this call is terminal, so the cache it took
+    // (normalized corpus, read by the centers probe and the assignment)
+    // is released here rather than leaked to the session
+    base.unpersist()
   }
 
   /** Query a persisted IVF index: probe each query's `nProbe` nearest

@@ -50,10 +50,48 @@ object Collab {
     * error bounds under real skew. */
   val DefaultMaxItemUsers: Int = 10000
 
+  /** Observation name under which a binding hot-item cap reports itself;
+    * see the listener in [[capDropListener]]. */
+  val CapMetricName = "cf_hot_item_cap"
+
+  private val capListenerSessions =
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+          java.lang.Boolean]()))
+
+  /** Logs (WARN) whenever a capped [[userSimilarities]] query actually
+    * dropped rows — a binding cap means the result is approximate, and
+    * that must be visible, not silent. Metrics ride the query itself via
+    * `Dataset.observe` (no extra job); registered once per session. */
+  private def capDropListener(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (capListenerSessions.add(spark)) {
+      spark.listenerManager.register(
+        new org.apache.spark.sql.util.QueryExecutionListener {
+          private val log = org.slf4j.LoggerFactory.getLogger("graft.Collab")
+          override def onSuccess(fn: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              ns: Long): Unit =
+            qe.observedMetrics.get(CapMetricName).foreach { row =>
+              val dropped = row.getAs[Long]("dropped_rows")
+              if (dropped > 0) log.warn(
+                s"$CapMetricName: cap is BINDING — $dropped (user,item) " +
+                  s"rows dropped (hottest item: ${row.getAs[Long]("max_item_users")} " +
+                  "users); similarities are approximate. Pass " +
+                  "maxItemUsers=None for exact mode.")
+            }
+          override def onFailure(fn: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              e: Exception): Unit = ()
+        })
+    }
+
   /** One-directional (u1 < u2) nonzero cosine similarities via item
     * self-join. `maxItemUsers` drops items shared by more than that many
     * users (quadratic-blowup guard, ON by default at
-    * [[DefaultMaxItemUsers]]; `None` = exact mode, keep all). */
+    * [[DefaultMaxItemUsers]]; `None` = exact mode, keep all). A BINDING
+    * cap is never silent: the query observes how many rows it dropped and
+    * a session listener logs a warning when that count is nonzero. */
   def userSimilarities(counts: DataFrame,
                        maxItemUsers: Option[Int] = Some(DefaultMaxItemUsers))
       : DataFrame = {
@@ -62,9 +100,15 @@ object Collab {
     // scan pipelining than the recompute (measured at sf0.1)
     val base = maxItemUsers match {
       case Some(cap) =>
-        val keep = counts.groupBy(col("i")).agg(count(lit(1)).as("iu"))
-          .where(col("iu") <= cap).select(col("i"))
-        counts.join(broadcast(keep), Seq("i"), "left_semi")
+        capDropListener(counts.sparkSession)
+        val iu = counts.groupBy(col("i")).agg(count(lit(1)).as("iu"))
+        counts.join(broadcast(iu), Seq("i"))
+          .observe(CapMetricName,
+            coalesce(sum(when(col("iu") > cap, lit(1L)).otherwise(lit(0L))),
+              lit(0L)).as("dropped_rows"),
+            coalesce(max(col("iu")), lit(0L)).as("max_item_users"))
+          .where(col("iu") <= cap)
+          .select(col("u"), col("i"), col("c"))
       case None => counts
     }
     val a = base.select(col("u").as("u1"), col("i"), col("c").as("c1"))
@@ -190,16 +234,21 @@ object Collab {
     * reference's top-500-per-level fetch, `customers/views.py:68`). */
   def matchingRules(purchasedSets: DataFrame, rules: DataFrame,
                     maxRules: Int = 10000): DataFrame = {
-    // pin the (tiny, post-guard) rule table: the guard count below must
-    // not re-run the whole mining pipeline a second time when the
-    // broadcast materializes
-    val r = rules.select(col("antecedent"), col("consequent"),
-      col("confidence"), col("lift")).cache()
-    val n = r.limit(maxRules + 1).count()
-    require(n <= maxRules,
+    // The rule table is small BY CONTRACT (guarded below), so it is pulled
+    // to the driver once — the guard count and the broadcast side then
+    // share one materialization with no cache to leak and no second run of
+    // the mining pipeline. limit(maxRules+1) bounds the collect even when
+    // the guard is about to fail.
+    val proj = rules.select(col("antecedent"), col("consequent"),
+      col("confidence"), col("lift"))
+    val rows = proj.limit(maxRules + 1).collect()
+    require(rows.length <= maxRules,
       s"matchingRules: rule table exceeds $maxRules rows — broadcast " +
         "crossJoin would go quadratic; pre-limit the rules (top-N by lift)")
-    purchasedSets.crossJoin(broadcast(r))
+    val spark = rules.sparkSession
+    val local = spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), proj.schema)
+    purchasedSets.crossJoin(broadcast(local))
       .where(size(array_except(col("antecedent"), col("items"))) === 0)
   }
 

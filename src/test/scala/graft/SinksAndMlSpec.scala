@@ -152,6 +152,30 @@ class SinksAndMlSpec extends SparkSpec {
     assert(codes == Seq(2.0, 0.0, 0.0))
   }
 
+  test("LabelEncoder: nulls at fit become the class 'nan' (pandas astype)") {
+    // the reference's astype(str) turns NaN into the literal 'nan', which
+    // np.unique sorts into classes_ — so a null-bearing fit column gets a
+    // 'nan' class, and it SHIFTS codes of classes sorting after it
+    val train = Seq(Some("b"), None, Some("a")).toDF("fruit")
+    val enc = new graft.ml.LabelEncoder().setInputCol("fruit")
+      .setOutputCol("code").fit(train)
+    assert(enc.getClasses.toSeq == Seq("a", "b", "nan"))
+    val scored = enc.transform(
+      Seq(Some("a"), None, Some("zz")).toDF("fruit"))
+      .select("code").as[Double].collect().toSeq
+    assert(scored == Seq(0.0, 2.0, 0.0)) // null -> its own class, not 0
+
+    // 'nan' sorting BEFORE other classes shifts every code after it
+    val train2 = Seq(Some("x"), None, Some("z")).toDF("fruit")
+    val enc2 = new graft.ml.LabelEncoder().setInputCol("fruit")
+      .setOutputCol("code").fit(train2)
+    assert(enc2.getClasses.toSeq == Seq("nan", "x", "z"))
+    val scored2 = enc2.transform(
+      Seq(Some("x"), Some("z"), None).toDF("fruit"))
+      .select("code").as[Double].collect().toSeq
+    assert(scored2 == Seq(1.0, 2.0, 0.0))
+  }
+
   test("LabelEncoder survives pipeline persistence inside a PipelineModel") {
     val df = Seq(("b", 1.0, 0.0), ("a", 2.0, 1.0), ("c", 3.0, 1.0),
       ("a", 4.0, 0.0)).toDF("seg", "x", "label")
