@@ -2209,6 +2209,150 @@ object Queries {
         FROM f ORDER BY id, frame"""))
   )
 
+  // Streaming oracle gates --------------------------------------------------
+  // Each gate runs a REAL Structured Streaming query (file source →
+  // stateful transform → memory sink, Trigger.AvailableNow) and compares
+  // the drained result to a batch SQL oracle. Settings are chosen so the
+  // streamed result is DETERMINISTICALLY batch-equal: Complete mode for
+  // the windowed agg; an effectively-infinite watermark elsewhere so no
+  // row is late-dropped and no state is evicted (production uses tight
+  // watermarks — the tight-watermark behaviors are unit-tested in
+  // StreamingSpec; these gates pin the semantics cross-engine).
+
+  /** Re-chunk `events` into `nFiles` parquet files of
+    * (event_id, ts_us LONG, user_id, event_type, value) under /tmp — the
+    * finite backlog the gates drain. Integer micros on disk sidestep both
+    * engines' timestamp-logical-type quirks, and multiple files let
+    * `maxFilesPerTrigger` split the drain into real micro-batches. */
+  private def streamBacklog(s: SparkSession, dir: String,
+                            nFiles: Int = 8): String = {
+    val out = "/tmp/graft_stream/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    t(s, dir).events
+      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+        col("user_id"), col("event_type"), col("value"))
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(out)
+    out
+  }
+
+  private def streamingSpecs: Seq[Spec] = {
+    import graft.streaming.Streams
+    import org.apache.spark.sql.streaming.OutputMode
+    Seq(
+
+      // ------------------------------------------------ streaming A17/A18
+      // Tumbling 1-day event-time windows, drained in 4 micro-batches.
+      // Complete output mode makes the final table the full aggregation
+      // regardless of watermark progress, so it must equal the batch
+      // GROUP BY day — which is exactly the oracle.
+      Spec("q_stream_windows",
+        (s, dir) => {
+          val src = streamBacklog(s, dir)
+          val win = Streams.windowedCounts(
+            Streams.eventStreamMicros(s, src, maxFilesPerTrigger = Some(2)),
+            "3650 days", "1 day", "1 day")
+          Streams.runToTable(win, "graft_stream_windows",
+              OutputMode.Complete())
+            .select(col("window.start").cast("date").as("day"),
+              col("event_type"), col("n"), col("total_value"))
+            .orderBy(col("day"), col("event_type"))
+        },
+        Some("""SELECT CAST(ts AS DATE) AS day, event_type,
+          COUNT(*) AS n, """ + m("value") + """ AS total_value
+          FROM events GROUP BY 1, 2 ORDER BY day, event_type""")),
+
+      // ------------------------------------------------ streaming U1
+      // Global streaming dedup on (user_id, event_type): state is one
+      // entry per distinct pair, never evicted → the emitted rows are
+      // exactly the distinct pairs, independent of batch boundaries.
+      Spec("q_stream_dedup",
+        (s, dir) => {
+          val src = streamBacklog(s, dir)
+          val dd = Streams.streamingDedupGlobal(
+            Streams.eventStreamMicros(s, src, maxFilesPerTrigger = Some(2)),
+            Seq("user_id", "event_type"))
+          Streams.runToTable(dd, "graft_stream_dedup", OutputMode.Append())
+            .groupBy(col("event_type"))
+            .agg(count(lit(1)).as("n_users"))
+            .orderBy(col("event_type"))
+        },
+        Some("""SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+          FROM events GROUP BY 1 ORDER BY event_type""")),
+
+      // ------------------------------------------------ streaming J-join
+      // Stream-stream interval join (view ↔ click within 30 min, same
+      // user), drained incrementally. Inner-join matches emit eagerly and
+      // the infinite watermark retains both sides' state, so the match
+      // set equals the batch time-range join whatever the file order.
+      Spec("q_stream_join",
+        (s, dir) => {
+          val src = streamBacklog(s, dir)
+          def ev = Streams.eventStreamMicros(s, src,
+            maxFilesPerTrigger = Some(2))
+          val j = Streams.intervalJoin(
+            ev.where(col("event_type") === "view"),
+            ev.where(col("event_type") === "click"),
+            "user_id", "3650 days", beforeSec = 0L, afterSec = 1800L)
+          Streams.runToTable(j, "graft_stream_join", OutputMode.Append())
+            .groupBy(col("k"))
+            .agg(count(lit(1)).as("n_matches"),
+              moneySum(col("r_value")).as("click_value"))
+            .orderBy(col("k"))
+        },
+        Some("""SELECT v.user_id AS k, COUNT(*) AS n_matches,
+          CAST(SUM(CAST(c.value AS DECIMAL(18,2))) AS DOUBLE) AS click_value
+          FROM events v JOIN events c ON c.user_id = v.user_id
+            AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL '1800 seconds'
+          WHERE v.event_type = 'view' AND c.event_type = 'click'
+          GROUP BY 1 ORDER BY k""")),
+
+      // ------------------------------------------------ streaming sessions
+      // flatMapGroupsWithState sessionization (1 h gap), one batch so
+      // arrival order is the fold's sorted event-time order. A session is
+      // EMITTED only when a later event closes it; the trailing open
+      // session per user would need an event-time timeout the infinite
+      // watermark never fires — so the oracle sessionizes in SQL
+      // (lag + gap-flag cumulative sum) and EXCLUDES each user's last
+      // session. Gap compares and session bounds are at MILLISECOND
+      // precision (java.sql.Timestamp.getTime) — mirrored with epoch_ms.
+      Spec("q_stream_sessions",
+        (s, dir) => {
+          val src = streamBacklog(s, dir)
+          import s.implicits._
+          val ev = Streams.eventStreamMicros(s, src)
+            .select(col("user_id"), col("ts"), col("event_type"),
+              col("value")).as[Streams.Event]
+          val sess = Streams.sessionize(ev, "3650 days", gapSec = 3600L)
+          Streams.runToTable(sess.toDF(), "graft_stream_sessions",
+              OutputMode.Append())
+            .select(col("user_id"),
+              unix_micros(col("start_ts")).as("start_us"),
+              unix_micros(col("end_ts")).as("end_us"),
+              col("n_events"),
+              stableRound(col("total_value"), 6).as("total_value"))
+            .orderBy(col("user_id"), col("start_us"))
+        },
+        Some("""WITH o AS (SELECT user_id, ts, event_id, value,
+            CASE WHEN lag(ts) OVER w IS NULL OR epoch_ms(ts) -
+              epoch_ms(lag(ts) OVER w) > 3600000 THEN 1 ELSE 0 END AS new_s
+            FROM events WINDOW w AS (PARTITION BY user_id
+              ORDER BY ts, event_id)),
+          s1 AS (SELECT user_id, ts, value,
+            SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS UNBOUNDED PRECEDING) AS sid FROM o),
+          g AS (SELECT user_id, sid,
+            epoch_ms(MIN(ts)) * 1000 AS start_us,
+            epoch_ms(MAX(ts)) * 1000 AS end_us,
+            COUNT(*) AS n_events,
+            floor(SUM(value) * 1e6 + 0.5) / 1e6 AS total_value
+            FROM s1 GROUP BY 1, 2),
+          f AS (SELECT *, MAX(sid) OVER (PARTITION BY user_id) AS max_sid
+            FROM g)
+          SELECT user_id, start_us, end_us, n_events, total_value
+          FROM f WHERE sid < max_sid ORDER BY user_id, start_us"""))
+    )
+  }
+
   // Shared SQL fragments ----------------------------------------------------
 
   /** Distinct (basket, item) grain over lineitem — mirror of
@@ -2270,5 +2414,5 @@ object Queries {
         FROM orders GROUP BY o_custkey))"""
 
   val specs: Seq[Spec] = coreSpecs ++ statsSpecs ++ mlSpecs ++
-    heuristicSpecs ++ miscSpecs ++ llmSpecs ++ sinkSpecs
+    heuristicSpecs ++ miscSpecs ++ llmSpecs ++ sinkSpecs ++ streamingSpecs
 }

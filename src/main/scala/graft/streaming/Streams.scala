@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 /** Structured Streaming surface (SURVEY §2.15 notes the reference is
   * batch-only; this is the engine's forward-looking ingest path, built on
@@ -33,6 +33,44 @@ object Streams {
         "event_type STRING, value DOUBLE, props STRING")
       .parquet(dir)
 
+  /** File-based event stream over a LONG-microseconds `ts_us` column
+    * (the portable on-disk shape [[graft.Queries]]' gate harness writes —
+    * integer micros dodge every engine's timestamp-logical-type quirks).
+    * `maxFilesPerTrigger` splits the backlog into multiple micro-batches
+    * so a finite directory still exercises incremental state. */
+  def eventStreamMicros(spark: SparkSession, dir: String,
+                        maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream
+      .schema("event_id LONG, ts_us LONG, user_id LONG, " +
+        "event_type STRING, value DOUBLE")
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.parquet(dir)
+      .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
+  }
+
+  /** Global streaming dedup on exact key columns (no event-time column in
+    * the key): state holds one entry per distinct key and is never
+    * evicted — EXACT, the streaming mirror of batch `dropDuplicates`.
+    * Use [[streamingDedup]] when duplicates are time-local and state must
+    * stay watermark-bounded. */
+  def streamingDedupGlobal(events: DataFrame, keys: Seq[String]): DataFrame =
+    events.dropDuplicates(keys)
+
+  /** Drain a FINITE streaming frame into an in-memory table and return
+    * the collected result — the batch-equivalence harness behind the
+    * streaming oracle gates: `Trigger.AvailableNow` processes the whole
+    * backlog (honoring `maxFilesPerTrigger` batching) then stops, and the
+    * memory sink holds everything the stream emitted. The sink is
+    * driver-resident — gate/test scale only, not a production sink. */
+  def runToTable(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
+    val spark = df.sparkSession
+    spark.catalog.dropTempView(name) // stale view from a prior run
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** Stream-static enrichment (the streaming form of J1/J4/J5): join the
     * event stream against a batch dimension table. Spark plans the static
     * side as a broadcast per micro-batch when it is small — the same
@@ -43,12 +81,17 @@ object Streams {
     events.join(dim, keys, "left")
 
   /** Watermarked sliding-window counts per event type — the streaming
-    * form of A17/A18's bucketed rollups. */
+    * form of A17/A18's bucketed rollups. The value sum goes through
+    * [[graft.functions.ColumnFns.moneySum]] (decimal-cast) so the result
+    * is partition- and batch-order independent — the same cross-engine
+    * exactness rule as the batch operators, which is what lets the
+    * streaming gate hash-match a SQL oracle. */
   def windowedCounts(events: DataFrame, watermark: String, windowDur: String,
                      slide: String): DataFrame =
     events.withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowDur, slide), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.ColumnFns.moneySum(col("value")).as("total_value"))
 
   /** Streaming exact dedup on a key set, state bounded by the watermark —
     * the streaming form of U1/exact content dedup. */
