@@ -2209,6 +2209,98 @@ object Queries {
         FROM f ORDER BY id, frame"""))
   )
 
+  // Text-pipeline gates (Gopher rules, PII scrub) ---------------------------
+  // The synthetic documents are flat word soup (no newlines, digits, or
+  // contact strings), so these gates AUGMENT the corpus deterministically
+  // in-engine with one SQL fragment evaluated by BOTH Spark and DuckDB
+  // (only dialect-shared functions: replace/chr/||/CASE): bullet-newline
+  // structure, an ellipsis suffix on id%5, a constant email on id%7 and
+  // phone on id%11 — giving every quality rule and the scrubber real
+  // signal to act on.
+  private val augDocsSql: String =
+    """replace(text, ' table ', chr(10) || '- table ')
+      || CASE WHEN doc_id % 7 = 0 THEN ' contact user@example.com'
+              ELSE '' END
+      || CASE WHEN doc_id % 11 = 0 THEN ' call +15550104321' ELSE '' END
+      || CASE WHEN doc_id % 5 = 0 THEN ' ...' ELSE '' END"""
+
+  private def augDocs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).documents
+      .selectExpr("doc_id AS id", s"($augDocsSql) AS text")
+
+  private def augDocsCte: String =
+    s"WITH aug AS (SELECT doc_id AS id, ($augDocsSql) AS text FROM documents)"
+
+  private def textPipelineSpecs: Seq[Spec] = Seq(
+
+    // ------------------------------------------------ Gopher quality rules
+    Spec("q_gopher_quality",
+      (s, dir) => TextAnalysis.gopherQuality(augDocs(s, dir), "id", "text")
+        .orderBy(col("id")),
+      Some(augDocsCte + """,
+        m AS (SELECT id, text,
+          regexp_split_to_array(trim(text), '\s+') AS words,
+          str_split(text, chr(10)) AS lines FROM aug)
+        SELECT id,
+          CAST(len(words) AS BIGINT) AS n_words,
+          CAST(len(lines) AS BIGINT) AS n_lines,
+          CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+            / len(words) AS mean_word_len,
+          (CAST(length(text) - length(regexp_replace(text, '\.\.\.', '',
+              'g')) AS DOUBLE) / 3
+            + length(regexp_replace(text, '[^#]', '', 'g')))
+            / len(words) AS symbol_word_ratio,
+          CAST(len(list_filter(lines, l -> regexp_matches(l, '^ *[-*]')))
+            AS DOUBLE) / len(lines) AS bullet_line_ratio,
+          CAST(len(list_filter(lines, l -> regexp_matches(l, '\.\.\.$')))
+            AS DOUBLE) / len(lines) AS ellipsis_line_ratio,
+          CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))
+            AS DOUBLE) / len(words) AS alpha_word_ratio,
+          CAST(len(list_filter(['the','a','an','of','and','or','in','to',
+            'is','it','on','for','with','as','at','by'],
+            sw -> list_contains(words, sw))) AS BIGINT) AS n_stop_hits,
+          (len(words) BETWEEN 50 AND 100000)
+            AND (CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+              / len(words) BETWEEN 3.0 AND 10.0)
+            AND ((CAST(length(text) - length(regexp_replace(text, '\.\.\.',
+                '', 'g')) AS DOUBLE) / 3
+              + length(regexp_replace(text, '[^#]', '', 'g')))
+              / len(words) < 0.1)
+            AND (CAST(len(list_filter(lines,
+              l -> regexp_matches(l, '^ *[-*]'))) AS DOUBLE)
+              / len(lines) <= 0.9)
+            AND (CAST(len(list_filter(lines,
+              l -> regexp_matches(l, '\.\.\.$'))) AS DOUBLE)
+              / len(lines) <= 0.3)
+            AND (CAST(len(list_filter(words,
+              w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+              / len(words) > 0.8)
+            AND (len(list_filter(['the','a','an','of','and','or','in','to',
+              'is','it','on','for','with','as','at','by'],
+              sw -> list_contains(words, sw))) >= 2) AS keep
+        FROM m ORDER BY id""")),
+
+    // ------------------------------------------------ PII scrub
+    Spec("q_pii_scrub",
+      (s, dir) => TextAnalysis.piiScrub(augDocs(s, dir), "id", "text")
+        .orderBy(col("id")),
+      Some(augDocsCte + """
+        SELECT id,
+          CAST(len(regexp_extract_all(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+            AS n_emails,
+          CAST(len(regexp_extract_all(text, '\+[0-9]{8,}')) AS BIGINT)
+            AS n_phones,
+          CAST(length(regexp_replace(regexp_replace(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]',
+            'g'), '\+[0-9]{8,}', '[PHONE]', 'g')) AS BIGINT)
+            AS n_chars_scrubbed,
+          sha256(regexp_replace(regexp_replace(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]',
+            'g'), '\+[0-9]{8,}', '[PHONE]', 'g')) AS scrubbed_sha256
+        FROM aug ORDER BY id"""))
+  )
+
   // Streaming oracle gates --------------------------------------------------
   // Each gate runs a REAL Structured Streaming query (file source →
   // stateful transform → memory sink, Trigger.AvailableNow) and compares
@@ -2414,5 +2506,6 @@ object Queries {
         FROM orders GROUP BY o_custkey))"""
 
   val specs: Seq[Spec] = coreSpecs ++ statsSpecs ++ mlSpecs ++
-    heuristicSpecs ++ miscSpecs ++ llmSpecs ++ sinkSpecs ++ streamingSpecs
+    heuristicSpecs ++ miscSpecs ++ llmSpecs ++ sinkSpecs ++
+    textPipelineSpecs ++ streamingSpecs
 }

@@ -86,6 +86,79 @@ object TextAnalysis {
       stableRound(best._2, 6).as("lang_score"))
   }
 
+  /** Gopher-style document-format quality rules (Rae et al. 2021, §A1.1 —
+    * the standard pre-training format filters): word-count bounds, mean
+    * word length bounds, symbol-to-word ratio (# and … marks), bullet- and
+    * ellipsis-line ratios, fraction of words containing an alphabetic
+    * character, and a minimum number of distinct stopwords. Emits every
+    * signal plus the combined `keep` verdict so downstream can re-weight
+    * rules instead of re-scanning. Map-only, codegen'd — one pass at any
+    * scale. Every ratio is an exact-int division, so the signals (and the
+    * threshold comparisons) are bit-identical cross-engine. */
+  def gopherQuality(docs: DataFrame, id: String, text: String): DataFrame = {
+    val t = col(text)
+    val words = tokens(t)
+    val lines = split(t, "\n")
+    val nWords = size(words).cast("long")
+    val nLines = size(lines).cast("long")
+    val stopArr = array(stopwords.map(lit): _*)
+    val meanWordLen = length(regexp_replace(t, "\\s+", "")).cast("double") /
+      nWords
+    // non-overlapping "..." count via length difference — the same
+    // leftmost-scan semantics in every engine
+    val ellipses = (length(t) -
+      length(regexp_replace(t, "\\.\\.\\.", ""))).cast("double") / 3
+    val hashes = length(regexp_replace(t, "[^#]", ""))
+    val symbolRatio = (ellipses + hashes) / nWords
+    val bulletRatio = size(filter(lines, l => l.rlike("^ *[-*]")))
+      .cast("double") / nLines
+    val ellipsisLineRatio = size(filter(lines, l => l.rlike("\\.\\.\\.$")))
+      .cast("double") / nLines
+    val alphaRatio = size(filter(words, w => w.rlike("[A-Za-z]")))
+      .cast("double") / nWords
+    val stopHits = size(filter(stopArr, sw => array_contains(words, sw)))
+      .cast("long")
+    docs.select(col(id).as("id"), nWords.as("n_words"), nLines.as("n_lines"),
+        meanWordLen.as("mean_word_len"),
+        symbolRatio.as("symbol_word_ratio"),
+        bulletRatio.as("bullet_line_ratio"),
+        ellipsisLineRatio.as("ellipsis_line_ratio"),
+        alphaRatio.as("alpha_word_ratio"),
+        stopHits.as("n_stop_hits"))
+      .withColumn("keep",
+        col("n_words").between(50L, 100000L) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("symbol_word_ratio") < 0.1 &&
+          col("bullet_line_ratio") <= 0.9 &&
+          col("ellipsis_line_ratio") <= 0.3 &&
+          col("alpha_word_ratio") > 0.8 &&
+          col("n_stop_hits") >= 2L)
+  }
+
+  /** Default PII patterns: email and an international-format phone number.
+    * Deliberately simple expressions valid in both Java and RE2 regex
+    * dialects, so the scrub is reproducible across engines. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern = "\\+[0-9]{8,}"
+
+  /** PII scrub: redact emails/phones with fixed placeholder tags and
+    * report match counts — the masking pass a training-data pipeline runs
+    * before exporting a corpus. Map-only; the scrubbed text is carried as
+    * (length, sha256) here so gates stay compact — production would keep
+    * the scrubbed column itself. */
+  def piiScrub(docs: DataFrame, id: String, text: String,
+               emailPat: String = EmailPattern,
+               phonePat: String = PhonePattern): DataFrame = {
+    val t = col(text)
+    val scrubbed = regexp_replace(regexp_replace(t, emailPat, "[EMAIL]"),
+      phonePat, "[PHONE]")
+    docs.select(col(id).as("id"),
+      regexp_count(t, lit(emailPat)).cast("long").as("n_emails"),
+      regexp_count(t, lit(phonePat)).cast("long").as("n_phones"),
+      length(scrubbed).cast("long").as("n_chars_scrubbed"),
+      sha2(scrubbed, 256).as("scrubbed_sha256"))
+  }
+
   /** Document fingerprints: full-content MD5 plus the minimum shingle MD5
     * (a 1-hash MinHash — the rolling-hash fingerprint class). Both are
     * engine-portable hex strings. */

@@ -212,6 +212,37 @@ class LlmOpsSpec extends SparkSpec {
     assert(m.getAs[Double]("stopword_ratio") == 0.25)
   }
 
+  test("text: gopher rules score a clean doc keep and a bullet wall drop") {
+    val clean = (1 to 60).map(i => s"word$i").mkString(
+      "the quick brown fox is on it for a with ", " ", "")
+    val bullets = (1 to 10).map(i => s"- item $i").mkString("\n")
+    val df = Seq((1L, clean), (2L, bullets)).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherQuality(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Boolean]("keep"))
+    assert(!out(2L).getAs[Boolean]("keep")) // all-bullet + too few words
+    assert(out(2L).getAs[Double]("bullet_line_ratio") == 1.0)
+    assert(out(1L).getAs[Long]("n_stop_hits") >= 2L)
+  }
+
+  test("text: pii scrub redacts emails and phones and counts them") {
+    val df = Seq(
+      (1L, "mail me at a.b+c@ex-ample.org or call +4915551234567 now"),
+      (2L, "no contact info here")).toDF("doc_id", "text")
+    val out = TextAnalysis.piiScrub(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_emails") == 1L)
+    assert(out(1L).getAs[Long]("n_phones") == 1L)
+    assert(out(2L).getAs[Long]("n_emails") == 0L)
+    // scrubbed length: original minus the two PII spans plus the tags
+    val orig = "mail me at a.b+c@ex-ample.org or call +4915551234567 now"
+    val scrubbed = "mail me at [EMAIL] or call [PHONE] now"
+    assert(out(1L).getAs[Long]("n_chars_scrubbed") == scrubbed.length.toLong)
+    assert(out(2L).getAs[Long]("n_chars_scrubbed") ==
+      "no contact info here".length.toLong)
+    assert(orig.length != scrubbed.length) // the scrub actually removed text
+  }
+
   test("multimodal: partitioned codec path equals the expression stub") {
     val blobs = Multimodal.asBlobTable(docs.repartition(3), "doc_id", "text")
     val viaExpr = Multimodal.withDecodedMeta(blobs)
