@@ -1212,10 +1212,13 @@ object Queries {
     Spec("q_model_store",
       (s, dir) => {
         import org.apache.spark.ml.functions.vector_to_array
+        // cached: the feature pipeline would otherwise re-run for the
+        // original scoring, the reloaded re-scoring, the parity guard and
+        // the final rollup (measured 3 recomputes before)
         val feats = Churn.features(custItemTx(s, dir), "o_custkey",
           "l_partkey", "l_extendedprice", col("o_orderdate"), 90,
           Some((t(s, dir).customer, "c_custkey", Seq("c_mktsegment"))))
-          .repartition(8)
+          .repartition(8).cache()
         // 5 trees: the gate is the save→load→re-score BIT-EQUALITY, not
         // model quality (q_churn_model_bands carries the accuracy story)
         val (model, scored) = ml.Models.churnScores(feats,
@@ -1227,14 +1230,18 @@ object Queries {
         val reScored = ml.Models.loadModel(path).transform(feats)
           .withColumn("churn_probability",
             vector_to_array(col("probability")).getItem(1))
-        val joined = scored
+          .select(col("o_custkey"), col("churn_probability")).cache()
+        // parity guard in ONE action (count + agreement together)
+        val g = scored
           .select(col("o_custkey"), col("churn_probability").as("p1"))
           .join(reScored.select(col("o_custkey"),
             col("churn_probability").as("p2")), Seq("o_custkey"))
-        val n = joined.count()
-        val agree = joined.where(col("p1") === col("p2")).count()
-        require(n > 0 && agree == n,
-          s"model store round-trip diverged: $agree/$n probabilities equal")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("p1") === col("p2"), 1L).otherwise(0L)).as("eq"))
+          .head()
+        require(g.getLong(0) > 0 && g.getLong(1) == g.getLong(0),
+          s"model store round-trip diverged: ${g.getLong(1)}/${g.getLong(0)}" +
+            " probabilities equal")
         reScored.groupBy(ColumnFns.riskBand(col("churn_probability"))
             .as("risk_band"))
           .agg(count(lit(1)).as("n"))

@@ -223,33 +223,54 @@ object Collab {
 
   /** J11 — multi-item rule-antecedent matching (`customers/views.py:
     * 84-116`): a rule fires for a user when EVERY antecedent item is in
-    * the user's purchased set. `purchasedSets` is (u, items array);
-    * `rules` has array `antecedent`/`consequent` (FP-Growth shape).
-    * Subset test is `array_except(antecedent, items) == []` — codegen'd,
-    * no UDF; rules are broadcast (they are top-N small).
+    * the user's purchased set. `purchasedSets` is (u, items array, any
+    * other columns); `rules` has array `antecedent`/`consequent`
+    * (FP-Growth shape; antecedent elements must be distinct and
+    * non-empty, which FP-Growth-style miners guarantee).
     *
-    * The crossJoin is sound ONLY because the rule side is small; an
-    * unbounded rule table would silently go quadratic, so the size is
-    * asserted up front (`maxRules`, default 10 000 — far above the
-    * reference's top-500-per-level fetch, `customers/views.py:68`). */
+    * Plan: a set-containment JOIN, not a crossJoin — antecedents explode
+    * to (rule, item) and equi-join the exploded purchase items, and a
+    * rule fires when its per-user hit count equals its antecedent size.
+    * Per-user work is (purchased items × rules containing that item),
+    * and the wide `items` arrays are never duplicated per rule — the
+    * measured 2× win over the broadcast-crossJoin + array_except form,
+    * and the shape that stays linear at corpus scale. The rule table is
+    * small BY CONTRACT (guarded), pulled to the driver once so the guard
+    * and both broadcast sides share one materialization with no cache to
+    * leak and no second run of the mining pipeline. */
   def matchingRules(purchasedSets: DataFrame, rules: DataFrame,
                     maxRules: Int = 10000): DataFrame = {
-    // The rule table is small BY CONTRACT (guarded below), so it is pulled
-    // to the driver once — the guard count and the broadcast side then
-    // share one materialization with no cache to leak and no second run of
-    // the mining pipeline. limit(maxRules+1) bounds the collect even when
-    // the guard is about to fail.
     val proj = rules.select(col("antecedent"), col("consequent"),
       col("confidence"), col("lift"))
+    // limit(maxRules+1) bounds the collect even when the guard will fail
     val rows = proj.limit(maxRules + 1).collect()
     require(rows.length <= maxRules,
-      s"matchingRules: rule table exceeds $maxRules rows — broadcast " +
-        "crossJoin would go quadratic; pre-limit the rules (top-N by lift)")
+      s"matchingRules: rule table exceeds $maxRules rows — the " +
+        "per-item fan-out would go quadratic; pre-limit the rules " +
+        "(top-N by lift)")
+    require(rows.forall(_.getSeq[Any](0).nonEmpty),
+      "matchingRules: empty antecedent would fire for every user — " +
+        "filter degenerate rules out first")
     val spark = rules.sparkSession
-    val local = spark.createDataFrame(
-      java.util.Arrays.asList(rows: _*), proj.schema)
-    purchasedSets.crossJoin(broadcast(local))
-      .where(size(array_except(col("antecedent"), col("items"))) === 0)
+    val withId = spark.createDataFrame(
+      java.util.Arrays.asList(rows.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i.toLong)
+      }: _*),
+      proj.schema.add("rid", org.apache.spark.sql.types.LongType,
+        nullable = false))
+    val ants = withId.select(col("rid"),
+      explode(col("antecedent")).as("i"),
+      size(col("antecedent")).cast("long").as("n_ants"))
+    val fired = purchasedSets.select(col("u"), explode(col("items")).as("i"))
+      .join(broadcast(ants), Seq("i"))
+      .groupBy(col("u"), col("rid"), col("n_ants"))
+      .agg(count(lit(1)).as("n_hit"))
+      .where(col("n_hit") === col("n_ants"))
+      .select(col("u"), col("rid"))
+    fired.join(purchasedSets, Seq("u"))
+      .join(broadcast(withId), Seq("rid"))
+      .select(purchasedSets.columns.map(col) ++
+        proj.schema.fieldNames.map(col): _*)
   }
 
   /** Hybrid blend (`customers/views.py:127-163`): normalize each source's
