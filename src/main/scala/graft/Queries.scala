@@ -1190,7 +1190,11 @@ object Queries {
             ("12months", "target_12months", 365)),
           Seq("recency", "frequency", "monetary", "product_variety",
             "avg_purchase_gap"),
-          Seq("c_mktsegment"), toyScale = true)
+          // keyCol: deterministic hash split on the unique customer key,
+          // so the trained metrics are reproducible across partition
+          // layouts (file splits / AQE / cluster size), not just seeds
+          Seq("c_mktsegment"), toyScale = true,
+          keyCol = Some("o_custkey"))
         ml.Models.saveMetrics(metrics, "/tmp/graft_models/model_metrics.json")
         sample.unpersist()
         import s.implicits._

@@ -66,22 +66,41 @@ object Models {
   }
 
   /** Stratified train/test split (seed 42): exact per-label fractions via
-    * sampleBy + anti-join for the complement. */
+    * sampleBy + anti-join for the complement.
+    *
+    * With `keyCol` set (a unique row key), the split is a DETERMINISTIC
+    * hash split instead: a row trains iff
+    * `pmod(hash(key, seed), 10000) < trainFrac·10000`. Like sampleBy this
+    * is per-row Bernoulli (stratification holds in expectation), but the
+    * assignment depends only on the KEY VALUE — not on partition layout —
+    * so the split (and every metric trained from it) is reproducible
+    * across file splits, cluster sizes, and AQE decisions, and the two
+    * sides are complementary filters with no cache/count materialization
+    * barrier. Prefer it whenever a unique key exists; the keyless path
+    * remains for frames without one. */
   def stratifiedSplit(df: DataFrame, labelCol: String, trainFrac: Double,
-                      seed: Long = 42L): (DataFrame, DataFrame) = {
-    // cache + materialize: monotonically_increasing_id and sampleBy depend
-    // on partition layout, so the sample and its anti-join complement must
-    // read the SAME materialization or rows could land in both/neither
-    val keyed = df.withColumn("__row_id", monotonically_increasing_id())
-      .cache()
-    keyed.count()
-    val labels = keyed.select(col(labelCol)).distinct().collect()
-      .map(_.get(0))
-    val train = keyed.stat.sampleBy(labelCol,
-      labels.map(l => l -> trainFrac).toMap, seed)
-    val test = keyed.join(train.select("__row_id"), Seq("__row_id"),
-      "left_anti")
-    (train.drop("__row_id"), test.drop("__row_id"))
+                      seed: Long = 42L, keyCol: Option[String] = None)
+      : (DataFrame, DataFrame) = keyCol match {
+    case Some(k) =>
+      val inTrain =
+        pmod(hash(col(k), lit(seed.toInt)), lit(10000)) <
+          math.round(trainFrac * 10000).toInt
+      (df.where(inTrain), df.where(!inTrain))
+    case None =>
+      // cache + materialize: monotonically_increasing_id and sampleBy
+      // depend on partition layout, so the sample and its anti-join
+      // complement must read the SAME materialization or rows could land
+      // in both/neither
+      val keyed = df.withColumn("__row_id", monotonically_increasing_id())
+        .cache()
+      keyed.count()
+      val labels = keyed.select(col(labelCol)).distinct().collect()
+        .map(_.get(0))
+      val train = keyed.stat.sampleBy(labelCol,
+        labels.map(l => l -> trainFrac).toMap, seed)
+      val test = keyed.join(train.select("__row_id"), Seq("__row_id"),
+        "left_anti")
+      (train.drop("__row_id"), test.drop("__row_id"))
   }
 
   /** The model zoo (`ml_models.py:538-543`), MLlib estimators keyed by the
@@ -181,7 +200,8 @@ object Models {
                numericCols: Seq[String], categoricalCols: Seq[String],
                trainFrac: Double = 0.8, seed: Long = 42L,
                toyScale: Boolean = false,
-               modelNames: Seq[String] = ReferenceZoo)
+               modelNames: Seq[String] = ReferenceZoo,
+               keyCol: Option[String] = None)
       : Map[String, ZooResult] = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
@@ -206,7 +226,8 @@ object Models {
           val prepF: Future[(DataFrame, DataFrame)] = Future {
             val df = features
               .withColumn("label", col(labelCol).cast("double"))
-            val (train, test) = stratifiedSplit(df, "label", trainFrac, seed)
+            val (train, test) =
+              stratifiedSplit(df, "label", trainFrac, seed, keyCol)
             val prep = new Pipeline()
               .setStages(featureStages(numericCols, categoricalCols))
               .fit(train)

@@ -140,6 +140,23 @@ class SinksAndMlSpec extends SparkSpec {
     assert(frac1 > 0.1 && frac1 < 0.3)
   }
 
+  test("hash stratified split is identical across partition layouts") {
+    val df = ((1 to 400).map(i => (i.toLong, (i % 5 == 0).compare(false)
+      .toLong))).toDF("id", "label")
+    def trainIds(d: org.apache.spark.sql.DataFrame) =
+      Models.stratifiedSplit(d, "label", 0.8, keyCol = Some("id"))
+        ._1.select("id").as[Long].collect().toSet
+    val a = trainIds(df.repartition(1))
+    val b = trainIds(df.repartition(7, $"label"))
+    assert(a == b) // layout-independent: same keys train either way
+    val (tr, te) = Models.stratifiedSplit(df, "label", 0.8,
+      keyCol = Some("id"))
+    assert(tr.count() + te.count() == 400)
+    assert(tr.join(te, Seq("id")).count() == 0) // complementary
+    val frac = a.size / 400.0
+    assert(frac > 0.7 && frac < 0.9)
+  }
+
   test("LabelEncoder: sorted classes, unseen and null map to class 0") {
     // sklearn parity (ml_models.py:416-430): classes_ = sorted unique,
     // unseen -> classes_[0]
