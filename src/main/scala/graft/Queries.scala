@@ -2291,6 +2291,29 @@ object Queries {
               sw -> list_contains(words, sw))) >= 2) AS keep
         FROM m ORDER BY id""")),
 
+    // ------------------------------------------------ repetition metrics
+    Spec("q_repetition",
+      (s, dir) => TextAnalysis.repetitionMetrics(augDocs(s, dir), "id",
+        "text").orderBy(col("id")),
+      Some(augDocsCte + """,
+        m AS (SELECT id,
+          regexp_split_to_array(trim(text), '\s+') AS words,
+          str_split(text, chr(10)) AS lines FROM aug),
+        ls AS (SELECT id, len(lines) AS n_lines,
+          len(list_distinct(lines)) AS ndl FROM m),
+        bg AS (SELECT id, unnest(list_transform(range(1, len(words)),
+            i -> words[i] || ' ' || words[i + 1])) AS bg
+          FROM m WHERE len(words) >= 2),
+        bc AS (SELECT id, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+        bs AS (SELECT id, MAX(c) AS topc, SUM(c) AS nb FROM bc GROUP BY 1)
+        SELECT ls.id AS id, CAST(n_lines AS BIGINT) AS n_lines,
+          CAST(n_lines - ndl AS DOUBLE) / n_lines AS dup_line_ratio,
+          CAST(COALESCE(nb, 0) AS BIGINT) AS n_bigrams,
+          CAST(COALESCE(topc, 0) AS BIGINT) AS top_bigram_count,
+          CASE WHEN COALESCE(nb, 0) > 0 THEN CAST(topc AS DOUBLE) / nb
+            ELSE 0.0 END AS top_bigram_ratio
+        FROM ls LEFT JOIN bs ON bs.id = ls.id ORDER BY ls.id""")),
+
     // ------------------------------------------------ PII scrub
     Spec("q_pii_scrub",
       (s, dir) => TextAnalysis.piiScrub(augDocs(s, dir), "id", "text")

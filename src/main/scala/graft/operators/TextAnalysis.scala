@@ -135,6 +135,42 @@ object TextAnalysis {
           col("n_stop_hits") >= 2L)
   }
 
+  /** Gopher-style repetition metrics (Rae et al. 2021, §A1.1's
+    * duplicate-line and repeated-n-gram family): per document, the
+    * fraction of duplicated lines and the share of the most frequent
+    * word bigram. The line signals are per-row array expressions; the
+    * bigram mode is computed RELATIONALLY (explode → count → max) so the
+    * shuffle grain is (doc, bigram) with map-side partials — linear at
+    * corpus scale, no per-doc hash map in driver memory. */
+  def repetitionMetrics(docs: DataFrame, id: String, text: String)
+      : DataFrame = {
+    val t = col(text)
+    val base = docs.select(col(id).as("id"), tokens(t).as("words"),
+      split(t, "\n").as("lines"))
+    val lineStats = base.select(col("id"),
+      size(col("lines")).cast("long").as("n_lines"),
+      size(array_distinct(col("lines"))).cast("long").as("n_distinct"))
+    val bigrams = base
+      .where(size(col("words")) >= 2) // sequence(0,-1) would descend
+      .select(col("id"), explode(expr(
+        """transform(sequence(0, size(words) - 2),
+          |  i -> concat(words[i], ' ', words[i + 1]))""".stripMargin))
+        .as("bg"))
+    val bgStats = bigrams.groupBy(col("id"), col("bg"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("id"))
+      .agg(max(col("c")).as("topc"), sum(col("c")).as("nb"))
+    lineStats.join(bgStats, Seq("id"), "left")
+      .select(col("id"), col("n_lines"),
+        ((col("n_lines") - col("n_distinct")).cast("double") /
+          col("n_lines")).as("dup_line_ratio"),
+        coalesce(col("nb"), lit(0L)).cast("long").as("n_bigrams"),
+        coalesce(col("topc"), lit(0L)).cast("long").as("top_bigram_count"),
+        when(coalesce(col("nb"), lit(0L)) > 0,
+          col("topc").cast("double") / col("nb")).otherwise(lit(0.0))
+          .as("top_bigram_ratio"))
+  }
+
   /** Default PII patterns: email and an international-format phone number.
     * Deliberately simple expressions valid in both Java and RE2 regex
     * dialects, so the scrub is reproducible across engines. */

@@ -225,6 +225,21 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(1L).getAs[Long]("n_stop_hits") >= 2L)
   }
 
+  test("text: repetition metrics flag duplicated lines and looped bigrams") {
+    val looped = ("spam ham " * 10).trim            // "spam ham" dominates
+    val dupLines = "alpha beta\nsame line\nsame line\nsame line"
+    val df = Seq((1L, looped), (2L, dupLines)).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionMetrics(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // 19 bigrams, "ham spam" x9 + "spam ham" x10 -> top ratio 10/19
+    assert(out(1L).getAs[Long]("n_bigrams") == 19L)
+    assert(out(1L).getAs[Double]("top_bigram_ratio") == 10.0 / 19)
+    assert(out(1L).getAs[Double]("dup_line_ratio") == 0.0)
+    // 4 lines, 2 distinct -> half the lines are duplicates
+    assert(out(2L).getAs[Long]("n_lines") == 4L)
+    assert(out(2L).getAs[Double]("dup_line_ratio") == 0.5)
+  }
+
   test("text: pii scrub redacts emails and phones and counts them") {
     val df = Seq(
       (1L, "mail me at a.b+c@ex-ample.org or call +4915551234567 now"),
