@@ -2314,6 +2314,85 @@ object Queries {
             ELSE 0.0 END AS top_bigram_ratio
         FROM ls LEFT JOIN bs ON bs.id = ls.id ORDER BY ls.id""")),
 
+    // ------------------------------------------------ end-to-end cleaning
+    // The capstone pipeline a training-data run executes: format filter
+    // (Gopher keep) ∧ quality-score floor → exact content dedup (min-id
+    // canonical per md5) → per-(source, lang) corpus stats with token
+    // totals. One declarative query over existing operators — filters
+    // push into the scan, dedup shuffles (hash, id) only, stats shuffle
+    // the two-column group key.
+    Spec("q_corpus_clean",
+      (s, dir) => {
+        val docs = t(s, dir).documents
+        val keepIds = TextAnalysis.gopherQuality(docs, "doc_id", "text")
+          .where(col("keep"))
+          .select(col("id").as("doc_id"))
+        val scoreIds = TextAnalysis.qualityScore(docs, "doc_id", "text")
+          .where(col("quality_score") >= 0.3)
+          .select(col("id").as("doc_id"))
+        val filtered = docs
+          .join(keepIds, Seq("doc_id"), "left_semi")
+          .join(scoreIds, Seq("doc_id"), "left_semi")
+        val canonical = filtered
+          .groupBy(md5(col("text")).as("h"))
+          .agg(min(col("doc_id")).as("doc_id"))
+        filtered.join(canonical.select(col("doc_id")), Seq("doc_id"),
+            "left_semi")
+          .groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(TextAnalysis.tokenCountEstimate(col("text")))
+              .cast("long").as("total_tokens"))
+          .orderBy(col("source"), col("lang"))
+      },
+      Some("""WITH m AS (SELECT doc_id, text, lang, source,
+          regexp_split_to_array(trim(text), '\s+') AS words,
+          str_split(text, chr(10)) AS lines FROM documents),
+        keepq AS (SELECT doc_id FROM m WHERE
+          (len(words) BETWEEN 50 AND 100000)
+          AND (CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+            / len(words) BETWEEN 3.0 AND 10.0)
+          AND ((CAST(length(text) - length(regexp_replace(text, '\.\.\.',
+              '', 'g')) AS DOUBLE) / 3
+            + length(regexp_replace(text, '[^#]', '', 'g')))
+            / len(words) < 0.1)
+          AND (CAST(len(list_filter(lines,
+            l -> regexp_matches(l, '^ *[-*]'))) AS DOUBLE)
+            / len(lines) <= 0.9)
+          AND (CAST(len(list_filter(lines,
+            l -> regexp_matches(l, '\.\.\.$'))) AS DOUBLE)
+            / len(lines) <= 0.3)
+          AND (CAST(len(list_filter(words,
+            w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+            / len(words) > 0.8)
+          AND (len(list_filter(['the','a','an','of','and','or','in','to',
+            'is','it','on','for','with','as','at','by'],
+            sw -> list_contains(words, sw))) >= 2)),
+        scoreq AS (SELECT doc_id FROM (
+          SELECT doc_id, floor((least(CAST(len(words) AS DOUBLE) / 50.0,
+              1.0)
+            * least(floor((CAST(len(list_filter(words,
+                x -> list_contains(['the','a','an','of','and','or','in',
+                  'to','is','it','on','for','with','as','at','by'], x)))
+                AS DOUBLE) / len(words)) * 1e6 + 0.5) / 1e6 * 5.0 + 0.5,
+              1.0)
+            * (1.0 - least(floor((CAST(length(regexp_replace(text,
+                '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text)) * 1e6
+                + 0.5) / 1e6 * 5.0, 1.0) * 0.5)) * 1e6 + 0.5) / 1e6
+            AS quality_score
+          FROM m) WHERE quality_score >= 0.3),
+        filtered AS (SELECT d.* FROM documents d
+          JOIN keepq USING (doc_id) JOIN scoreq USING (doc_id)),
+        canon AS (SELECT md5(text) AS h, MIN(doc_id) AS doc_id
+          FROM filtered GROUP BY 1),
+        clean AS (SELECT f.* FROM filtered f
+          JOIN canon ON canon.doc_id = f.doc_id)
+        SELECT source, lang, COUNT(*) AS n_docs,
+          CAST(SUM(list_sum(list_transform(
+            regexp_split_to_array(trim(text), '\s+'),
+            x -> greatest(1, CAST(ceil(length(x) / 4.0) AS BIGINT)))))
+            AS BIGINT) AS total_tokens
+        FROM clean GROUP BY 1, 2 ORDER BY source, lang""")),
+
     // ------------------------------------------------ PII scrub
     Spec("q_pii_scrub",
       (s, dir) => TextAnalysis.piiScrub(augDocs(s, dir), "id", "text")
