@@ -2429,14 +2429,22 @@ object Queries {
     * finite backlog the gates drain. Integer micros on disk sidestep both
     * engines' timestamp-logical-type quirks, and multiple files let
     * `maxFilesPerTrigger` split the drain into real micro-batches. */
+  private val backlogWritten =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private def streamBacklog(s: SparkSession, dir: String,
                             nFiles: Int = 8): String = {
     val out = "/tmp/graft_stream/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
-    t(s, dir).events
-      .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
-        col("user_id"), col("event_type"), col("value"))
-      .repartition(nFiles)
-      .write.mode("overwrite").parquet(out)
+    // the backlog content is a pure function of `dir` — write it once per
+    // JVM instead of once per gate query (4 gates × passes otherwise
+    // rewrite identical data)
+    if (backlogWritten.add(out)) {
+      t(s, dir).events
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"))
+        .repartition(nFiles)
+        .write.mode("overwrite").parquet(out)
+    }
     out
   }
 
@@ -2492,8 +2500,12 @@ object Queries {
       Spec("q_stream_join",
         (s, dir) => {
           val src = streamBacklog(s, dir)
+          // 2 micro-batches (4 files/trigger): still a real incremental
+          // drain with cross-batch join state, at half the per-trigger
+          // scheduling cost of the other gates — this gate runs TWO file
+          // sources, so triggers are twice as expensive here
           def ev = Streams.eventStreamMicros(s, src,
-            maxFilesPerTrigger = Some(2))
+            maxFilesPerTrigger = Some(4))
           val j = Streams.intervalJoin(
             ev.where(col("event_type") === "view"),
             ev.where(col("event_type") === "click"),

@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.ColumnFns
-import graft.operators.{AssociationRules, Dedup, Joins, NearDup, Rfm, Stats}
+import graft.operators.{AssociationRules, Dedup, Joins, NearDup, Rfm, Stats, TextAnalysis}
 import graft.operators.AssociationRules.Params
 import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, Properties, Test}
@@ -206,6 +206,35 @@ object InvariantsCheck extends Properties("graft.invariants") {
         .userSimilarities(counts, None).collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       capped.subsetOf(exact)
+    }
+
+  private val piiTextGen: Gen[String] = for {
+    words <- Gen.listOfN(6, Gen.oneOf("call", "me", "at", "the", "office",
+      "now", "or", "email"))
+    email <- Gen.oneOf("", "a.b+c@example.org ", "x_1@sub.domain.co ")
+    phone <- Gen.oneOf("", "+4915551234567 ", "+12025550123 ")
+  } yield (words :+ email :+ phone).mkString(" ")
+
+  property("piiScrub is idempotent: scrubbing scrubbed text changes " +
+    "nothing and finds zero matches") =
+    forAll(Gen.nonEmptyListOf(piiTextGen)) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val once = TextAnalysis.piiScrub(df, "doc_id", "text")
+      // rebuild the scrubbed text and scrub again: the [EMAIL]/[PHONE]
+      // tags must not re-match either pattern
+      val scrubbedText = df.select(col("doc_id"),
+        regexp_replace(regexp_replace(col("text"),
+          TextAnalysis.EmailPattern, "[EMAIL]"),
+          TextAnalysis.PhonePattern, "[PHONE]").as("text"))
+      val twice = TextAnalysis.piiScrub(scrubbedText, "doc_id", "text")
+        .collect()
+      val onceByIdLen = once.collect()
+        .map(r => r.getLong(0) -> r.getAs[Long]("n_chars_scrubbed")).toMap
+      twice.forall { r =>
+        r.getAs[Long]("n_emails") == 0L && r.getAs[Long]("n_phones") == 0L &&
+          r.getAs[Long]("n_chars_scrubbed") == onceByIdLen(r.getLong(0))
+      }
     }
 
   property("moneySum is invariant under row order and partitioning") =
