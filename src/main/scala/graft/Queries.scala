@@ -1241,7 +1241,8 @@ object Queries {
           .join(reScored.select(col("o_custkey"),
             col("churn_probability").as("p2")), Seq("o_custkey"))
           .agg(count(lit(1)).as("n"),
-            sum(when(col("p1") === col("p2"), 1L).otherwise(0L)).as("eq"))
+            coalesce(sum(when(col("p1") === col("p2"), 1L).otherwise(0L)),
+              lit(0L)).as("eq"))
           .head()
         require(g.getLong(0) > 0 && g.getLong(1) == g.getLong(0),
           s"model store round-trip diverged: ${g.getLong(1)}/${g.getLong(0)}" +
@@ -2434,7 +2435,11 @@ object Queries {
 
   private def streamBacklog(s: SparkSession, dir: String,
                             nFiles: Int = 8): String = {
-    val out = "/tmp/graft_stream/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    // hash suffix: the character sanitization alone is lossy (two dirs
+    // differing only in non-alphanumerics would collide and the
+    // write-once guard would serve the first dir's data to the second)
+    val out = "/tmp/graft_stream/" + dir.replaceAll("[^A-Za-z0-9.]", "_") +
+      "_" + java.lang.Integer.toHexString(dir.hashCode)
     // the backlog content is a pure function of `dir` — write it once per
     // JVM instead of once per gate query (4 gates × passes otherwise
     // rewrite identical data)

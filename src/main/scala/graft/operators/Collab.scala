@@ -50,9 +50,14 @@ object Collab {
     * error bounds under real skew. */
   val DefaultMaxItemUsers: Int = 10000
 
-  /** Observation name under which a binding hot-item cap reports itself;
-    * see the listener in [[capDropListener]]. */
+  /** Observation-name PREFIX under which a binding hot-item cap reports
+    * itself; each [[userSimilarities]] call appends a unique suffix so
+    * two capped calls over different inputs can coexist in one query
+    * (duplicate CollectMetrics names over non-identical subtrees fail
+    * analysis). The listener matches on the prefix. */
   val CapMetricName = "cf_hot_item_cap"
+
+  private val capMetricSeq = new java.util.concurrent.atomic.AtomicLong()
 
   private val capListenerSessions =
     java.util.Collections.synchronizedSet(
@@ -72,13 +77,15 @@ object Collab {
           override def onSuccess(fn: String,
               qe: org.apache.spark.sql.execution.QueryExecution,
               ns: Long): Unit =
-            qe.observedMetrics.get(CapMetricName).foreach { row =>
-              val dropped = row.getAs[Long]("dropped_rows")
-              if (dropped > 0) log.warn(
-                s"$CapMetricName: cap is BINDING — $dropped (user,item) " +
-                  s"rows dropped (hottest item: ${row.getAs[Long]("max_item_users")} " +
-                  "users); similarities are approximate. Pass " +
-                  "maxItemUsers=None for exact mode.")
+            qe.observedMetrics.foreach { case (name, row) =>
+              if (name.startsWith(CapMetricName)) {
+                val dropped = row.getAs[Long]("dropped_rows")
+                if (dropped > 0) log.warn(
+                  s"$name: cap is BINDING — $dropped (user,item) " +
+                    s"rows dropped (hottest item: ${row.getAs[Long]("max_item_users")} " +
+                    "users); similarities are approximate. Pass " +
+                    "maxItemUsers=None for exact mode.")
+              }
             }
           override def onFailure(fn: String,
               qe: org.apache.spark.sql.execution.QueryExecution,
@@ -103,7 +110,7 @@ object Collab {
         capDropListener(counts.sparkSession)
         val iu = counts.groupBy(col("i")).agg(count(lit(1)).as("iu"))
         counts.join(broadcast(iu), Seq("i"))
-          .observe(CapMetricName,
+          .observe(s"${CapMetricName}_${capMetricSeq.incrementAndGet()}",
             coalesce(sum(when(col("iu") > cap, lit(1L)).otherwise(lit(0L))),
               lit(0L)).as("dropped_rows"),
             coalesce(max(col("iu")), lit(0L)).as("max_item_users"))
@@ -264,7 +271,9 @@ object Collab {
     val fired = purchasedSets.select(col("u"), explode(col("items")).as("i"))
       .join(broadcast(ants), Seq("i"))
       .groupBy(col("u"), col("rid"), col("n_ants"))
-      .agg(count(lit(1)).as("n_hit"))
+      // count DISTINCT: a duplicate item in a user's array must count
+      // once toward the subset test, matching array-subset semantics
+      .agg(count_distinct(col("i")).as("n_hit"))
       .where(col("n_hit") === col("n_ants"))
       .select(col("u"), col("rid"))
     fired.join(purchasedSets, Seq("u"))

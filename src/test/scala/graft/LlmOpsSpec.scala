@@ -302,6 +302,28 @@ class LlmOpsSpec extends SparkSpec {
     assert(exact.forall { case (k, v) => math.abs(dimsum(k) - v) < 1e-9 })
   }
 
+  test("CF: matchingRules keeps subset semantics under duplicate items") {
+    val sets = Seq((1L, Seq("A", "A", "B"))).toDF("u", "items")
+    val rules = Seq(
+      (Seq("A"), Seq("C"), 0.5, 1.2),      // fires (dup A counts once)
+      (Seq("A", "B"), Seq("D"), 0.4, 1.1), // fires
+      (Seq("A", "C"), Seq("E"), 0.3, 1.0)  // no C purchased
+    ).toDF("antecedent", "consequent", "confidence", "lift")
+    val fired = Collab.matchingRules(sets, rules)
+      .select("consequent").as[Seq[String]].collect().map(_.head).toSet
+    assert(fired == Set("C", "D"))
+  }
+
+  test("CF: two capped similarity frames compose in one query") {
+    // each capped call observes metrics under a unique name, so a query
+    // combining two of them must not fail duplicate-metrics analysis
+    val txa = Seq((1L, 10L), (2L, 10L)).toDF("user", "item")
+    val txb = Seq((3L, 20L), (4L, 20L)).toDF("user", "item")
+    val sa = Collab.userSimilarities(Collab.userItemCounts(txa, "user", "item"))
+    val sb = Collab.userSimilarities(Collab.userItemCounts(txb, "user", "item"))
+    assert(sa.unionByName(sb).count() == 2L)
+  }
+
   test("CF: hybrid blend weights sources by alpha") {
     val assoc = Seq((1L, 100L, 2.0)).toDF("u", "i", "score")
     val cf = Seq((1L, 200L, 4.0)).toDF("u", "i", "score")
