@@ -2635,7 +2635,130 @@ object Queries {
             AS monetary
         FROM orders GROUP BY o_custkey))"""
 
+  // Corpus curation gates (decontamination / clustering / mixing) ----------
+
+  /** Deterministic benchmark split over `documents`: every 10th doc (id
+    * ends in 7) plays the held-out eval set; the rest are the training
+    * corpus. Shared by the Spark queries and the DuckDB oracles. */
+  private val benchCte =
+    """bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 7),
+      corpus AS (SELECT doc_id, text, source FROM documents
+        WHERE doc_id % 10 <> 7)"""
+
+  /** Distinct md5'd character-30-gram CTEs for both splits + the
+    * contaminated-id set — DuckDB mirror of
+    * [[graft.operators.Decontaminate.contaminatedIds]]. */
+  private val contamCte = benchCte + """,
+      bg AS (SELECT DISTINCT md5(substr(text, CAST(i AS INT), 30)) AS h
+        FROM bench, UNNEST(generate_series(1, len(text) - 29)) AS t(i)
+        WHERE len(text) >= 30),
+      cg AS (SELECT DISTINCT doc_id, md5(substr(text, CAST(i AS INT), 30))
+          AS h
+        FROM corpus, UNNEST(generate_series(1, len(text) - 29)) AS t(i)
+        WHERE len(text) >= 30),
+      bad AS (SELECT DISTINCT doc_id FROM cg JOIN bg USING (h))"""
+
+  private def benchDocs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).documents.where(col("doc_id") % 10 === 7)
+
+  private def corpusDocs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).documents.where(col("doc_id") % 10 =!= 7)
+
+  private def curationSpecs: Seq[Spec] = Seq(
+
+    // ----------------------------------- benchmark decontamination (filter)
+    Spec("q_decontaminate",
+      (s, dir) => Decontaminate.decontaminate(corpusDocs(s, dir),
+        benchDocs(s, dir), "doc_id", "text", 30)
+        .select(col("doc_id"), col("source")).orderBy(col("doc_id")),
+      Some(s"""WITH $contamCte
+        SELECT doc_id, source FROM corpus
+        WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+        ORDER BY doc_id""")),
+
+    // ----------------------------------- contamination report per source
+    Spec("q_contamination_stats",
+      (s, dir) => Decontaminate.contaminationStats(corpusDocs(s, dir),
+        benchDocs(s, dir), "doc_id", "text", "source", 30)
+        .orderBy(col("source")),
+      Some(s"""WITH $contamCte
+        SELECT source, COUNT(*) AS n_docs,
+          CAST(SUM(CASE WHEN bad.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_contaminated,
+          floor((CAST(SUM(CASE WHEN bad.doc_id IS NOT NULL THEN 1 ELSE 0
+            END) AS DOUBLE) / COUNT(*)) * 1e6 + 0.5) / 1e6
+            AS contamination_rate
+        FROM corpus LEFT JOIN bad USING (doc_id)
+        GROUP BY source ORDER BY source""")),
+
+    // ------------------------- near-dup clusters via connected components
+    // Edges are the verified MinHash-LSH pairs (the banded scale path,
+    // same mirror as q_minhash_lsh); components by min-label propagation,
+    // mirrored with a recursive CTE. Every doc gets a cluster id;
+    // singletons keep their own.
+    Spec("q_neardup_components",
+      (s, dir) => Dedup.nearDupComponents(t(s, dir).documents,
+        "doc_id", "text", 3, 0.05, 16, 4).orderBy(col("doc_id")),
+      Some(s"""WITH src AS (SELECT doc_id, text FROM documents),
+          $minhashJcSql,
+          ed AS (SELECT id_a, id_b FROM jc WHERE jaccard >= 0.05),
+          edges AS (SELECT id_a AS eid, id_b AS nbr FROM ed
+            UNION ALL SELECT id_b, id_a FROM ed),
+          comp AS (
+            WITH RECURSIVE r(id, lbl) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.eid, r.lbl FROM edges e JOIN r ON r.id = e.nbr
+            ) SELECT id, MIN(lbl) AS component FROM r GROUP BY id)
+        SELECT id AS doc_id, component FROM comp ORDER BY doc_id""")),
+
+    // ----------------------------------- per-source rate mixing (downsample)
+    Spec("q_source_mix",
+      (s, dir) => Mixing.sampleByRates(t(s, dir).documents,
+        "doc_id", "source", Map("src0" -> 1000, "src1" -> 250), 600)
+        .select(col("doc_id"), col("source")).orderBy(col("doc_id")),
+      Some("""SELECT doc_id, source FROM documents
+        WHERE (doc_id * 1103515245 + 12345) % 1000 <
+          CASE WHEN source = 'src0' THEN 1000
+               WHEN source = 'src1' THEN 250 ELSE 600 END
+        ORDER BY doc_id""")),
+
+    // ----------------------------------- epoch up-sampling (wiki ×3 trick)
+    Spec("q_source_upsample",
+      (s, dir) => Mixing.upsampleEpochs(
+        t(s, dir).documents.where(col("source").isin("src0", "src1"))
+          .select(col("doc_id"), col("source")),
+        "source", Map("src0" -> 3), 2)
+        .orderBy(col("doc_id"), col("epoch")),
+      Some("""SELECT doc_id, source, CAST(e AS BIGINT) AS epoch
+        FROM documents,
+          UNNEST(generate_series(1,
+            CASE WHEN source = 'src0' THEN 3 ELSE 2 END)) AS t(e)
+        WHERE source IN ('src0', 'src1')
+        ORDER BY doc_id, epoch""")),
+
+    // ----------------------------------- per-source token-budget truncation
+    Spec("q_token_budget",
+      (s, dir) => Mixing.takeByTokenBudget(t(s, dir).documents,
+        "doc_id", "text", "source", 1000L)
+        .select(col("doc_id"), col("source"), col("est_tokens"),
+          col("cum_tokens"))
+        .orderBy(col("source"), col("doc_id")),
+      Some("""WITH tok AS (SELECT doc_id, source,
+          CAST(list_sum(list_transform(string_split_regex(trim(text),
+            '\s+'), x -> greatest(1, CAST(ceil(length(x)/4.0) AS BIGINT))))
+            AS BIGINT) AS est_tokens
+          FROM documents),
+        c AS (SELECT doc_id, source, est_tokens,
+          CAST(SUM(est_tokens) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cum_tokens
+          FROM tok)
+        SELECT doc_id, source, est_tokens, cum_tokens FROM c
+        WHERE cum_tokens <= 1000 ORDER BY source, doc_id"""))
+  )
+
   val specs: Seq[Spec] = coreSpecs ++ statsSpecs ++ mlSpecs ++
     heuristicSpecs ++ miscSpecs ++ llmSpecs ++ sinkSpecs ++
-    textPipelineSpecs ++ streamingSpecs
+    textPipelineSpecs ++ streamingSpecs ++ curationSpecs
 }

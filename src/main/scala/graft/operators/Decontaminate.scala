@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.functions.ColumnFns.stableRound
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination for a training corpus — remove every corpus
+  * document that shares at least one character k-gram with a held-out
+  * evaluation/benchmark set (the GPT-3 appendix-C / PaLM style overlap
+  * filter, done here with exact k-gram matching rather than fuzzy
+  * containment).
+  *
+  * 100 TB shape: both sides reduce to DISTINCT (id, md5(k-gram)) streams —
+  * the join key is a 16-byte digest, never the text, so the shuffle carries
+  * ~32 bytes per gram regardless of document size. The benchmark side is a
+  * dimension table (eval suites are millions of grams at most): Spark's
+  * AQE broadcasts it, making the contamination check a map-side semi join
+  * over the corpus gram stream. The corpus-side `distinct` is a partial
+  * (map-side) aggregate first, so repeated grams within a partition never
+  * reach the shuffle.
+  *
+  * No counterpart exists in the reference (its corpus is transactional);
+  * this is part of the LLM-training-data surface the brief adds.
+  */
+object Decontaminate {
+
+  /** Distinct (id, md5-of-k-gram) per document. Documents shorter than `k`
+    * characters contribute nothing. The gram hash (not the gram) is what
+    * flows into every downstream shuffle. */
+  def gramHashes(docs: DataFrame, id: String, text: String,
+                 k: Int): DataFrame =
+    docs.where(length(col(text)) >= k)
+      .select(col(id).as("id"), explode(expr(
+        s"transform(sequence(1, length($text) - ${k - 1}), " +
+          s"i -> substring($text, i, $k))")).as("g"))
+      .select(col("id"), md5(col("g")).as("h"))
+      .distinct()
+
+  /** Corpus ids sharing ≥1 character k-gram with `bench`. */
+  def contaminatedIds(corpus: DataFrame, bench: DataFrame, id: String,
+                      text: String, k: Int): DataFrame = {
+    val bg = gramHashes(bench, id, text, k).select(col("h")).distinct()
+    gramHashes(corpus, id, text, k)
+      .join(bg, Seq("h"), "left_semi")
+      .select(col("id").as(id))
+      .distinct()
+  }
+
+  /** The corpus with every benchmark-contaminated document removed. */
+  def decontaminate(corpus: DataFrame, bench: DataFrame, id: String,
+                    text: String, k: Int): DataFrame =
+    corpus.join(contaminatedIds(corpus, bench, id, text, k),
+      Seq(id), "left_anti")
+
+  /** Per-source contamination report: documents checked, documents hit,
+    * contamination rate. */
+  def contaminationStats(corpus: DataFrame, bench: DataFrame, id: String,
+                         text: String, source: String, k: Int): DataFrame = {
+    val bad = contaminatedIds(corpus, bench, id, text, k)
+      .withColumn("contaminated", lit(1L))
+    corpus.select(col(id), col(source))
+      .join(bad, Seq(id), "left_outer")
+      .groupBy(col(source))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("contaminated")), lit(0L)).as("n_contaminated"))
+      .select(col(source), col("n_docs"), col("n_contaminated"),
+        stableRound(col("n_contaminated").cast("double") / col("n_docs"), 6)
+          .as("contamination_rate"))
+  }
+}

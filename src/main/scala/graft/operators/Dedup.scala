@@ -69,11 +69,67 @@ object Dedup {
                   numHashes: Int = 16, bandSize: Int = 4): DataFrame = {
     val keep = exactByContent(docs, id, content).select(col(id))
     val survivors = docs.join(keep, Seq(id), "left_semi")
-    val nearPairs = NearDup.minHashPortable(survivors, id, content,
+    val nearPairs = NearDup.minHashPortableUnsorted(survivors, id, content,
       shingleLen, minJaccard, numHashes, bandSize)
     survivors.select(col(id))
       .join(nearPairs.select(col("id_b").as(id)).distinct(),
         Seq(id), "left_anti")
       .orderBy(col(id))
+  }
+
+  /** Connected components by iterative min-label propagation: every node
+    * starts labelled with its own id; each round every node takes the
+    * minimum label among itself and its neighbours; stop at fixpoint.
+    * Converges in graph-diameter rounds — near-duplicate graphs are
+    * unions of tiny quasi-cliques, so 2–4 rounds in practice. Each round
+    * is one join (labels onto the symmetrised edge list) + one min-agg;
+    * `localCheckpoint` truncates the growing lineage so round N's plan
+    * does not replay rounds 1..N−1. For adversarially deep graphs
+    * (long chains) switch to the large-star/small-star alternation
+    * (Kiveris et al., "Connected Components in MapReduce", SoCC'14) —
+    * O(log n) rounds on the same primitives.
+    *
+    * `nodes`: one column `id`; `edges`: columns `id_a`, `id_b`
+    * (undirected, need not be deduplicated). Returns (id, component)
+    * where component = min node id reachable. */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+                          maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("id_a").as("id"), col("id_b").as("nbr"))
+      .unionByName(edges.select(col("id_b").as("id"), col("id_a").as("nbr")))
+      .localCheckpoint()
+    var labels = nodes.select(col("id"), col("id").as("component"))
+      .localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      // neighbour labels flow along edges; a node's next label is the min
+      // of its own and everything its neighbours currently hold
+      val prop = sym.join(labels.select(col("id").as("nbr"),
+          col("component")), Seq("nbr"))
+        .select(col("id"), col("component"))
+      val next = labels.unionByName(prop)
+        .groupBy(col("id")).agg(min(col("component")).as("component"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("component", "prev"),
+        Seq("id")).where(col("component") < col("prev")).count()
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** Near-duplicate clusters over the corpus, the SlimPajama-style shape:
+    * verified MinHash-LSH pairs ([[NearDup.minHashPortable]] — banded
+    * buckets, never all-pairs) become edges; connected components give
+    * every document a cluster id (singletons keep their own id). Keeping
+    * `min(component)` per cluster then yields transitive-closure-correct
+    * dedup, unlike [[dedupCorpus]]'s greedy pairwise drop. */
+  def nearDupComponents(docs: DataFrame, id: String, content: String,
+                        shingleLen: Int = 3, minJaccard: Double = 0.5,
+                        numHashes: Int = 16, bandSize: Int = 4): DataFrame = {
+    val edges = NearDup.minHashPortableUnsorted(docs, id, content, shingleLen,
+      minJaccard, numHashes, bandSize).select(col("id_a"), col("id_b"))
+    connectedComponents(docs.select(col(id).as("id")), edges)
+      .select(col("id").as(id), col("component"))
   }
 }

@@ -95,7 +95,18 @@ object NearDup {
     * the verify stage touches only docs that collided in some band. */
   def minHashPortable(docs: DataFrame, id: String, text: String, w: Int = 3,
                       minJaccard: Double = 0.05, numHashes: Int = 16,
-                      bandSize: Int = 4): DataFrame = {
+                      bandSize: Int = 4): DataFrame =
+    minHashPortableUnsorted(docs, id, text, w, minJaccard, numHashes,
+      bandSize)
+      .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
+
+  /** [[minHashPortable]] without the final global sort — for consumers
+    * that treat the pairs as an edge SET (dedup pruning, connected
+    * components), where a total order is one wasted full exchange. */
+  def minHashPortableUnsorted(docs: DataFrame, id: String, text: String,
+                              w: Int = 3, minJaccard: Double = 0.05,
+                              numHashes: Int = 16,
+                              bandSize: Int = 4): DataFrame = {
     require(numHashes <= MinHashA.size && numHashes % bandSize == 0)
     // min over duplicate shingles == min over distinct shingles, so the
     // minhash stage reads the map-only raw stream (partial-aggregated
@@ -143,7 +154,6 @@ object NearDup {
         stableRound(col("inter").cast("double") /
           (col("sz_a") + col("sz_b") - col("inter")), 6).as("jaccard"))
       .where(col("jaccard") >= minJaccard)
-      .orderBy(col("jaccard").desc, col("id_a"), col("id_b"))
   }
 
   /** MinHash-LSH candidate pairs with exact-Jaccard verification of the
