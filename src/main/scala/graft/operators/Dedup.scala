@@ -99,9 +99,19 @@ object Dedup {
       .localCheckpoint()
     var labels = nodes.select(col("id"), col("id").as("component"))
       .localCheckpoint()
+    // convergence probe: per-node labels are monotonically non-increasing
+    // (min over a set containing the old label), so the exact label sum
+    // strictly decreases iff ANY node changed — one agg scan per round
+    // instead of a next⋈prev join. DECIMAL(38,0), not BIGINT: at 10B+
+    // docs a long sum of ids overflows.
+    def labelSum(df: DataFrame): java.math.BigDecimal = df
+      .agg(coalesce(sum(col("component").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")).as("s"))
+      .head.getDecimal(0)
     var iter = 0
-    var changed = 1L
-    while (changed > 0 && iter < maxIter) {
+    var prevSum = labelSum(labels)
+    var converged = false
+    while (!converged && iter < maxIter) {
       // neighbour labels flow along edges; a node's next label is the min
       // of its own and everything its neighbours currently hold
       val prop = sym.join(labels.select(col("id").as("nbr"),
@@ -110,8 +120,9 @@ object Dedup {
       val next = labels.unionByName(prop)
         .groupBy(col("id")).agg(min(col("component")).as("component"))
         .localCheckpoint()
-      changed = next.join(labels.withColumnRenamed("component", "prev"),
-        Seq("id")).where(col("component") < col("prev")).count()
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels = next
       iter += 1
     }
