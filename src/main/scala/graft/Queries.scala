@@ -1763,7 +1763,9 @@ object Queries {
 
   /** Strided-sample IVF mirror ([[Ann.ivfFlatTopK]]), shared by the
     * in-memory and persisted-index variants (identical math). */
-  private def ivfFlatSql =
+  /** Strided-sample quantizer assignment CTEs (through `ranked`) — the
+    * shared prefix of the flat-IVF and cluster-sampling oracles. */
+  private def ivfAssignCte =
     """WITH e AS (SELECT vec_id AS id,
         CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       b AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
@@ -1775,7 +1777,9 @@ object Queries {
             * 1e4 + 0.5) / 1e4 AS csim
         FROM b CROSS JOIN centers c),
       ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY id
-          ORDER BY csim DESC, cell) AS pr FROM sims),
+          ORDER BY csim DESC, cell) AS pr FROM sims)"""
+
+  private def ivfFlatSql = ivfAssignCte + """,
       assigned AS (SELECT cell, id AS cand_id, v AS cv, nrm AS cn
         FROM ranked WHERE pr = 1),
       probes AS (SELECT id AS query_id, v AS qv, nrm AS qn, cell
@@ -2755,7 +2759,60 @@ object Queries {
             AS cum_tokens
           FROM tok)
         SELECT doc_id, source, est_tokens, cum_tokens FROM c
-        WHERE cum_tokens <= 1000 ORDER BY source, doc_id"""))
+        WHERE cum_tokens <= 1000 ORDER BY source, doc_id""")),
+
+    // ------------------------- DSIR-style importance selection (top 200)
+    // Hashed-unigram log-likelihood-ratio scoring of the raw corpus
+    // against the held-out target split; per-bucket log weights are
+    // rounded to integer micro-units BEFORE the per-doc sum, so the
+    // score is an exact order-free BIGINT both engines agree on.
+    Spec("q_dsir_select",
+      (s, dir) => Dsir.selectTopK(corpusDocs(s, dir), benchDocs(s, dir),
+        "doc_id", "text", 200, 1024),
+      Some("""WITH target AS (SELECT doc_id, text FROM documents
+          WHERE doc_id % 10 = 7),
+        raw AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 7),
+        tb AS (SELECT CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT)
+            % 1024 AS b
+          FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+            FROM target)),
+        rb AS (SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 15))
+            AS BIGINT) % 1024 AS b
+          FROM (SELECT doc_id, unnest(string_split_regex(trim(text),
+            '\s+')) AS w FROM raw)),
+        tc AS (SELECT b, COUNT(*) AS ct FROM tb GROUP BY b),
+        rc AS (SELECT b, COUNT(*) AS cr FROM rb GROUP BY b),
+        tot AS (SELECT (SELECT COUNT(*) FROM tb) AS nt,
+          (SELECT COUNT(*) FROM rb) AS nr),
+        wts AS (SELECT COALESCE(tc.b, rc.b) AS b,
+            CAST(floor((ln((COALESCE(ct, 0) + 1.0) / (nt + 1024.0))
+              - ln((COALESCE(cr, 0) + 1.0) / (nr + 1024.0))) * 1e6 + 0.5)
+              AS BIGINT) AS wm
+          FROM tc FULL OUTER JOIN rc ON tc.b = rc.b, tot),
+        sc AS (SELECT doc_id, COUNT(*) AS n_words,
+            CAST(SUM(wm) AS BIGINT) AS score_micro
+          FROM rb JOIN wts USING (b) GROUP BY doc_id)
+        SELECT doc_id, n_words, score_micro FROM sc
+        ORDER BY score_micro DESC, doc_id LIMIT 200""")),
+
+    // --------------------- cluster-balanced sampling over the embeddings
+    // Strided-sample quantizer assignment (the proven flat-IVF mirror)
+    // plus a per-cell keep-most-central window — SemDeDup-flavoured
+    // diversity selection, fully oracle-gated.
+    Spec("q_cluster_sample",
+      (s, dir) => Ann.clusterBalancedSample(t(s, dir).embeddings,
+        "vec_id", "embedding", 16, 10)
+        .select(col("id").as("vec_id"), col("cell"), col("csim"),
+          col("rn"))
+        .orderBy(col("cell"), col("rn")),
+      Some(ivfAssignCte + """,
+        asg AS (SELECT id, cell, csim FROM ranked WHERE pr = 1),
+        sel AS (SELECT id AS vec_id, cell, csim,
+            CAST(ROW_NUMBER() OVER (PARTITION BY cell
+              ORDER BY csim DESC, id) AS BIGINT) AS rn
+          FROM asg)
+        SELECT vec_id, cell, csim, rn FROM sel
+        WHERE rn <= 10 ORDER BY cell, rn"""))
   )
 
   val specs: Seq[Spec] = coreSpecs ++ statsSpecs ++ mlSpecs ++

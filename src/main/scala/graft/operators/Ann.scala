@@ -386,4 +386,41 @@ object Ann {
       .where(col("cosine") >= minCosine)
       .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
   }
+
+  /** Cell assignment for EVERY vector under the strided-sample quantizer
+    * (same centers/rounding as [[ivfFlatTopK]]): (id, cell, csim). The
+    * cluster structure behind cluster-balanced selection; centers
+    * broadcast, assignment map-side, one window at the vector grain. */
+  def clusterAssignments(df: DataFrame, id: String, vec: String,
+                         nCells: Int = 16): DataFrame = {
+    GraftExtensions.register(df.sparkSession)
+    val base = normalized(df, id, vec, "id", "v", "nrm").cache()
+    val n = base.count()
+    val stride = math.max(1L, n / nCells)
+    val centers = base.where(col("id") % stride === 0)
+      .orderBy(col("id")).limit(nCells)
+      .select(col("id").as("cell"), col("v").as("cv0"),
+        col("nrm").as("cn0"))
+    base.crossJoin(broadcast(centers))
+      .select(col("id"), col("cell"),
+        stableRound(nativeDot(col("v"), col("cv0"))
+          / (col("nrm") * col("cn0")), 4).as("csim"))
+      .withColumn("pr", row_number().over(Window.partitionBy(col("id"))
+        .orderBy(col("csim").desc, col("cell").asc)))
+      .where(col("pr") === 1)
+      .select(col("id"), col("cell"), col("csim"))
+  }
+
+  /** Cluster-balanced selection (the SemDeDup-flavoured curation step):
+    * per cell keep the `perCell` most-central vectors — a diversity-
+    * preserving subsample whose per-topic share is capped no matter how
+    * skewed the corpus is. One extra window at the cell grain on top of
+    * [[clusterAssignments]]. */
+  def clusterBalancedSample(df: DataFrame, id: String, vec: String,
+                            nCells: Int = 16, perCell: Int = 10): DataFrame =
+    clusterAssignments(df, id, vec, nCells)
+      .withColumn("rn", row_number().over(Window.partitionBy(col("cell"))
+        .orderBy(col("csim").desc, col("id").asc)).cast("long"))
+      .where(col("rn") <= perCell)
+      .select(col("id"), col("cell"), col("csim"), col("rn"))
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Decontaminate, Dedup, Mixing}
+import graft.operators.{Ann, Decontaminate, Dedup, Dsir, Mixing}
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators: benchmark decontamination, connected-component
@@ -100,5 +100,43 @@ class CurationSpec extends SparkSpec {
     val everything = Mixing.takeByTokenBudget(corpus, "doc_id", "text",
       "source", 1000000L).count()
     assert(everything === 4L)
+  }
+
+  test("DSIR importance ranks target-like docs above unrelated ones") {
+    val raw = Seq(
+      (1L, "physics equations describe motion energy and momentum fields"),
+      (2L, "recipe for chocolate cake butter sugar flour eggs vanilla"),
+      (3L, "quantum physics energy levels and momentum operators")
+    ).toDF("doc_id", "text")
+    val target = Seq(
+      (100L, "physics of energy and momentum in quantum fields")
+    ).toDF("doc_id", "text")
+    val scores = Dsir.importanceScores(raw, target, "doc_id", "text", 256)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // physics docs must outscore the recipe
+    assert(scores(1L) > scores(2L) && scores(3L) > scores(2L))
+    val top = Dsir.selectTopK(raw, target, "doc_id", "text", 2, 256)
+      .select("doc_id").as[Long].collect().toSet
+    assert(top === Set(1L, 3L))
+  }
+
+  test("cluster-balanced sample caps every cell at perCell and keeps " +
+      "the most-central first") {
+    val vecs = (0L until 40L).map { i =>
+      val base = if (i % 2 == 0) Array(1f, 0f, 0.1f * (i % 5))
+        else Array(0f, 1f, 0.1f * (i % 5))
+      (i, base)
+    }.toDF("vec_id", "embedding")
+    val out = Ann.clusterBalancedSample(vecs, "vec_id", "embedding", 4, 3)
+      .collect()
+    val perCell = out.groupBy(_.getLong(1)).view.mapValues(_.length)
+    assert(perCell.values.forall(_ <= 3))
+    // rn is 1..n within each cell, ordered by csim desc
+    out.groupBy(_.getLong(1)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getLong(3))
+      assert(sorted.map(_.getLong(3)).toSeq === (1L to sorted.length))
+      val csims = sorted.map(_.getDouble(2)).toSeq
+      assert(csims === csims.sorted.reverse)
+    }
   }
 }
