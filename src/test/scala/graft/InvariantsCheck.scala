@@ -237,6 +237,35 @@ object InvariantsCheck extends Properties("graft.invariants") {
       }
     }
 
+  property("connectedComponents matches driver-side union-find") =
+    forAll(for {
+      n <- Gen.choose(1, 12)
+      edges <- Gen.listOf(for {
+        a <- Gen.choose(0L, n.toLong - 1)
+        b <- Gen.choose(0L, n.toLong - 1)
+      } yield (a, b))
+    } yield (n, edges)) { case (n, rawEdges) =>
+      // self-loops are legal input; they must not affect components
+      val nodes = (0L until n.toLong).toDF("id")
+      val edges = rawEdges.toDF("id_a", "id_b")
+      val got = Dedup.connectedComponents(nodes, edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // reference: plain union-find with min-label roots
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      rawEdges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) { val lo = math.min(ra, rb)
+          parent(math.max(ra, rb)) = lo }
+      }
+      val want = (0 until n).map { i =>
+        // min node id in the component = the union-find root chain min
+        i.toLong -> (0 until n).filter(j => find(j) == find(i)).min.toLong
+      }.toMap
+      got == want
+    }
+
   property("moneySum is invariant under row order and partitioning") =
     forAll(Gen.nonEmptyListOf(Gen.choose(-100000, 100000))) { cents =>
       val vals = cents.map(_ / 100.0)
