@@ -268,12 +268,16 @@ object Collab {
     val ants = withId.select(col("rid"),
       explode(col("antecedent")).as("i"),
       size(col("antecedent")).cast("long").as("n_ants"))
-    val fired = purchasedSets.select(col("u"), explode(col("items")).as("i"))
+    // array_distinct BEFORE the explode: a duplicate item in a user's
+    // array must count once toward the subset test (array-subset
+    // semantics). Deduping per-array is map-only; the count_distinct
+    // alternative dedups post-join at the (u, rid, i) grain — strictly
+    // more rows whenever items fan out to multiple rules.
+    val fired = purchasedSets
+      .select(col("u"), explode(array_distinct(col("items"))).as("i"))
       .join(broadcast(ants), Seq("i"))
       .groupBy(col("u"), col("rid"), col("n_ants"))
-      // count DISTINCT: a duplicate item in a user's array must count
-      // once toward the subset test, matching array-subset semantics
-      .agg(count_distinct(col("i")).as("n_hit"))
+      .agg(count(lit(1)).as("n_hit"))
       .where(col("n_hit") === col("n_ants"))
       .select(col("u"), col("rid"))
     fired.join(purchasedSets, Seq("u"))
