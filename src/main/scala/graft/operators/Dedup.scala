@@ -129,6 +129,81 @@ object Dedup {
     labels
   }
 
+  /** Connected components by the large-star/small-star alternation
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — O(log² n) rounds worst-case (O(log n) in practice)
+    * regardless of graph diameter, where [[connectedComponents]]'s label
+    * propagation needs diameter rounds. Use this variant when components
+    * can be long chains (entity-resolution graphs, web link graphs);
+    * both produce the identical min-id labelling.
+    *
+    * Each round rewrites the edge set:
+    *  - LARGE-STAR: for every node u, connect every strictly-LARGER
+    *    neighbour v > u to u's current minimum neighbour m(u) —
+    *    `(v, min(m(u), u))`. Edges only ever point further "downhill",
+    *    so the star centres sink toward component minima.
+    *  - SMALL-STAR: connect u itself and every smaller-or-equal
+    *    neighbour to m(u) — flattening chains into stars.
+    * The component is converged when every edge already points at its
+    * component's minimum: the edge multiset stops changing (detected by
+    * an exact count + checksum probe, one agg scan). */
+  def connectedComponentsStar(nodes: DataFrame, edges: DataFrame,
+                              maxIter: Int = 50): DataFrame = {
+    def canon(df: DataFrame): DataFrame = df
+      .where(col("src") =!= col("dst"))
+      .select(greatest(col("src"), col("dst")).as("src"),
+        least(col("src"), col("dst")).as("dst"))
+      .distinct()
+    // probe: (count, sum src·3+dst) — exact decimals, order-free; equal
+    // probes across a round ⇒ the canonical edge set reached fixpoint
+    // (edges only ever rewrite toward smaller dst, so no oscillation)
+    def probe(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)).as("n"),
+        coalesce(sum((col("src") * 3 + col("dst")).cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)")).as("s")).head
+      (r.getLong(0), r.getDecimal(1))
+    }
+    var cur = canon(edges.select(col("id_a").as("src"),
+      col("id_b").as("dst"))).localCheckpoint()
+    var p = probe(cur)
+    var iter = 0
+    var done = cur.isEmpty
+    while (!done && iter < maxIter) {
+      // LARGE-STAR — over the symmetric view: for node u with neighbours
+      // N(u), every v ∈ N(u) with v > u is re-pointed at
+      // m = min(N(u) ∪ {u})
+      val nbrs = cur.select(col("src").as("u"), col("dst").as("v"))
+        .unionByName(cur.select(col("dst").as("u"), col("src").as("v")))
+      val mAll = nbrs.groupBy(col("u")).agg(min(col("v")).as("mv"))
+      val largeStar = nbrs.join(mAll, Seq("u"))
+        .where(col("v") > col("u"))
+        .select(col("v").as("src"), least(col("mv"), col("u")).as("dst"))
+      val afterLarge = canon(largeStar).localCheckpoint()
+      // SMALL-STAR — canonical edges already key each edge by its larger
+      // endpoint (src > dst): for node u = src with smaller neighbours
+      // N⁻(u) = {dst}, every v ∈ N⁻(u) ∪ {u} is re-pointed at
+      // m = min(N⁻(u)) (self-loops (m, m) are dropped by canon)
+      val mSmall = afterLarge.groupBy(col("src")).agg(min(col("dst"))
+        .as("m"))
+      val smallStar = afterLarge.join(mSmall, Seq("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .unionByName(mSmall.select(col("src"), col("m"))
+          .toDF("src", "dst"))
+      val next = canon(smallStar).localCheckpoint()
+      val np = probe(next)
+      done = np == p
+      p = np
+      cur = next
+      iter += 1
+    }
+    // at fixpoint every surviving edge is (member, component-min)
+    nodes.select(col("id"))
+      .join(cur.select(col("src").as("id"), col("dst").as("component")),
+        Seq("id"), "left_outer")
+      .select(col("id"),
+        coalesce(col("component"), col("id")).as("component"))
+  }
+
   /** Near-duplicate clusters over the corpus, the SlimPajama-style shape:
     * verified MinHash-LSH pairs ([[NearDup.minHashPortable]] — banded
     * buckets, never all-pairs) become edges; connected components give
