@@ -2680,6 +2680,31 @@ object Queries {
         WHERE doc_id NOT IN (SELECT doc_id FROM bad)
         ORDER BY doc_id""")),
 
+    // --------------------------- decontamination, GPT-3 13-word grams
+    Spec("q_decontaminate_13gram",
+      (s, dir) => Decontaminate.decontaminateWordGrams(corpusDocs(s, dir),
+        benchDocs(s, dir), "doc_id", "text", 13)
+        .select(col("doc_id"), col("source")).orderBy(col("doc_id")),
+      Some {
+        val gram = (0 until 13).map(j =>
+          if (j == 0) "w[i]" else s"w[i+$j]").mkString(" || ' ' || ")
+        s"""WITH $benchCte,
+          bw AS (SELECT string_split_regex(trim(text), '\\s+') AS w
+            FROM bench),
+          bg AS (SELECT DISTINCT md5($gram) AS h FROM bw,
+            UNNEST(generate_series(1, len(w) - 12)) AS t(i)
+            WHERE len(w) >= 13),
+          cw AS (SELECT doc_id, string_split_regex(trim(text), '\\s+')
+              AS w FROM corpus),
+          cg AS (SELECT DISTINCT doc_id, md5($gram) AS h FROM cw,
+            UNNEST(generate_series(1, len(w) - 12)) AS t(i)
+            WHERE len(w) >= 13),
+          bad AS (SELECT DISTINCT doc_id FROM cg JOIN bg USING (h))
+        SELECT doc_id, source FROM corpus
+        WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+        ORDER BY doc_id"""
+      }),
+
     // ----------------------------------- contamination report per source
     Spec("q_contamination_stats",
       (s, dir) => Decontaminate.contaminationStats(corpusDocs(s, dir),

@@ -36,15 +36,44 @@ object Decontaminate {
       .select(col("id"), md5(col("g")).as("h"))
       .distinct()
 
-  /** Corpus ids sharing ≥1 character k-gram with `bench`. */
-  def contaminatedIds(corpus: DataFrame, bench: DataFrame, id: String,
-                      text: String, k: Int): DataFrame = {
-    val bg = gramHashes(bench, id, text, k).select(col("h")).distinct()
-    gramHashes(corpus, id, text, k)
-      .join(bg, Seq("h"), "left_semi")
+  /** Distinct (id, md5-of-w-word-gram) per document — the GPT-3
+    * appendix-C unit (13-gram word overlap). Reuses the near-dup
+    * shingle stream; documents shorter than `w` words contribute
+    * nothing. */
+  def wordGramHashes(docs: DataFrame, id: String, text: String,
+                     w: Int): DataFrame =
+    NearDup.rawShingles(docs, id, text, w)
+      .select(col("id"), md5(col("s")).as("h"))
+      .distinct()
+
+  private def overlapIds(corpusGrams: DataFrame, benchGrams: DataFrame,
+                         id: String): DataFrame =
+    corpusGrams
+      .join(benchGrams.select(col("h")).distinct(), Seq("h"), "left_semi")
       .select(col("id").as(id))
       .distinct()
-  }
+
+  /** Corpus ids sharing ≥1 character k-gram with `bench`. */
+  def contaminatedIds(corpus: DataFrame, bench: DataFrame, id: String,
+                      text: String, k: Int): DataFrame =
+    overlapIds(gramHashes(corpus, id, text, k),
+      gramHashes(bench, id, text, k), id)
+
+  /** Corpus ids sharing ≥1 w-word gram with `bench` (GPT-3 style;
+    * w = 13 in the paper). */
+  def contaminatedIdsWordGrams(corpus: DataFrame, bench: DataFrame,
+                               id: String, text: String,
+                               w: Int = 13): DataFrame =
+    overlapIds(wordGramHashes(corpus, id, text, w),
+      wordGramHashes(bench, id, text, w), id)
+
+  /** The corpus with every document sharing a w-word gram with `bench`
+    * removed. */
+  def decontaminateWordGrams(corpus: DataFrame, bench: DataFrame,
+                             id: String, text: String,
+                             w: Int = 13): DataFrame =
+    corpus.join(contaminatedIdsWordGrams(corpus, bench, id, text, w),
+      Seq(id), "left_anti")
 
   /** The corpus with every benchmark-contaminated document removed. */
   def decontaminate(corpus: DataFrame, bench: DataFrame, id: String,

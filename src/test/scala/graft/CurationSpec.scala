@@ -31,6 +31,19 @@ class CurationSpec extends SparkSpec {
     assert(kept === Set(2L, 3L, 4L)) // 4 is shorter than k: never flagged
   }
 
+  test("word-gram decontamination drops exactly the shared-run doc") {
+    val run = (1 to 13).map(i => s"tok$i").mkString(" ")
+    val corpus13 = Seq(
+      (1L, s"prefix $run suffix"),                       // full 13-gram hit
+      (2L, "prefix " + (1 to 12).map(i => s"tok$i").mkString(" ")), // 12 only
+      (3L, "nothing shared at all here with the benchmark")
+    ).toDF("doc_id", "text")
+    val bench13 = Seq((100L, s"intro $run outro")).toDF("doc_id", "text")
+    val kept = Decontaminate.decontaminateWordGrams(corpus13, bench13,
+      "doc_id", "text", 13).select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L, 3L))
+  }
+
   test("contamination stats count per source") {
     val st = Decontaminate.contaminationStats(corpus, bench,
       "doc_id", "text", "source", 30)
