@@ -268,6 +268,24 @@ object InvariantsCheck extends Properties("graft.invariants") {
       got == want
     }
 
+  property("DSIR scores are exact: invariant under row order and " +
+      "partitioning") =
+    forAll(for {
+      nDocs <- Gen.choose(2, 6)
+      words <- Gen.listOfN(nDocs, Gen.nonEmptyListOf(
+        Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon", "zeta")))
+    } yield words) { wordLists =>
+      val docs = wordLists.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+      val target = Seq((100L, "alpha beta alpha gamma"))
+      def scores(d: Seq[(Long, String)], parts: Int): Map[Long, Long] =
+        graft.operators.Dsir.importanceScores(
+          d.toDF("doc_id", "text").repartition(parts),
+          target.toDF("doc_id", "text"), "doc_id", "text", 64)
+          .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      scores(docs, 1) == scores(docs.reverse, 5)
+    }
+
   property("moneySum is invariant under row order and partitioning") =
     forAll(Gen.nonEmptyListOf(Gen.choose(-100000, 100000))) { cents =>
       val vals = cents.map(_ / 100.0)
