@@ -2837,7 +2837,25 @@ object Queries {
               ORDER BY csim DESC, id) AS BIGINT) AS rn
           FROM asg)
         SELECT vec_id, cell, csim, rn FROM sel
-        WHERE rn <= 10 ORDER BY cell, rn"""))
+        WHERE rn <= 10 ORDER BY cell, rn""")),
+
+    // -------------------- model-based quality filter (rule distillation)
+    // Rows-only by necessity (an LBFGS fit is not ANSI-SQL-expressible);
+    // the gate still REQUIREs held-out quality: the distilled scorer must
+    // recover the Gopher rule verdict at ≥0.75 accuracy / ≥0.8 AUC on the
+    // untouched hash-split test slice. Teacher labels and features are
+    // the oracle-gated gopher signals (q_gopher_quality).
+    Spec("q_quality_classifier",
+      (s, dir) => {
+        val scored = QualityModel.distillGopher(augDocs(s, dir),
+          "id", "text")
+        val (acc, auc) = QualityModel.heldOutQuality(scored)
+        require(acc >= 0.75 && auc >= 0.8,
+          f"quality classifier failed to learn the rule cascade: " +
+            f"acc=$acc%.3f auc=$auc%.3f")
+        scored.orderBy(col("id"))
+      },
+      None)
   )
 
   val specs: Seq[Spec] = coreSpecs ++ statsSpecs ++ mlSpecs ++

@@ -131,6 +131,24 @@ class CurationSpec extends SparkSpec {
     assert(everything === 4L)
   }
 
+  test("quality classifier distills a threshold rule it can represent") {
+    // docs engineered so `keep` hinges on ellipsis-line ratio — a
+    // linearly separable signal the scorer must recover on held-out rows
+    val good = "the quick brown fox jumps over a lazy dog and then the " +
+      "same fox naps in the barn for an hour with the other animals " +
+      "resting by it on a warm afternoon in it all is calm and at ease " +
+      "later that day the dog walks to the pond with the fox and they " +
+      "watch the ducks drift by until the sun sets over the far hills"
+    val docs = (0L until 60L).map { i =>
+      (i, if (i % 3 == 0) good + " ..." else good + s" extra$i")
+    }.toDF("doc_id", "text")
+    val scored = graft.operators.QualityModel.distillGopher(
+      docs, "doc_id", "text")
+    val (acc, auc) = graft.operators.QualityModel.heldOutQuality(scored)
+    assert(acc >= 0.75 && auc >= 0.8, s"acc=$acc auc=$auc")
+    assert(scored.count() === 60L)
+  }
+
   test("DSIR importance ranks target-like docs above unrelated ones") {
     val raw = Seq(
       (1L, "physics equations describe motion energy and momentum fields"),
