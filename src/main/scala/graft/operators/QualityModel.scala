@@ -39,8 +39,13 @@ object QualityModel {
     * to learn — caller should widen the corpus). */
   def distillGopher(docs: DataFrame, id: String, text: String,
                     trainFrac: Double = 0.8, seed: Long = 42L): DataFrame = {
+    // cached: the regex-heavy signal pass is read by the class check, the
+    // two split filters, the fit, and the final scoring — one compute,
+    // not five (tiny: 9 numeric cols per doc; the caller's harness clears
+    // query-local caches once results are materialized)
     val sig = TextAnalysis.gopherQuality(docs, id, text)
       .withColumn("label", col("keep").cast("double"))
+      .cache()
     require(sig.select(col("label")).distinct().count() == 2,
       "distillGopher: teacher labels are single-class")
     val (train, test) =
