@@ -2839,6 +2839,77 @@ object Queries {
         SELECT vec_id, cell, csim, rn FROM sel
         WHERE rn <= 10 ORDER BY cell, rn""")),
 
+    // ------------- END-TO-END training-data preparation (the capstone)
+    // One call composing every gated curation stage; the oracle replays
+    // the identical composition in SQL — quality-score floor, min-id
+    // exact dedup, the full portable-MinHash near-dup prune, char-30-gram
+    // decontamination, LCG mixing, and the per-source token budget.
+    Spec("q_training_mix",
+      (s, dir) => CurationPipeline.prepare(corpusDocs(s, dir),
+        benchDocs(s, dir), "doc_id", "text", "source",
+        CurationPipeline.Config(
+          minQualityScore = 0.3,
+          ratesPermille = Map("src0" -> 1000, "src1" -> 250),
+          defaultPermille = 800,
+          tokenBudgetPerSource = 2000L))
+        .orderBy(col("source"), col("doc_id")),
+      Some(s"""WITH corpus0 AS (SELECT doc_id, text, source FROM documents
+          WHERE doc_id % 10 <> 7),
+        benchd AS (SELECT doc_id, text FROM documents
+          WHERE doc_id % 10 = 7),
+        qm AS (SELECT doc_id,
+          CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+            AS n_words,
+          floor((CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+            AS DOUBLE) / length(text)) * 1e6 + 0.5) / 1e6 AS punct_ratio,
+          floor((CAST(len(list_filter(string_split_regex(trim(text),
+              '\\s+'),
+              x -> list_contains(['the','a','an','of','and','or','in','to',
+                'is','it','on','for','with','as','at','by'], x))) AS DOUBLE)
+            / len(string_split_regex(trim(text), '\\s+'))) * 1e6 + 0.5)
+            / 1e6 AS stopword_ratio
+          FROM corpus0),
+        qs AS (SELECT doc_id FROM qm
+          WHERE floor((least(CAST(n_words AS DOUBLE) / 50.0, 1.0)
+            * least(stopword_ratio * 5.0 + 0.5, 1.0)
+            * (1.0 - least(punct_ratio * 5.0, 1.0) * 0.5)) * 1e6 + 0.5)
+            / 1e6 >= 0.3),
+        f1 AS (SELECT c.* FROM corpus0 c JOIN qs USING (doc_id)),
+        ex AS (SELECT MIN(doc_id) AS doc_id FROM f1 GROUP BY md5(text)),
+        f2 AS (SELECT f1.* FROM f1 JOIN ex USING (doc_id)),
+        src AS (SELECT doc_id, text FROM f2),
+        $minhashJcSql,
+        drops AS (SELECT DISTINCT id_b AS doc_id FROM jc
+          WHERE jaccard >= 0.05),
+        f3 AS (SELECT * FROM f2
+          WHERE doc_id NOT IN (SELECT doc_id FROM drops)),
+        bg AS (SELECT DISTINCT md5(substr(text, CAST(i AS INT), 30)) AS h
+          FROM benchd, UNNEST(generate_series(1, len(text) - 29)) AS t(i)
+          WHERE len(text) >= 30),
+        cg AS (SELECT DISTINCT doc_id,
+            md5(substr(text, CAST(i AS INT), 30)) AS h
+          FROM f3, UNNEST(generate_series(1, len(text) - 29)) AS t(i)
+          WHERE len(text) >= 30),
+        bad AS (SELECT DISTINCT doc_id FROM cg JOIN bg USING (h)),
+        f4 AS (SELECT * FROM f3
+          WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+        f5 AS (SELECT * FROM f4
+          WHERE (doc_id * 1103515245 + 12345) % 1000 <
+            CASE WHEN source = 'src0' THEN 1000
+                 WHEN source = 'src1' THEN 250 ELSE 800 END),
+        tok AS (SELECT doc_id, source,
+          CAST(list_sum(list_transform(string_split_regex(trim(text),
+            '\\s+'), x -> greatest(1, CAST(ceil(length(x)/4.0)
+            AS BIGINT)))) AS BIGINT) AS est_tokens
+          FROM f5),
+        cum AS (SELECT doc_id, source, est_tokens,
+          CAST(SUM(est_tokens) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cum_tokens
+          FROM tok)
+        SELECT doc_id, source, est_tokens, cum_tokens FROM cum
+        WHERE cum_tokens <= 2000 ORDER BY source, doc_id""")),
+
     // -------------------- model-based quality filter (rule distillation)
     // Rows-only by necessity (an LBFGS fit is not ANSI-SQL-expressible);
     // the gate still REQUIREs held-out quality: the distilled scorer must

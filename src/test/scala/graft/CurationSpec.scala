@@ -149,6 +149,41 @@ class CurationSpec extends SparkSpec {
     assert(scored.count() === 60L)
   }
 
+  test("curation pipeline drops per stage: quality, exact dup, near dup, " +
+      "contamination") {
+    import graft.operators.CurationPipeline
+    val base = "the quick brown fox jumps over a lazy dog and then the " +
+      "same fox naps in the barn for an hour with the other animals " +
+      "resting by it on a warm afternoon while all is calm and at ease " +
+      "later that day the dog walks to the pond with the fox and they " +
+      "watch the ducks drift by until the sun sets over the far hills"
+    val unrelated = "a ship sails on the wide sea under a grey sky and the " +
+      "crew watch the waves roll by for an hour as the wind hums in the " +
+      "rigging while gulls wheel over the mast and the long day fades " +
+      "into a quiet dusk on the water far from any shore or town with " +
+      "the stars coming out one by one over the dark horizon at night"
+    val corpus = Seq(
+      (1L, base, "web"),                       // keeper
+      (2L, base, "web"),                       // exact dup of 1 → dropped
+      (3L, base + " coda", "web"),             // near dup of 1 → dropped
+      (4L, unrelated, "wiki"),                 // keeper
+      (5L, "tiny low quality", "wiki"),        // fails quality floor
+      (6L, unrelated.replace("ship", "boat") + " benchmarked run here",
+        "wiki")                                // near dup of 4 → dropped
+    ).toDF("doc_id", "text", "source")
+    val bench = Seq((100L, "totally separate benchmark text")).toDF(
+      "doc_id", "text")
+    val out = CurationPipeline.prepare(corpus, bench, "doc_id", "text",
+      "source").select("doc_id").as[Long].collect().toSet
+    assert(out === Set(1L, 4L))
+    // contamination: plant a bench doc sharing 30+ chars with doc 4
+    val bench2 = Seq((100L, "xx " + unrelated.substring(0, 60) + " yy"))
+      .toDF("doc_id", "text")
+    val out2 = CurationPipeline.prepare(corpus, bench2, "doc_id", "text",
+      "source").select("doc_id").as[Long].collect().toSet
+    assert(out2 === Set(1L))
+  }
+
   test("DSIR importance ranks target-like docs above unrelated ones") {
     val raw = Seq(
       (1L, "physics equations describe motion energy and momentum fields"),
