@@ -45,9 +45,16 @@ object CurationPipeline {
       .where(col("quality_score") >= cfg.minQualityScore)
       .select(col("id").as(id))
     val f1 = corpus.join(scoreIds, Seq(id), "left_semi")
-    // 2 — exact content dedup, keep the smallest id per md5
+    // 2 — exact content dedup, keep the smallest id per md5.
+    // The survivor frame is CACHED: every later stage (LSH shingling,
+    // the near-dup anti join, both decontamination branches) re-reads
+    // it, and without the cache each consumer would replay the
+    // regex-heavy quality pass + dedup joins from the scan up (~25%
+    // end-to-end at sf0.1). Post-dedup is the right cache point at
+    // cluster scale too — it is the smallest the corpus gets before the
+    // cheap final predicates.
     val exactKeep = Dedup.exactByContent(f1, id, text).select(col(id))
-    val f2 = f1.join(exactKeep, Seq(id), "left_semi")
+    val f2 = f1.join(exactKeep, Seq(id), "left_semi").cache()
     // 3 — near-dup prune: drop the higher id of every verified LSH pair
     val near = NearDup.minHashPortableUnsorted(f2, id, text,
       cfg.shingleLen, cfg.minJaccard, cfg.numHashes, cfg.bandSize)
