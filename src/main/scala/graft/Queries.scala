@@ -2665,6 +2665,23 @@ object Queries {
   private def benchDocs(s: SparkSession, dir: String): DataFrame =
     t(s, dir).documents.where(col("doc_id") % 10 === 7)
 
+  /** Recursive-CTE min-reachable-id mirror over verified MinHash edges —
+    * shared by BOTH connected-components variants (propagation and
+    * star-contraction), which must agree exactly. */
+  private def componentsOracleSql: String =
+    s"""WITH src AS (SELECT doc_id, text FROM documents),
+        $minhashJcSql,
+        ed AS (SELECT id_a, id_b FROM jc WHERE jaccard >= 0.05),
+        edges AS (SELECT id_a AS eid, id_b AS nbr FROM ed
+          UNION ALL SELECT id_b, id_a FROM ed),
+        comp AS (
+          WITH RECURSIVE r(id, lbl) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.eid, r.lbl FROM edges e JOIN r ON r.id = e.nbr
+          ) SELECT id, MIN(lbl) AS component FROM r GROUP BY id)
+      SELECT id AS doc_id, component FROM comp ORDER BY doc_id"""
+
   private def corpusDocs(s: SparkSession, dir: String): DataFrame =
     t(s, dir).documents.where(col("doc_id") % 10 =!= 7)
 
@@ -2728,18 +2745,17 @@ object Queries {
     Spec("q_neardup_components",
       (s, dir) => Dedup.nearDupComponents(t(s, dir).documents,
         "doc_id", "text", 3, 0.05, 16, 4).orderBy(col("doc_id")),
-      Some(s"""WITH src AS (SELECT doc_id, text FROM documents),
-          $minhashJcSql,
-          ed AS (SELECT id_a, id_b FROM jc WHERE jaccard >= 0.05),
-          edges AS (SELECT id_a AS eid, id_b AS nbr FROM ed
-            UNION ALL SELECT id_b, id_a FROM ed),
-          comp AS (
-            WITH RECURSIVE r(id, lbl) AS (
-              SELECT doc_id, doc_id FROM documents
-              UNION
-              SELECT e.eid, r.lbl FROM edges e JOIN r ON r.id = e.nbr
-            ) SELECT id, MIN(lbl) AS component FROM r GROUP BY id)
-        SELECT id AS doc_id, component FROM comp ORDER BY doc_id""")),
+      Some(componentsOracleSql)),
+
+    // Same clusters via the large-star/small-star contraction
+    // (Kiveris SoCC'14, the deep-graph-safe variant) — must reproduce
+    // the propagation labelling EXACTLY, so it shares the same
+    // recursive-CTE oracle.
+    Spec("q_neardup_components_star",
+      (s, dir) => Dedup.nearDupComponents(t(s, dir).documents,
+        "doc_id", "text", 3, 0.05, 16, 4, algorithm = "star")
+        .orderBy(col("doc_id")),
+      Some(componentsOracleSql)),
 
     // ----------------------------------- per-source rate mixing (downsample)
     Spec("q_source_mix",

@@ -212,10 +212,17 @@ object Dedup {
     * dedup, unlike [[dedupCorpus]]'s greedy pairwise drop. */
   def nearDupComponents(docs: DataFrame, id: String, content: String,
                         shingleLen: Int = 3, minJaccard: Double = 0.5,
-                        numHashes: Int = 16, bandSize: Int = 4): DataFrame = {
+                        numHashes: Int = 16, bandSize: Int = 4,
+                        algorithm: String = "propagation"): DataFrame = {
     val edges = NearDup.minHashPortableUnsorted(docs, id, content, shingleLen,
       minJaccard, numHashes, bandSize).select(col("id_a"), col("id_b"))
-    connectedComponents(docs.select(col(id).as("id")), edges)
-      .select(col("id").as(id), col("component"))
+    val nodes = docs.select(col(id).as("id"))
+    val labels = algorithm match {
+      case "propagation" => connectedComponents(nodes, edges)
+      case "star"        => connectedComponentsStar(nodes, edges)
+      case other => throw new IllegalArgumentException(
+        s"nearDupComponents: unknown algorithm '$other'")
+    }
+    labels.select(col("id").as(id), col("component"))
   }
 }
