@@ -1257,6 +1257,48 @@ object Queries {
 
   // ==================================== heuristics / top-k / misc coverage
 
+  /** One F15+F16 Spec per reference model: Spark side is
+    * [[Heuristics.heuristicScores]] with `modelName`; the oracle replays
+    * the identical stats CTE with `rawConfSql` as the pre-noise
+    * confidence (the only part that varies across models). */
+  private def heuristicRecsSpec(name: String, modelName: String,
+                                rawConfSql: String): Spec =
+    Spec(name,
+      (s, dir) => Heuristics.heuristicScores(
+        Heuristics.productWindowStats(custItemTx(s, dir),
+          "o_custkey", "l_partkey", "l_extendedprice", "l_quantity",
+          col("o_orderdate"),
+          Seq("1m" -> 30, "3m" -> 90, "6m" -> 180, "12m" -> 365), 200),
+        "l_partkey", 0.9658, "3m", modelName),
+      Some("""WITH tx AS (""" + custItemTxSql + """),
+        mx AS (SELECT MAX(d) AS md FROM tx),
+        stats AS (SELECT i AS pid, COUNT(DISTINCT u) AS households,
+          """ + m("sv") + """ / COUNT(*) AS avg_value,
+          CAST(SUM(CAST(CASE WHEN d >= mx.md - 89 THEN sv ELSE 0.0 END
+            AS DECIMAL(18,2))) AS DOUBLE) AS sales_3m,
+          COUNT(DISTINCT CASE WHEN d >= mx.md - 89 THEN u END)
+            AS households_3m
+          FROM tx, mx GROUP BY i
+          ORDER BY households DESC, pid LIMIT 200),
+        scored AS (SELECT pid, households, avg_value, sales_3m,
+            households_3m,
+            greatest(0.5, least(0.9658, """ + rawConfSql + """
+              + ((((pid % 10000) * 2654435761) % 10000) / 10000.0 * 0.06) - 0.03))
+              AS conf
+          FROM stats WHERE households > 0 AND avg_value > 0),
+        rev AS (SELECT *,
+            CASE WHEN sales_3m > 0 THEN sales_3m
+              ELSE avg_value * households_3m END AS base_rev
+          FROM scored)
+        SELECT pid AS l_partkey, households,
+          floor((avg_value) * 1e2 + 0.5) / 1e2 AS avg_value,
+          floor((conf) * 1e3 + 0.5) / 1e3 AS confidence,
+          CAST(floor((greatest(base_rev * 0.8, least(base_rev * 1.5,
+            base_rev * (1.0 + (conf - 0.5) * 0.5)))) + 0.5) AS BIGINT)
+            AS projected_revenue
+        FROM rev
+        ORDER BY projected_revenue DESC, confidence DESC, l_partkey"""))
+
   private def heuristicSpecs: Seq[Spec] = Seq(
 
     // ---------------------------------------------------------- A7+T6
@@ -1282,43 +1324,20 @@ object Queries {
         ORDER BY households DESC, l_partkey LIMIT 200""")),
 
     // ---------------------------------------------------------- F15+F16
-    Spec("q_heuristic_recs",
-      (s, dir) => Heuristics.neuralNetScores(
-        Heuristics.productWindowStats(custItemTx(s, dir),
-          "o_custkey", "l_partkey", "l_extendedprice", "l_quantity",
-          col("o_orderdate"),
-          Seq("1m" -> 30, "3m" -> 90, "6m" -> 180, "12m" -> 365), 200),
-        "l_partkey", 0.9658, "3m"),
-      Some("""WITH tx AS (""" + custItemTxSql + """),
-        mx AS (SELECT MAX(d) AS md FROM tx),
-        stats AS (SELECT i AS pid, COUNT(DISTINCT u) AS households,
-          """ + m("sv") + """ / COUNT(*) AS avg_value,
-          CAST(SUM(CAST(CASE WHEN d >= mx.md - 89 THEN sv ELSE 0.0 END
-            AS DECIMAL(18,2))) AS DOUBLE) AS sales_3m,
-          COUNT(DISTINCT CASE WHEN d >= mx.md - 89 THEN u END)
-            AS households_3m
-          FROM tx, mx GROUP BY i
-          ORDER BY households DESC, pid LIMIT 200),
-        scored AS (SELECT pid, households, avg_value, sales_3m,
-            households_3m,
-            greatest(0.5, least(0.9658,
-              0.9658 * (0.75 + 0.25 * (ln(1 + households) / ln(200)
-                + least(greatest(avg_value / 50.0, 0.0), 1.0)))
-              + ((((pid % 10000) * 2654435761) % 10000) / 10000.0 * 0.06) - 0.03))
-              AS conf
-          FROM stats WHERE households > 0 AND avg_value > 0),
-        rev AS (SELECT *,
-            CASE WHEN sales_3m > 0 THEN sales_3m
-              ELSE avg_value * households_3m END AS base_rev
-          FROM scored)
-        SELECT pid AS l_partkey, households,
-          floor((avg_value) * 1e2 + 0.5) / 1e2 AS avg_value,
-          floor((conf) * 1e3 + 0.5) / 1e3 AS confidence,
-          CAST(floor((greatest(base_rev * 0.8, least(base_rev * 1.5,
-            base_rev * (1.0 + (conf - 0.5) * 0.5)))) + 0.5) AS BIGINT)
-            AS projected_revenue
-        FROM rev
-        ORDER BY projected_revenue DESC, confidence DESC, l_partkey""")),
+    // One Spec per reference confidence formula (`ml_models.py:857-879`):
+    // neural_network, random_forest, svm, and the gradient_boost
+    // else-branch, all sharing the noise + clamp + revenue extrapolation.
+    heuristicRecsSpec("q_heuristic_recs", "neural_network",
+      """0.9658 * (0.75 + 0.25 * (ln(1 + households) / ln(200)
+        + least(greatest(avg_value / 50.0, 0.0), 1.0)))"""),
+    heuristicRecsSpec("q_heuristic_recs_rf", "random_forest",
+      """0.9658 * (0.7 + 0.3 * ((households / 250.0) * 0.6 - 0.2))"""),
+    heuristicRecsSpec("q_heuristic_recs_svm", "svm",
+      """0.9658 * (0.7 + 0.3 * (sqrt(households / 150.0)
+        + least(greatest(avg_value / 60.0, 0.0), 1.0) + 0.1))"""),
+    heuristicRecsSpec("q_heuristic_recs_gb", "gradient_boost",
+      """0.9658 * (0.6 + 0.4 * (households / 1500.0
+        + pow(avg_value, 0.4) / 8.0 + 0.2))"""),
 
     // ---------------------------------------------------------- A13
     Spec("q_repurchase_stats",
@@ -2763,7 +2782,8 @@ object Queries {
         "doc_id", "source", Map("src0" -> 1000, "src1" -> 250), 600)
         .select(col("doc_id"), col("source")).orderBy(col("doc_id")),
       Some("""SELECT doc_id, source FROM documents
-        WHERE (doc_id * 1103515245 + 12345) % 1000 <
+        WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+            AS BIGINT) % 1000 <
           CASE WHEN source = 'src0' THEN 1000
                WHEN source = 'src1' THEN 250 ELSE 600 END
         ORDER BY doc_id""")),
@@ -2910,7 +2930,8 @@ object Queries {
         f4 AS (SELECT * FROM f3
           WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
         f5 AS (SELECT * FROM f4
-          WHERE (doc_id * 1103515245 + 12345) % 1000 <
+          WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 1000 <
             CASE WHEN source = 'src0' THEN 1000
                  WHEN source = 'src1' THEN 250 ELSE 800 END),
         tok AS (SELECT doc_id, source,

@@ -232,8 +232,9 @@ object Collab {
     * 84-116`): a rule fires for a user when EVERY antecedent item is in
     * the user's purchased set. `purchasedSets` is (u, items array, any
     * other columns); `rules` has array `antecedent`/`consequent`
-    * (FP-Growth shape; antecedent elements must be distinct and
-    * non-empty, which FP-Growth-style miners guarantee).
+    * (FP-Growth shape; antecedents must be non-empty — guarded below —
+    * and are treated as SETS: duplicated elements are deduped before the
+    * subset test, so hygiene of the miner's arrays is not load-bearing).
     *
     * Plan: a set-containment JOIN, not a crossJoin — antecedents explode
     * to (rule, item) and equi-join the exploded purchase items, and a
@@ -265,9 +266,15 @@ object Collab {
       }: _*),
       proj.schema.add("rid", org.apache.spark.sql.types.LongType,
         nullable = false))
+    // array_distinct on the antecedent too, so the subset test is over
+    // item SETS regardless of input hygiene: a rule with a duplicated
+    // antecedent [a, a] means {a} → fire for any holder of a. Without it,
+    // the duplicate explodes to two identical (rid, a) rows and a user's
+    // single a matches both, so n_hit == size() fires on an accidental
+    // double-count rather than by defined semantics.
     val ants = withId.select(col("rid"),
-      explode(col("antecedent")).as("i"),
-      size(col("antecedent")).cast("long").as("n_ants"))
+      explode(array_distinct(col("antecedent"))).as("i"),
+      size(array_distinct(col("antecedent"))).cast("long").as("n_ants"))
     // array_distinct BEFORE the explode: a duplicate item in a user's
     // array must count once toward the subset test (array-subset
     // semantics). Deduping per-array is map-only; the count_distinct

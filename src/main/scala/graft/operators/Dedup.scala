@@ -126,6 +126,14 @@ object Dedup {
       labels = next
       iter += 1
     }
+    // the cap is a runaway guard, not a semantics knob: exiting through it
+    // means labels are NOT a fixpoint — i.e. wrong components — so fail
+    // loudly instead of returning silently-unconverged labels (a chain of
+    // diameter > maxIter would otherwise split one component into many)
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents: no fixpoint after $maxIter rounds — graph " +
+        "diameter exceeds the iteration cap; raise maxIter or use " +
+        "connectedComponentsStar (O(log n) rounds on deep graphs)")
     labels
   }
 
@@ -196,6 +204,9 @@ object Dedup {
       cur = next
       iter += 1
     }
+    if (!done) throw new IllegalStateException(
+      s"connectedComponentsStar: edge set still changing after $maxIter " +
+        "star rounds — labels would be unconverged (wrong); raise maxIter")
     // at fixpoint every surviving edge is (member, component-min)
     nodes.select(col("id"))
       .join(cur.select(col("src").as("id"), col("dst").as("component")),

@@ -51,15 +51,45 @@ object Heuristics {
     (pmod(pmod(itemId, lit(10000L)) * lit(2654435761L), lit(10000L))
       .cast("double") / 10000.0 * (2 * amp)) - amp
 
-  /** The `neural_network` confidence formula (`ml_models.py:858-862`) plus
-    * the shared clamp + revenue extrapolation (`ml_models.py:885-907`,
-    * F16). Input: [[productWindowStats]] output. */
-  def neuralNetScores(stats: DataFrame, item: String, baseAccuracy: Double,
-                      horizon: String): DataFrame = {
-    val popularity = log1p(col("households")) / math.log(200.0)
-    val valueW = least(greatest(col("avg_value") / 50.0, lit(0.0)), lit(1.0))
-    val rawConf = lit(baseAccuracy) *
-      (lit(0.75) + lit(0.25) * (popularity + valueW))
+  /** Per-model confidence formulas (`ml_models.py:857-879`): each model
+    * name selects distinct popularity/value weighting; anything not named
+    * falls to the `gradient_boost` else-branch, exactly like the
+    * reference's if/elif chain. (The reference also assigns a per-model
+    * `multiplier` constant on the same lines — dead code there, never
+    * read — so it has no counterpart here.) */
+  private def confidenceFormula(modelName: String,
+                                baseAccuracy: Double): Column =
+    modelName match {
+      case "neural_network" => // ml_models.py:858-862
+        val popularity = log1p(col("households")) / math.log(200.0)
+        val valueW =
+          least(greatest(col("avg_value") / 50.0, lit(0.0)), lit(1.0))
+        lit(baseAccuracy) * (lit(0.75) + lit(0.25) * (popularity + valueW))
+      case "random_forest" => // ml_models.py:863-867
+        val popularity = col("households") / 250.0 * 0.6
+        lit(baseAccuracy) *
+          (lit(0.7) + lit(0.3) * (popularity - lit(0.2)))
+      case "svm" => // ml_models.py:868-873
+        val popularity = sqrt(col("households") / 150.0)
+        val valueW =
+          least(greatest(col("avg_value") / 60.0, lit(0.0)), lit(1.0))
+        lit(baseAccuracy) *
+          (lit(0.7) + lit(0.3) * (popularity + valueW + lit(0.1)))
+      case _ => // gradient_boost & default, ml_models.py:874-879
+        val popularity = col("households") / 1500.0
+        val valueW = pow(col("avg_value"), 0.4) / 8.0
+        lit(baseAccuracy) *
+          (lit(0.6) + lit(0.4) * (popularity + valueW + lit(0.2)))
+    }
+
+  /** Heuristic recommendation scores for one model: the per-model
+    * confidence formula (`ml_models.py:857-879`) plus the shared
+    * noise + clamp + revenue extrapolation (`ml_models.py:885-907`, F16).
+    * Input: [[productWindowStats]] output. */
+  def heuristicScores(stats: DataFrame, item: String, baseAccuracy: Double,
+                      horizon: String,
+                      modelName: String = "neural_network"): DataFrame = {
+    val rawConf = confidenceFormula(modelName, baseAccuracy)
     val conf = greatest(lit(0.5),
       least(lit(baseAccuracy), rawConf + seededNoise(col(item), 0.03)))
     val baseRevenue = when(col(s"sales_$horizon") > 0, col(s"sales_$horizon"))
@@ -76,6 +106,12 @@ object Heuristics {
       .orderBy(col("projected_revenue").desc, col("confidence").desc,
         col(item).asc)
   }
+
+  /** The `neural_network` model (`ml_models.py:858-862`) — kept as a
+    * named entry point; delegates to [[heuristicScores]]. */
+  def neuralNetScores(stats: DataFrame, item: String, baseAccuracy: Double,
+                      horizon: String): DataFrame =
+    heuristicScores(stats, item, baseAccuracy, horizon, "neural_network")
 
   /** Department-level predictions (`ml_models.py:1010-1110`): per-category
     * multi-window stats → confidence (recent-customer + transaction

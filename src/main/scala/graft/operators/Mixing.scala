@@ -9,8 +9,9 @@ import org.apache.spark.sql.functions._
   * Pile/Dolma-style mixture spec turns.
   *
   * All sampling here is DETERMINISTIC: membership depends only on the
-  * document id (an LCG bucket, portable integer arithmetic expressible in
-  * any SQL engine), never on partitioning, task retries, or a seed stream.
+  * document id (an md5-derived bucket, portable digest arithmetic
+  * expressible in any SQL engine), never on partitioning, task retries,
+  * or a seed stream.
   * That is the property that matters at 100 TB — a retry-safe, resumable
   * sample whose membership can be re-derived by any engine auditing the
   * mix. Everything is map-only except the budget cumsum (one shuffle on
@@ -21,12 +22,22 @@ import org.apache.spark.sql.functions._
   */
 object Mixing {
 
-  /** Deterministic per-id bucket in [0, 1000): one LCG step
-    * (Numerical Recipes constants) then mod 1000. Stays well inside
-    * signed-64 range for any id below ~8.3e9; for wider id spaces hash
-    * first and bucket the hash. */
+  /** Deterministic per-id bucket in [0, 1000): first 15 hex digits of
+    * `md5(cast(id as string))` mod 1000 — the same portable digest trick
+    * as [[Dsir]]/[[NearDup.minHashPortable]], expressible in any SQL
+    * engine (`('0x' || substr(md5(...), 1, 15))::BIGINT % 1000`).
+    *
+    * Why a digest and not an LCG: a multiplicative step `id·a + c mod m`
+    * reaches only `m / gcd(a, m)` buckets — the previous constants
+    * (1103515245, mod 1000) shared a factor 5 and hit just 200 of the
+    * 1000 buckets, quantizing every sampling rate to 5‰ steps with upward
+    * bias. The md5 bucket reaches all 1000 uniformly, has no overflow for
+    * any id (the digest input is the decimal string), and is safe for
+    * negative ids (no pmod-vs-% sign divergence — the digest value is
+    * always non-negative). */
   def bucket1000(idCol: Column): Column =
-    pmod(idCol.cast("long") * 1103515245L + 12345L, lit(1000L))
+    pmod(conv(substring(md5(idCol.cast("string")), 1, 15), 16, 10)
+      .cast("long"), lit(1000L))
 
   /** Per-source Bernoulli down-sampling at `permille(source)`/1000,
     * deterministic in the id. Sources absent from the map keep

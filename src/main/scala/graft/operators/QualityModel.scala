@@ -72,11 +72,24 @@ object QualityModel {
       .select(col("label").cast("double").as("label"),
         col("p_good").as("rawPrediction"),
         col("predicted").cast("double").as("prediction"))
-    val n = test.count().toDouble
+    // guard the slice before dividing/evaluating: an empty or
+    // single-class test split (possible on tiny corpora under the hash
+    // split) would otherwise surface as acc=NaN / undefined AUC — a
+    // confusing downstream gate failure instead of a clear input error
+    val classCounts = test.cache().groupBy(col("label")).count().collect()
+    require(classCounts.nonEmpty,
+      "heldOutQuality: held-out test slice is empty — corpus too small " +
+        "for the train fraction; lower trainFrac or widen the corpus")
+    require(classCounts.length == 2,
+      s"heldOutQuality: test slice is single-class (label " +
+        s"${classCounts.head.get(0)} only) — accuracy/AUC undefined; " +
+        "widen the corpus so both teacher classes reach the test split")
+    val n = classCounts.map(_.getLong(1)).sum.toDouble
     val acc = test.where(col("label") === col("prediction")).count() / n
     val auc = new BinaryClassificationEvaluator()
       .setRawPredictionCol("rawPrediction").setLabelCol("label")
       .setMetricName("areaUnderROC").evaluate(test)
+    test.unpersist()
     (acc, auc)
   }
 }

@@ -92,6 +92,31 @@ class CurationSpec extends SparkSpec {
     assert(comp(4L) === 4L)
   }
 
+  test("bucket1000 reaches ALL 1000 buckets and realizes every permille " +
+      "rate within binomial bounds (the property the LCG bug violated)") {
+    // the pre-fix LCG multiplier shared a factor 5 with the modulus and
+    // reached only 200 buckets, quantizing every rate to 5‰ with upward
+    // bias (13‰ requested → 15‰ kept). Over 100k sequential ids an
+    // md5-derived bucket must cover the full range and track every
+    // requested permille to within sampling noise.
+    val n = 100000
+    val buckets = spark.range(n.toLong)
+      .select(Mixing.bucket1000(col("id")).cast("int").as("b"))
+      .as[Int].collect()
+    assert(buckets.forall(b => b >= 0 && b < 1000))
+    assert(buckets.distinct.length === 1000)
+    val counts = new Array[Int](1001)
+    buckets.foreach(b => counts(b + 1) += 1)
+    for (i <- 1 to 1000) counts(i) += counts(i - 1) // cumulative: #(b < r)
+    for (r <- 1 to 999) {
+      val p = r / 1000.0
+      val expected = n * p
+      val sd = math.sqrt(n * p * (1 - p))
+      assert(math.abs(counts(r) - expected) <= 4 * sd + 2,
+        s"permille $r realized ${counts(r)} of $n vs expected $expected")
+    }
+  }
+
   test("sampleByRates: permille 1000 keeps all, 0 keeps none, membership " +
       "is deterministic") {
     val all = Mixing.sampleByRates(corpus, "doc_id", "source",

@@ -148,6 +148,60 @@ class DunnhumbySpec extends SparkSpec {
     assert(rec >= 0.0 && rec <= 1.0, s"churn recall=$rec")
   }
 
+  test("golden heuristics: all four model confidence formulas match the " +
+      "reference math on a literal stats frame (ml_models.py:857-907)") {
+    // one product, stats chosen so no clamp saturates for any model
+    val pid = 7L
+    val (hh, avg, sales3m, hh3m) = (25L, 8.0, 500.0, 10L)
+    val base = 0.9658
+    val stats = Seq((pid, hh, avg, sales3m, hh3m))
+      .toDF("pid", "households", "avg_value", "sales_3m", "households_3m")
+    // the reference formulas, replicated literally in driver-side Scala
+    val rawConf = Map(
+      "neural_network" -> base * (0.75 + 0.25 *
+        (math.log1p(hh.toDouble) / math.log(200.0) +
+          math.min(math.max(avg / 50.0, 0.0), 1.0))),
+      "random_forest" -> base * (0.7 + 0.3 * (hh / 250.0 * 0.6 - 0.2)),
+      "svm" -> base * (0.7 + 0.3 * (math.sqrt(hh / 150.0) +
+        math.min(math.max(avg / 60.0, 0.0), 1.0) + 0.1)),
+      "gradient_boost" -> base * (0.6 + 0.4 * (hh / 1500.0 +
+        math.pow(avg, 0.4) / 8.0 + 0.2)))
+    val noise = ((pid % 10000L) * 2654435761L % 10000L) / 10000.0 * 0.06 -
+      0.03
+    def round(v: Double, d: Int) =
+      math.floor(v * math.pow(10, d) + 0.5) / math.pow(10, d)
+    val got = rawConf.keys.map { model =>
+      val r = Heuristics.heuristicScores(stats, "pid", base, "3m", model)
+        .head()
+      model -> (r.getAs[Double]("confidence"),
+        r.getAs[Long]("projected_revenue"))
+    }.toMap
+    rawConf.foreach { case (model, rc) =>
+      val conf = math.max(0.5, math.min(base, rc + noise))
+      val projected = math.max(sales3m * 0.8, math.min(sales3m * 1.5,
+        sales3m * (1.0 + (conf - 0.5) * 0.5)))
+      assert(got(model)._1 === round(conf, 3), s"confidence [$model]")
+      assert(got(model)._2 === math.floor(projected + 0.5).toLong,
+        s"projected_revenue [$model]")
+    }
+    // the four formulas must actually discriminate on this frame
+    assert(got.values.map(_._1).toSet.size === 4)
+    // an unknown model name falls to the gradient_boost else-branch,
+    // exactly like the reference's if/elif chain
+    assert(Heuristics.heuristicScores(stats, "pid", base, "3m", "mystery")
+      .head().getAs[Double]("confidence") === got("gradient_boost")._1)
+  }
+
+  test("J11: duplicated antecedent items are set semantics — [A,A] -> D " +
+      "fires for a user holding just {A}") {
+    val purchased = Seq((1L, Array("A")), (2L, Array("B")))
+      .toDF("u", "items")
+    val rules = Seq((Array("A", "A"), Array("D"), 0.8, 2.0))
+      .toDF("antecedent", "consequent", "confidence", "lift")
+    val fired = Collab.matchingRules(purchased, rules).collect()
+    assert(fired.length == 1 && fired(0).getAs[Long]("u") == 1L)
+  }
+
   test("J11 multi-item antecedent matching fires only on subset") {
     val purchased = Seq(
       (1L, Array("A", "B", "C")), (2L, Array("A"))).toDF("u", "items")

@@ -286,6 +286,77 @@ object InvariantsCheck extends Properties("graft.invariants") {
       scores(docs, 1) == scores(docs.reverse, 5)
     }
 
+  property("sampleByRates: any ids (negative, huge) — no overflow, " +
+      "kept is a subset, membership is id-deterministic") =
+    forAll(for {
+      r <- Gen.choose(1, 999)
+      ids <- Gen.nonEmptyListOf(Gen.oneOf(
+        Gen.choose(-1000000L, 1000000L),
+        Gen.choose(Long.MinValue / 2, Long.MaxValue / 2),
+        Gen.const(Long.MaxValue), Gen.const(Long.MinValue + 1)))
+    } yield (r, ids.distinct)) { case (r, ids) =>
+      val docs = ids.map(i => (i, "s")).toDF("doc_id", "source")
+      val kept = graft.operators.Mixing
+        .sampleByRates(docs, "doc_id", "source", Map.empty, r)
+        .select("doc_id").as[Long].collect().toSet
+      val kept2 = graft.operators.Mixing
+        .sampleByRates(docs.repartition(3), "doc_id", "source", Map.empty, r)
+        .select("doc_id").as[Long].collect().toSet
+      kept.subsetOf(ids.toSet) && kept == kept2
+    }
+
+  property("upsampleEpochs: row counts are EXACTLY sum of per-source " +
+      "epochs and ordinals cover 1..n") =
+    forAll(for {
+      n <- Gen.choose(1, 12)
+      eWiki <- Gen.choose(1, 4)
+      eDef <- Gen.choose(1, 3)
+      srcs <- Gen.listOfN(n, Gen.oneOf("wiki", "web", "code"))
+    } yield (eWiki, eDef, srcs)) { case (eWiki, eDef, srcs) =>
+      val docs = srcs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("doc_id", "source")
+      val out = graft.operators.Mixing
+        .upsampleEpochs(docs, "source", Map("wiki" -> eWiki), eDef)
+        .select($"doc_id", $"source", $"epoch")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      def want(s: String) = if (s == "wiki") eWiki else eDef
+      val expectTotal = srcs.map(want).sum
+      out.length == expectTotal &&
+        out.groupBy(r => (r._1, r._2)).forall { case ((_, s), rows) =>
+          rows.map(_._3).sorted.toList == (1L to want(s).toLong).toList
+        }
+    }
+
+  property("takeByTokenBudget keeps exactly the maximal in-budget " +
+      "ascending-id prefix per source") =
+    forAll(for {
+      n <- Gen.choose(1, 10)
+      budget <- Gen.choose(1L, 60L)
+      rows <- Gen.listOfN(n, Gen.choose(1, 10).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf("a", "bb", "word", "lengthy"))
+          .map(_.mkString(" "))))
+    } yield (budget, rows.zipWithIndex.map { case (t, i) =>
+      (i.toLong, t, if (i % 2 == 0) "x" else "y") })) {
+      case (budget, rows) =>
+        val docs = rows.toDF("doc_id", "text", "source")
+        val kept = graft.operators.Mixing
+          .takeByTokenBudget(docs, "doc_id", "text", "source", budget)
+          .select("doc_id").as[Long].collect().toSet
+        // reference: per source, walk ids ascending, accumulate the same
+        // estimate (ceil(len/4) per whitespace token, min 1), stop at the
+        // first doc that would cross the budget — it and everything after
+        // are dropped (contiguous prefix, not best-fit)
+        def estimate(t: String): Long = t.trim.split("\\s+")
+          .map(w => math.max(1L, math.ceil(w.length / 4.0).toLong)).sum
+        val want = rows.groupBy(_._3).flatMap { case (_, rs) =>
+          val sorted = rs.sortBy(_._1)
+          val cum = sorted
+            .scanLeft(0L) { case (acc, r) => acc + estimate(r._2) }.tail
+          sorted.zip(cum).takeWhile(_._2 <= budget).map(_._1._1)
+        }.toSet
+        kept == want
+    }
+
   property("moneySum is invariant under row order and partitioning") =
     forAll(Gen.nonEmptyListOf(Gen.choose(-100000, 100000))) { cents =>
       val vals = cents.map(_ / 100.0)
