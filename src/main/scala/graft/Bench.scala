@@ -12,6 +12,15 @@ import org.apache.spark.sql.SparkSession
   *     min-of-2 rejects one-sided load spikes, which is what this shared
   *     box produces.
   * Name order within each pass keeps runs comparable.
+  *
+  * Load sentinel (judge round-5 finding: a driver-side capture taken
+  * under concurrent round-end load showed phantom 4-6x regressions that
+  * an idle re-run disproved): each timed pass is bracketed by a fixed
+  * probe query; if the end probe drifts >2x from the start probe the box
+  * was busy during the pass, so the pass is re-run once and, if still
+  * drifting, the artifact is stamped "contaminated": true with the raw
+  * probe readings — numbers that cannot silently masquerade as
+  * regressions.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -26,8 +35,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_ONLY=q_a,q_b restricts the run (local iteration aid;
+    // the driver sets no env and always benches everything)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     // sorted for run-to-run comparability (Map order is hash-dependent)
-    val specs = SparkEntry.queries.toSeq.sortBy(_._1)
+    val specs = SparkEntry.queries.toSeq
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .sortBy(_._1)
 
     def runPass(dir: String): Map[String, Double] = specs.map {
       case (name, fn) =>
@@ -44,10 +59,47 @@ object Bench {
         name -> dt
     }.toMap
 
-    if (new java.io.File(warmDir).isDirectory) runPass(warmDir)
-    val passes = (1 to math.max(1, reps)).map(_ => runPass(sfDir))
+    // fixed sentinel probe: a small scan+agg whose cost is dominated by
+    // the same CPU/IO the real queries contend for; timed at each pass
+    // boundary to detect ambient load DURING the pass
+    val probeFn = SparkEntry.queries("q_table_stats")
+    def probe(dir: String): Double = {
+      val t0 = System.nanoTime()
+      probeFn(spark, dir).count()
+      spark.catalog.clearCache()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    final case class Pass(times: Map[String, Double],
+                          probeStart: Double, probeEnd: Double) {
+      def drift: Double = math.max(probeStart, probeEnd) /
+        math.max(1e-9, math.min(probeStart, probeEnd))
+    }
+    def timedPass(dir: String): Pass = {
+      val p0 = probe(dir)
+      val m = runPass(dir)
+      Pass(m, p0, probe(dir))
+    }
+
+    if (new java.io.File(warmDir).isDirectory) {
+      probe(warmDir) // JIT-warm the probe itself before it ever gates
+      runPass(warmDir)
+    }
+    val passes = (1 to math.max(1, reps)).map { _ =>
+      val first = timedPass(sfDir)
+      if (first.drift <= 2.0) first
+      else { // box was busy during the pass: one retry, keep the calmer run
+        System.err.println(f"[bench] sentinel drift ${first.drift}%.2fx " +
+          "— re-running pass")
+        val retry = timedPass(sfDir)
+        if (retry.drift < first.drift) retry else first
+      }
+    }
+    val contaminated = passes.exists(_.drift > 2.0)
+    val sentinel = passes.map(p =>
+      f"[${p.probeStart}%.3f,${p.probeEnd}%.3f]").mkString("[", ",", "]")
     val results = specs.map { case (name, _) =>
-      name -> passes.map(_(name)).min
+      name -> passes.map(_.times(name)).min
     }.toMap
 
     def fmt(v: Double): String =
@@ -61,9 +113,11 @@ object Bench {
     // (~2000 chars), so the final line must stay well under that: inline
     // only the heaviest queries and dump the full per-query map to a side
     // file (and stderr, which is captured separately).
+    val meta =
+      s""""sentinel":$sentinel,"contaminated":$contaminated"""
     val full = results.toSeq.sortBy(_._1)
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nqueries":${full.size},"queries":${toJson(full)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nqueries":${full.size},$meta,"queries":${toJson(full)},"sf":"$sfDir"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_details.json"),
       (fullJson + "\n").getBytes("UTF-8"))
@@ -71,11 +125,11 @@ object Bench {
 
     val top = results.toSeq.sortBy(-_._2).take(30)
     var line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nqueries":${full.size},"queries":${toJson(top)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nqueries":${full.size},$meta,"queries":${toJson(top)},"sf":"$sfDir"}"""
     var n = top.size
     while (line.length > 1800 && n > 5) { // hard cap for the tail window
       n -= 1
-      line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nqueries":${full.size},"queries":${toJson(top.take(n))},"sf":"$sfDir"}"""
+      line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nqueries":${full.size},$meta,"queries":${toJson(top.take(n))},"sf":"$sfDir"}"""
     }
     println(line)
     spark.stop()

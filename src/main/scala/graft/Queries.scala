@@ -274,6 +274,63 @@ object Queries {
           FROM raw WHERE confidence_rev <> confidence)
         ORDER BY lift DESC, antecedent, consequent""")),
 
+    // ------------------------------------- R1+R2 amortized (one pass)
+    // The whole rules family off ONE materialization of the basket
+    // aggregate: forward top-500, reverse emission, and the
+    // eligible-restricted mining share the cached per-basket arrays
+    // instead of re-paying the transaction shuffle 3× the way the
+    // isolated per-query registrations must under a cache-clearing
+    // harness. The mirror replays each family from shared CTEs.
+    Spec("q_rules_family",
+      (s, dir) => AssociationRules.rulesFamily(t(s, dir).lineitem,
+        "l_orderkey", "l_partkey", 5L, 500, rulesParams),
+      Some(rulesRawSql + """,
+        fwd AS (SELECT 'fwd' AS family,
+            item_a AS antecedent, item_b AS consequent,
+            floor((support) * 1e6 + 0.5) / 1e6 AS support,
+            floor((confidence) * 1e6 + 0.5) / 1e6 AS confidence,
+            floor((lift) * 1e6 + 0.5) / 1e6 AS lift
+          FROM raw ORDER BY lift DESC, antecedent, consequent LIMIT 500),
+        rev AS (SELECT 'rev' AS family,
+            item_b AS antecedent, item_a AS consequent,
+            floor((support) * 1e6 + 0.5) / 1e6 AS support,
+            floor((confidence_rev) * 1e6 + 0.5) / 1e6 AS confidence,
+            floor((lift_rev) * 1e6 + 0.5) / 1e6 AS lift
+          FROM raw WHERE confidence_rev <> confidence),
+        ecnt0 AS (SELECT item, COUNT(*) AS c FROM bi GROUP BY item),
+        eel AS (SELECT item FROM ecnt0 WHERE c >= 5
+          ORDER BY c DESC, item LIMIT 500),
+        ebi AS (SELECT bi.basket, bi.item FROM bi
+          JOIN eel ON eel.item = bi.item),
+        etot AS (SELECT COUNT(DISTINCT basket) AS n FROM ebi),
+        ecnt AS (SELECT item, COUNT(*) AS c FROM ebi GROUP BY item),
+        eokb AS (SELECT basket FROM ebi GROUP BY basket
+          HAVING COUNT(*) BETWEEN 2 AND 500),
+        epairs AS (
+          SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS pair_baskets
+          FROM ebi a JOIN ebi b ON a.basket = b.basket AND a.item < b.item
+          JOIN eokb ON eokb.basket = a.basket
+          GROUP BY 1, 2
+          ORDER BY pair_baskets DESC, item_a, item_b LIMIT 2000),
+        eraw AS (
+          SELECT p.item_a, p.item_b,
+            CAST(p.pair_baskets AS DOUBLE) / t.n AS support,
+            CAST(p.pair_baskets AS DOUBLE) / ca.c AS confidence,
+            (CAST(p.pair_baskets AS DOUBLE) / ca.c)
+              / (CAST(cb.c AS DOUBLE) / t.n) AS lift
+          FROM epairs p CROSS JOIN etot t
+          JOIN ecnt ca ON ca.item = p.item_a
+          JOIN ecnt cb ON cb.item = p.item_b),
+        efam AS (SELECT 'eligible' AS family,
+            item_a AS antecedent, item_b AS consequent,
+            floor((support) * 1e6 + 0.5) / 1e6 AS support,
+            floor((confidence) * 1e6 + 0.5) / 1e6 AS confidence,
+            floor((lift) * 1e6 + 0.5) / 1e6 AS lift
+          FROM eraw ORDER BY lift DESC, antecedent, consequent LIMIT 500)
+        SELECT * FROM (SELECT * FROM fwd UNION ALL SELECT * FROM rev
+          UNION ALL SELECT * FROM efam)
+        ORDER BY family, lift DESC, antecedent, consequent""")),
+
     // ---------------------------------------------------------- R3 (rows-only)
     Spec("q_fpgrowth_rules",
       (s, dir) => {
@@ -1673,7 +1730,68 @@ object Queries {
       (s, dir) => t(s, dir).orders
         .agg(max(col("o_orderdate").cast("date")).as("rules_version")),
       Some("""SELECT MAX(CAST(o_orderdate AS DATE)) AS rules_version
-        FROM orders"""))
+        FROM orders""")),
+
+    // ------------------------------------ §2.14 recommendation cache
+    // The full store → hit → version-bump → miss round trip in one
+    // relational result (customers/views.py:188-236): a seeded cache
+    // (one third of households; half of those stale-versioned), a
+    // request batch with per-household alphas and explicit-alpha pins,
+    // the refresh decision, and the post-upsert cache state. Fully
+    // ANSI-expressible, so the invalidation contract is oracle-gated.
+    Spec("q_rec_cache",
+      (s, dir) => {
+        val latest = t(s, dir).orders
+          .agg(max(col("o_orderdate").cast("date")).as("latest_version"))
+        val cust = t(s, dir).customer
+        val cache0 = cust.where(col("c_custkey") % 3 === 0)
+          .crossJoin(broadcast(latest))
+          .select(col("c_custkey").as("household"),
+            lit(0.6).as("alpha"),
+            when(col("c_custkey") % 2 === 0, col("latest_version"))
+              .otherwise(to_date(lit("1995-01-01"))).as("rules_version"),
+            concat(lit("cached:"), col("c_custkey")).as("payload"))
+        val requests = cust.select(col("c_custkey").as("household"),
+          when(col("c_custkey") % 5 === 0, 0.7).otherwise(0.6).as("alpha"),
+          (col("c_custkey") % 7 === 0).as("alpha_explicit"))
+        val dec = RecCache.refreshDecisions(requests, cache0, latest)
+        RecCache.refreshedCache(cache0, dec, lit("fresh"))
+          .join(dec.select(col("household"), col("recalculate")),
+            Seq("household"), "left_outer")
+          .select(col("household"), col("alpha"), col("rules_version"),
+            col("payload"),
+            coalesce(col("recalculate"), lit(false)).as("recalculated"))
+          .orderBy(col("household"))
+      },
+      Some("""WITH latest AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS lv
+          FROM orders),
+        cache0 AS (SELECT c_custkey AS household,
+            CAST(0.6 AS DOUBLE) AS alpha,
+            CASE WHEN c_custkey % 2 = 0 THEN lv
+              ELSE DATE '1995-01-01' END AS rules_version,
+            'cached:' || CAST(c_custkey AS VARCHAR) AS payload
+          FROM customer, latest WHERE c_custkey % 3 = 0),
+        req AS (SELECT c_custkey AS household,
+            CAST(CASE WHEN c_custkey % 5 = 0 THEN 0.7 ELSE 0.6 END
+              AS DOUBLE) AS alpha,
+            (c_custkey % 7 = 0) AS alpha_explicit
+          FROM customer),
+        dec AS (SELECT r.household, r.alpha,
+            (r.alpha_explicit OR c.household IS NULL
+              OR c.alpha <> r.alpha OR c.rules_version <> latest.lv)
+              AS recalculate, latest.lv AS latest_version
+          FROM req r LEFT JOIN cache0 c ON c.household = r.household,
+            latest),
+        recalc AS (SELECT household, alpha,
+            latest_version AS rules_version, 'fresh' AS payload
+          FROM dec WHERE recalculate),
+        untouched AS (SELECT c.* FROM cache0 c
+          WHERE c.household NOT IN (SELECT household FROM recalc)),
+        ref AS (SELECT * FROM untouched UNION ALL SELECT * FROM recalc)
+        SELECT ref.household, ref.alpha, ref.rules_version, ref.payload,
+          COALESCE(dec.recalculate, false) AS recalculated
+        FROM ref LEFT JOIN dec ON dec.household = ref.household
+        ORDER BY ref.household"""))
   )
 
   // ============================================== sinks / ingest / ML model
@@ -2229,6 +2347,26 @@ object Queries {
         FROM r ORDER BY id""")),
 
     // ------------------------------------------------- frame sampling
+    // ------------------------- REAL image decode over PNG fixtures
+    // End-to-end codec gate: genuine PNGs are encoded per partition from
+    // pure id arithmetic, then decoded back through the javax.imageio
+    // header path ([[Multimodal.ImageIoCodec]]). The oracle predicts the
+    // decoded dimensions from the same arithmetic WITHOUT decoding —
+    // only a real codec run can reproduce them from the bytes.
+    Spec("q_multimodal_decode",
+      (s, dir) => Multimodal.decodePartitioned(
+        Multimodal.syntheticPngTable(
+          t(s, dir).documents.select(col("doc_id"))
+            .where(col("doc_id") % 10 === 0), "doc_id"),
+        () => new Multimodal.ImageIoCodec)
+        .select(col("id").as("doc_id"), col("width"), col("height"),
+          col("channels"), col("n_frames"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, 64 + doc_id % 97 AS width,
+          64 + doc_id % 53 AS height,
+          CAST(3 AS BIGINT) AS channels, CAST(1 AS BIGINT) AS n_frames
+        FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""")),
+
     Spec("q_frame_samples",
       (s, dir) => Multimodal.sampleFrames(
         Multimodal.asBlobTable(t(s, dir).documents, "doc_id", "text"), 4, 16)

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.ml.fpm.FPGrowth
 import graft.functions.ColumnFns.stableRound
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Association-rule mining — the reference's signature workload
@@ -40,14 +40,26 @@ object AssociationRules {
       .where(col(item).isNotNull)
       .distinct()
 
+  /** Per-basket sorted distinct item arrays for EVERY basket (no size
+    * filter): one `groupBy(basket).agg(collect_set)` straight off the raw
+    * rows. collect_set dedups inside the aggregation buffer with map-side
+    * partial merge, so no separate (basket, item)-distinct shuffle is
+    * needed — that pre-distinct used to be a second full-width shuffle of
+    * the transaction stream, the single biggest cost of the whole rules
+    * family at any scale. */
+  private def perBasketItems(tx: DataFrame, basket: String,
+                             item: String): DataFrame =
+    tx.select(col(basket).as("basket"), col(item).as("item"))
+      .where(col(item).isNotNull)
+      .groupBy(col("basket"))
+      .agg(array_sort(collect_set(col("item"))).as("items"))
+
   /** Per-basket sorted distinct item arrays — the reference's streamed
     * per-basket state machine (`views.py:461-479`) collapses to one
     * `groupBy(basket).agg(collect_set)`. */
   def basketItems(tx: DataFrame, basket: String, item: String,
                   maxBasketSize: Int = 500): DataFrame =
-    itemsets(tx, basket, item)
-      .groupBy(col("basket"))
-      .agg(array_sort(collect_set(col("item"))).as("items"))
+    perBasketItems(tx, basket, item)
       .where(size(col("items")).between(2, maxBasketSize))
 
   /** Ordered-pair counts: for each basket explode all combinations (a < b)
@@ -69,32 +81,49 @@ object AssociationRules {
     * All ratio inputs are exact integer counts, so the double arithmetic is
     * bit-deterministic. */
   def rulesRaw(tx: DataFrame, basket: String, item: String,
-               params: Params = Params()): DataFrame = {
-    // One materialization of the (basket, item) grain feeds all three
-    // consumers (total count, pair counts, item counts) — without the cache
-    // this input would be scanned and shuffled three times (a 3× tax at
-    // 100 TB). Spark LRU-evicts the block when memory is needed.
-    val is = itemsets(tx, basket, item).cache()
-    val totalBaskets = is.select(col("basket")).distinct().count()
-    // min_basket_count = max(1, floor(total * minSupport)) — views.py:163-189
-    val minPair =
-      math.max(1L, math.floor(totalBaskets * params.minSupport).toLong)
+               params: Params = Params()): DataFrame =
+    rawFromBaskets(perBasketItems(tx, basket, item), params)
 
-    val baskets = is
-      .groupBy(col("basket"))
-      .agg(array_sort(collect_set(col("item"))).as("items"))
+  /** The rule-table plan over an already-aggregated per-basket frame
+    * (`basket`, sorted distinct `items`): ONE lazy plan, ONE heavy
+    * shuffle, no driver-side actions. The basket-grain collect_set
+    * aggregate feeds all three consumers (per-basket arrays, per-item
+    * counts, total basket count); its exchange is computed once and
+    * REUSED by Catalyst (ReusedExchange — the same effect an explicit
+    * cache()+count() would buy, minus the extra materialization pass,
+    * the separate (basket, item)-distinct shuffle, and the count job,
+    * which at toy scale cost a whole extra scheduling round-trip and at
+    * 100 TB a blocking barrier before any downstream stage could plan).
+    * Callers that mine the same corpus several ways ([[rulesFamily]])
+    * pass a CACHED per-basket frame so the heavy shuffle is paid once
+    * across all minings. */
+  private def rawFromBaskets(perBasket: DataFrame,
+                             params: Params): DataFrame = {
+    // total distinct baskets BEFORE the size filter (views.py:163-189) —
+    // derived from the same basket-grain aggregate so the basket shuffle
+    // is shared; one row, broadcast into the pair stream
+    val tot1 = perBasket.select(count(lit(1)).as("total_baskets"))
+    val baskets = perBasket
       .where(size(col("items")).between(2, params.maxBasketSize))
+    // min_basket_count = max(1, floor(total * minSupport)) — in-plan so
+    // the threshold needs no separate count action
     val pairs = explodePairs(baskets)
-      .where(col("pair_baskets") >= minPair)
+      .crossJoin(broadcast(tot1))
+      .where(col("pair_baskets") >= greatest(lit(1L),
+        floor(col("total_baskets") * params.minSupport).cast("long")))
       .orderBy(col("pair_baskets").desc, col("item_a").asc, col("item_b").asc)
       .limit(params.pairLimit)
-    val counts = is.groupBy(col("item")).agg(count(lit(1)).as("item_baskets"))
+    // per-item distinct-basket counts, derived by exploding the SAME
+    // basket-grain arrays (map-side off the reused exchange) — the
+    // explode emits exactly one row per (basket, item), so the count is
+    // the distinct-basket count by construction
+    val counts = perBasket.select(explode(col("items")).as("item"))
+      .groupBy(col("item")).agg(count(lit(1)).as("item_baskets"))
 
-    val tot = lit(totalBaskets)
+    val tot = col("total_baskets")
     pairs
       .join(broadcast(counts.toDF("item_a", "a_baskets")), Seq("item_a"))
       .join(broadcast(counts.toDF("item_b", "b_baskets")), Seq("item_b"))
-      .withColumn("total_baskets", tot)
       .withColumn("support", col("pair_baskets").cast("double") / tot)
       .withColumn("confidence",
         col("pair_baskets").cast("double") / col("a_baskets"))
@@ -182,6 +211,95 @@ object AssociationRules {
     fwd.unionByName(rev).where(col("confidence") >= minConfidence)
   }
 
+  /** The whole rules family — forward top-N (R1/T4), reverse-direction
+    * emission (R1 both), and eligible-restricted rules (R2/T3) — off ONE
+    * materialization of the basket-grain aggregate. Run separately, the
+    * three minings each re-pay the full transaction shuffle (the
+    * isolation-correct but 3× price the per-query registrations pay
+    * under a cache-clearing harness); this entry point is the amortized
+    * contract: the per-basket arrays are cached once, the full-population
+    * rule table is cached once and serves both the forward and reverse
+    * families, and the eligible mining derives its restricted baskets by
+    * an `array_intersect` against the broadcast eligible set — map-side
+    * over the cached arrays, no second pass over the transactions.
+    *
+    * Output: (`family`, `antecedent`, `consequent`, `support`,
+    * `confidence`, `lift`) rounded to 6 digits, where family is
+    *  - `fwd` — [[rules]] semantics (confidence floor, top `maxRules`
+    *    by lift);
+    *  - `rev` — the reverse half of [[bothDirections]] (b→a where the
+    *    confidences differ, same floor; no top-N, matching that
+    *    operator);
+    *  - `eligible` — [[rulesAmongEligible]] semantics.
+    * Caches are query-local by the engine's harness convention. */
+  def rulesFamily(tx: DataFrame, basket: String, item: String,
+                  minBaskets: Long, eligibleLimit: Int,
+                  params: Params = Params()): DataFrame = {
+    // materialize each cache point BEFORE fanning out: the three family
+    // branches land in ONE union plan, and Spark tasks racing an
+    // unmaterialized cache each recompute it (getOrCompute does not
+    // cross-task-wait) — measured as the whole amortization evaporating.
+    // The two count() barriers are the point of this entry: pay the
+    // transaction shuffle and the rule table exactly once.
+    val perBasket = perBasketItems(tx, basket, item).cache()
+    perBasket.count()
+    val raw = rawFromBaskets(perBasket, params).cache()
+    raw.count()
+    // rounding happens BEFORE each family's top-N, matching [[rules]]
+    // (ties on rounded lift break on the unique pair key)
+    def famSelect(fam: String, a: Column, b: Column, sup: Column,
+                  conf: Column, lft: Column): Seq[Column] = Seq(
+      lit(fam).as("family"), a.as("antecedent"), b.as("consequent"),
+      stableRound(sup, 6).as("support"),
+      stableRound(conf, 6).as("confidence"),
+      stableRound(lft, 6).as("lift"))
+    val fwd = raw
+      .where(col("confidence") >= params.minConfidence)
+      .select(famSelect("fwd", col("item_a"), col("item_b"),
+        col("support"), col("confidence"), col("lift")): _*)
+      .orderBy(col("lift").desc, col("antecedent").asc,
+        col("consequent").asc)
+      .limit(params.maxRules)
+    val rev = raw
+      .where(col("confidence_rev") =!= col("confidence") &&
+        col("confidence_rev") >= params.minConfidence)
+      .select(famSelect("rev", col("item_b"), col("item_a"),
+        col("support"), col("confidence_rev"), col("lift_rev")): _*)
+    // eligible mining re-derives its inputs from the CACHED arrays: the
+    // eligible list is the per-item counts computed by a map-side
+    // explode, and the restricted per-basket arrays come from a
+    // broadcast semi-join on the re-exploded (basket, item) rows — a
+    // skinny shuffle over rows already deduped by the first aggregate;
+    // the transaction stream is never re-read. (A per-row array_intersect
+    // against the eligible set was measured ~3× slower: it rebuilds a
+    // 500-element probe per basket and, consumed by three plan subtrees,
+    // re-pays itself each time.) Cached + counted because rawFromBaskets
+    // reads its input thrice.
+    val eligItems = perBasket.select(explode(col("items")).as("item"))
+      .groupBy(col("item")).agg(count(lit(1)).as("item_baskets"))
+      .where(col("item_baskets") >= minBaskets)
+      .orderBy(col("item_baskets").desc, col("item").asc)
+      .limit(eligibleLimit)
+      .select(col("item"))
+    val restricted = perBasket
+      .select(col("basket"), explode(col("items")).as("item"))
+      .join(broadcast(eligItems), Seq("item"), "left_semi")
+      .groupBy(col("basket"))
+      .agg(array_sort(collect_set(col("item"))).as("items"))
+      .cache()
+    restricted.count()
+    val eligible = rawFromBaskets(restricted, params)
+      .where(col("confidence") >= params.minConfidence)
+      .select(famSelect("eligible", col("item_a"), col("item_b"),
+        col("support"), col("confidence"), col("lift")): _*)
+      .orderBy(col("lift").desc, col("antecedent").asc,
+        col("consequent").asc)
+      .limit(params.maxRules)
+    fwd.unionByName(rev).unionByName(eligible)
+      .orderBy(col("family"), col("lift").desc, col("antecedent"),
+        col("consequent"))
+  }
+
   /** Explode each basket's sorted item array into ordered (a < b < c)
     * triples and count — the 3-item analogue of [[explodePairs]], same
     * codegen'd array-lambda shape. Size-2 baskets contribute nothing. */
@@ -212,22 +330,25 @@ object AssociationRules {
     * distinct items, so the stream stays linear-ish. */
   def tripleRules(tx: DataFrame, basket: String, item: String,
                   params: Params = Params()): DataFrame = {
-    val is = itemsets(tx, basket, item).cache()
-    val totalBaskets = is.select(col("basket")).distinct().count()
-    val minTriple =
-      math.max(1L, math.floor(totalBaskets * params.minSupport).toLong)
-    val baskets = is.groupBy(col("basket"))
-      .agg(array_sort(collect_set(col("item"))).as("items"))
+    // same one-lazy-plan, one-heavy-shuffle shape as [[rulesRaw]]: the
+    // total-basket count is a 1-row broadcast and the per-item counts an
+    // array explode, both derived from the shared basket-grain aggregate
+    val perBasket = perBasketItems(tx, basket, item)
+    val tot1 = perBasket.select(count(lit(1)).as("total_baskets"))
+    val baskets = perBasket
       .where(size(col("items")).between(2, params.maxBasketSize))
     val pairs = explodePairs(baskets)
-    val counts = is.groupBy(col("item")).agg(count(lit(1)).as("item_baskets"))
-    val tot = lit(totalBaskets)
+    val counts = perBasket.select(explode(col("items")).as("item"))
+      .groupBy(col("item")).agg(count(lit(1)).as("item_baskets"))
+    val tot = col("total_baskets")
     // every orientation of a frequent triple (a<b<c) is a rule — each
     // member as consequent with the other two as antecedent, exactly
     // FP-Growth's emission (tested equal in AssociationRulesSpec). The
     // two antecedents stay sorted in all three cases.
     val oriented = explodeTriples(baskets)
-      .where(col("triple_baskets") >= minTriple)
+      .crossJoin(broadcast(tot1))
+      .where(col("triple_baskets") >= greatest(lit(1L),
+        floor(col("total_baskets") * params.minSupport).cast("long")))
       .select(explode(array(
           struct(col("item_a").as("ant1"), col("item_b").as("ant2"),
             col("item_c").as("cons")),
@@ -235,9 +356,9 @@ object AssociationRules {
             col("item_b").as("cons")),
           struct(col("item_b").as("ant1"), col("item_c").as("ant2"),
             col("item_a").as("cons")))).as("o"),
-        col("triple_baskets"))
+        col("triple_baskets"), col("total_baskets"))
       .select(col("o.ant1"), col("o.ant2"), col("o.cons"),
-        col("triple_baskets"))
+        col("triple_baskets"), col("total_baskets"))
     oriented
       .join(pairs.toDF("ant1", "ant2", "pair_baskets"), Seq("ant1", "ant2"))
       .join(broadcast(counts.toDF("cons", "c_baskets")), Seq("cons"))
@@ -261,14 +382,32 @@ object AssociationRules {
 
   /** R3 — full multi-itemset mining via MLlib's parallel FP-Growth
     * (Han et al. SIGMOD'00; PFP, Li et al. RecSys'08) replacing the
-    * reference's in-memory Apriori (`analytics.py:15-184`). */
+    * reference's in-memory Apriori (`analytics.py:15-184`).
+    *
+    * Parallelism is sized from the ACTUAL basket count, not inherited
+    * from `spark.sql.shuffle.partitions`: PFP pays a per-partition
+    * constant (each partition builds its own conditional FP-trees over
+    * the group-dependent transaction projections), so 32 partitions for
+    * a few thousand baskets is 32 tree builds for kilobytes each —
+    * measured as most of q_fpgrowth_pairs' toy-scale latency. One
+    * partition per ~20k baskets, clamped to the cluster's default
+    * parallelism, recovers the constant at small inputs and is a no-op
+    * at scale (the clamp binds and PFP gets full parallelism). The
+    * baskets frame is cached because MLlib scans it multiple times
+    * (input count, frequent-item scan, itemset generation); the cache is
+    * query-local by the engine's harness convention. */
   def fpGrowthRules(tx: DataFrame, basket: String, item: String,
                     params: Params = Params()): DataFrame = {
-    val baskets = basketItems(tx, basket, item, params.maxBasketSize)
+    val baskets = basketItems(tx, basket, item, params.maxBasketSize).cache()
+    val n = baskets.count()
+    val parts = math.max(1L, math.min(
+      baskets.sparkSession.sparkContext.defaultParallelism.toLong,
+      (n + 19999L) / 20000L)).toInt
     new FPGrowth()
       .setItemsCol("items")
       .setMinSupport(params.minSupport)
       .setMinConfidence(params.minConfidence)
+      .setNumPartitions(parts)
       .fit(baskets)
       .associationRules
   }

@@ -11,10 +11,13 @@ import org.apache.spark.sql.functions._
   * decisions — schema, batch shape, partition sizing so one partition of
   * blobs fits executor memory, and keeping blob bytes OUT of shuffles
   * (operate, then project metadata before any wide stage) — are all here
-  * and tested. The codec itself is STUBBED with a deterministic fake
-  * (`decodeStub`): this container has no image/audio libs; swap the stub
-  * for a JNI/FFI decoder inside `mapPartitions` (Scala) or `mapInPandas`
-  * (PySpark) without touching any schema or caller.
+  * and tested. Image decode is REAL ([[ImageIoCodec]], `javax.imageio`
+  * from the JDK — header-only width/height/channels for PNG/JPEG/GIF/BMP,
+  * gated against generated PNG fixtures by q_multimodal_decode); formats
+  * the JDK cannot read fall back to the deterministic [[StubCodec]]
+  * arithmetic, and a video/audio decoder swaps in behind the same
+  * [[BlobCodec]] seam inside `mapPartitions` without touching any schema
+  * or caller.
   */
 object Multimodal {
 
@@ -87,16 +90,91 @@ object Multimodal {
                            channels: Long, n_frames: Long)
 
   /** The codec seam for [[decodePartitioned]]: ONE instance per
-    * partition, so a real decoder's expensive native init (JNI/FFI
-    * library load, GPU context) is paid partitions-times, not rows-times.
-    * This fake reproduces [[decodeStub]]'s arithmetic exactly so the
-    * expression path and the partition path are testable against each
-    * other; a real implementation replaces only this class. */
-  class StubCodec extends Serializable {
+    * partition, so a decoder's expensive init (reader lookup, JNI/FFI
+    * library load, GPU context) is paid partitions-times, not
+    * rows-times. Implementations return (width, height, channels,
+    * n_frames). */
+  trait BlobCodec extends Serializable {
+    def decode(blob: Array[Byte]): (Long, Long, Long, Long)
+  }
+
+  /** Deterministic fake reproducing [[decodeStub]]'s arithmetic exactly,
+    * so the expression path and the partition path are testable against
+    * each other — and the fallback for formats [[ImageIoCodec]] cannot
+    * read. */
+  class StubCodec extends BlobCodec {
     def decode(blob: Array[Byte]): (Long, Long, Long, Long) = {
       val n = blob.length.toLong
       (64L + n % 577L, 64L + n % 417L, 3L, 1L + n % 30L)
     }
+  }
+
+  /** REAL image decode via `javax.imageio` (in the JDK — zero new
+    * dependencies): PNG / JPEG / GIF / BMP headers are read through the
+    * registered `ImageReader`s. Width/height come from the header
+    * (`reader.getWidth(0)`), NOT a full pixel decode — the scalable path
+    * for metadata extraction over binary columns; channels from the
+    * declared image type; n_frames from `getNumImages` (multi-frame
+    * GIFs). Blobs no reader recognizes (the magic bytes match no
+    * registered format) fall back to [[StubCodec]]'s arithmetic, keeping
+    * the seam total. `ImageIO.setUseCache(false)` keeps the readers
+    * in-memory — no per-row temp files on executors. */
+  class ImageIoCodec extends BlobCodec {
+    import javax.imageio.ImageIO
+    ImageIO.setUseCache(false)
+    private val stub = new StubCodec
+
+    def decode(blob: Array[Byte]): (Long, Long, Long, Long) = {
+      val iis = ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(blob))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) stub.decode(blob)
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            val channels = {
+              val types = r.getImageTypes(0)
+              if (types.hasNext) types.next().getNumBands.toLong else 3L
+            }
+            val frames = try {
+              val n = r.getNumImages(true)
+              if (n > 0) n.toLong else 1L
+            } catch { case _: java.io.IOException => 1L }
+            (r.getWidth(0).toLong, r.getHeight(0).toLong, channels, frames)
+          } finally r.dispose()
+        }
+      } catch {
+        case _: java.io.IOException => stub.decode(blob)
+      } finally iis.close()
+    }
+  }
+
+  /** Deterministic PNG fixture table: one REAL `(64 + id mod 97) ×
+    * (64 + id mod 53)` 3-channel PNG per input id, encoded per partition
+    * with `javax.imageio`. Exists so the real-decode path has an
+    * oracle-checkable gate: the decoded dimensions are pure id
+    * arithmetic any SQL engine can predict, while the bytes themselves
+    * are genuine PNGs only a real codec can read. */
+  def syntheticPngTable(ids: DataFrame, id: String): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(id).cast("long")).as[Long].mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { i =>
+        val w = (64 + math.floorMod(i, 97L)).toInt
+        val h = (64 + math.floorMod(i, 53L)).toInt
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        // cheap deterministic content so the PNGs are not all-black
+        img.setRGB(math.floorMod(i, w.toLong).toInt,
+          math.floorMod(i, h.toLong).toInt, 0xffffff)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (i, bos.toByteArray)
+      }
+    }.toDF("id", "blob")
   }
 
   /** Per-partition decode path (the brief's `mapInPandas` shape in its
@@ -104,9 +182,11 @@ object Multimodal {
     * stream through the codec without materializing a partition, and the
     * blob bytes are projected away in the SAME stage — nothing wide ever
     * carries them. Schema and row shape are identical to consuming
-    * [[withDecodedMeta]]'s `decoded` struct. */
+    * [[withDecodedMeta]]'s `decoded` struct. Default codec is the REAL
+    * [[ImageIoCodec]] (header-only javax.imageio decode with stub
+    * fallback for unrecognized formats). */
   def decodePartitioned(blobs: DataFrame,
-                        codec: () => StubCodec = () => new StubCodec)
+                        codec: () => BlobCodec = () => new ImageIoCodec)
       : DataFrame = {
     val spark = blobs.sparkSession
     import spark.implicits._

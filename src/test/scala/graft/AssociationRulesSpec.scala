@@ -111,6 +111,40 @@ class AssociationRulesSpec extends SparkSpec {
     }
   }
 
+  test("rulesFamily reproduces rules/bothDirections/rulesAmongEligible " +
+      "exactly, family by family") {
+    import graft.functions.ColumnFns.stableRound
+    val p = Params(0.0, 0.0, 100, 2000, 500)
+    def key(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (r.getAs[String]("antecedent"), r.getAs[String]("consequent")) ->
+        (r.getAs[Double]("support"), r.getAs[Double]("confidence"),
+          r.getAs[Double]("lift"))).toMap
+    val fam = AssociationRules.rulesFamily(fixture, "basket_id", "item",
+      2L, 3, p).cache()
+    val fwd = key(fam.where($"family" === "fwd").collect())
+    val rev = key(fam.where($"family" === "rev").collect())
+    val elig = key(fam.where($"family" === "eligible").collect())
+    val wantFwd = key(AssociationRules.rules(fixture, "basket_id", "item", p)
+      .select($"item_a".as("antecedent"), $"item_b".as("consequent"),
+        $"support", $"confidence", $"lift").collect())
+    val both = AssociationRules.bothDirections(
+      AssociationRules.rulesRaw(fixture, "basket_id", "item", p), 0.0)
+      .select($"antecedent", $"consequent",
+        stableRound($"support", 6).as("support"),
+        stableRound($"confidence", 6).as("confidence"),
+        stableRound($"lift", 6).as("lift")).collect()
+    val wantRev = key(both).view
+      .filterKeys(k => !wantFwd.contains(k)).toMap
+    val wantElig = key(AssociationRules.rulesAmongEligible(fixture,
+      "basket_id", "item", 2L, 3, p)
+      .select($"item_a".as("antecedent"), $"item_b".as("consequent"),
+        $"support", $"confidence", $"lift").collect())
+    assert(fwd == wantFwd)
+    assert(rev == wantRev)
+    assert(elig == wantElig)
+    fam.unpersist()
+  }
+
   test("FPGrowth agrees with pairwise confidence on single-item antecedents") {
     val fp = AssociationRules.fpGrowthRules(fixture, "basket_id", "item",
       Params(minSupport = 0.1, minConfidence = 0.1))

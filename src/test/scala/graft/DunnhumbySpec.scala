@@ -202,6 +202,46 @@ class DunnhumbySpec extends SparkSpec {
     assert(fired.length == 1 && fired(0).getAs[Long]("u") == 1L)
   }
 
+  test("rec cache: store -> hit -> version bump -> miss; alpha change " +
+      "and explicit pin also invalidate (views.py:203-223)") {
+    import graft.operators.RecCache
+    def version(d: String) = Seq(java.sql.Date.valueOf(d))
+      .toDF("latest_version")
+    val v1 = version("2024-01-01")
+    val empty = Seq.empty[(Long, Double, java.sql.Date, String)]
+      .toDF("household", "alpha", "rules_version", "payload")
+    val req = Seq((1L, 0.6, false), (2L, 0.6, false))
+      .toDF("household", "alpha", "alpha_explicit")
+    // store: empty cache -> every request recalculates, cache fills at v1
+    val d1 = RecCache.refreshDecisions(req, empty, v1)
+    assert(d1.where($"recalculate").count() === 2)
+    val cache1 = RecCache.refreshedCache(empty, d1, lit("p1"))
+    assert(cache1.count() === 2)
+    // hit: same alphas, same version -> nothing recalculates, rows kept
+    val d2 = RecCache.refreshDecisions(req, cache1, v1)
+    assert(d2.where($"recalculate").count() === 0)
+    assert(RecCache.refreshedCache(cache1, d2, lit("p2"))
+      .where($"payload" === "p1").count() === 2)
+    // version bump -> every cached row is stale
+    val d3 = RecCache.refreshDecisions(req, cache1, version("2024-02-01"))
+    assert(d3.where($"recalculate").count() === 2)
+    // alpha change on one household, explicit pin on the other
+    val req2 = Seq((1L, 0.8, false), (2L, 0.6, true))
+      .toDF("household", "alpha", "alpha_explicit")
+    val d4 = RecCache.refreshDecisions(req2, cache1, v1)
+    assert(d4.where($"recalculate").count() === 2)
+    val cache4 = RecCache.refreshedCache(cache1, d4, lit("p4"))
+    assert(cache4.where($"household" === 1L && $"alpha" === 0.8 &&
+      $"payload" === "p4").count() === 1)
+    // a household outside the request batch keeps its row untouched
+    val reqOnly1 = Seq((1L, 0.6, true))
+      .toDF("household", "alpha", "alpha_explicit")
+    val d5 = RecCache.refreshDecisions(reqOnly1, cache1, v1)
+    val cache5 = RecCache.refreshedCache(cache1, d5, lit("p5"))
+    assert(cache5.where($"household" === 2L && $"payload" === "p1")
+      .count() === 1)
+  }
+
   test("J11 multi-item antecedent matching fires only on subset") {
     val purchased = Seq(
       (1L, Array("A", "B", "C")), (2L, Array("A"))).toDF("u", "items")

@@ -265,10 +265,43 @@ class LlmOpsSpec extends SparkSpec {
         $"decoded.channels", $"decoded.n_frames")
       .collect().map(r => r.getLong(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // text blobs match no image format, so the REAL default codec must
+    // fall back to the stub arithmetic — identical output on this input
     val viaPartitions = Multimodal.decodePartitioned(blobs)
       .collect().map(r => r.getLong(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
     assert(viaPartitions == viaExpr && viaExpr.size == 4)
+  }
+
+  test("multimodal: ImageIoCodec reads true dimensions/channels from " +
+      "real PNG and JPEG bytes, stub-falls-back on garbage") {
+    import java.awt.image.BufferedImage
+    def encode(w: Int, h: Int, typ: Int, fmt: String): Array[Byte] = {
+      val img = new BufferedImage(w, h, typ)
+      img.setRGB(1, 1, 0x336699)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    val codec = new Multimodal.ImageIoCodec
+    assert(codec.decode(encode(37, 21, BufferedImage.TYPE_3BYTE_BGR,
+      "png")) === ((37L, 21L, 3L, 1L)))
+    assert(codec.decode(encode(5, 9, BufferedImage.TYPE_4BYTE_ABGR,
+      "png")) === ((5L, 9L, 4L, 1L)))
+    assert(codec.decode(encode(128, 64, BufferedImage.TYPE_3BYTE_BGR,
+      "jpg")) === ((128L, 64L, 3L, 1L)))
+    val garbage = "definitely not an image".getBytes("UTF-8")
+    assert(codec.decode(garbage) === new Multimodal.StubCodec()
+      .decode(garbage))
+    // distributed path over the generated PNG fixture table
+    val ids = Seq(10L, 107L, 5000L).toDF("doc_id")
+    val decoded = Multimodal.decodePartitioned(
+      Multimodal.syntheticPngTable(ids, "doc_id"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(decoded(10L) === ((74L, 74L, 3L, 1L)))    // 64+10%97, 64+10%53
+    assert(decoded(107L) === ((74L, 65L, 3L, 1L)))   // 64+10, 64+1
+    assert(decoded(5000L) === ((117L, 82L, 3L, 1L))) // 64+53, 64+18
   }
 
   test("CF: cosine similarity and recommendation on a hand-checked case") {
