@@ -114,6 +114,40 @@ object Endpoints {
         (col("confidence") * col("lift")).as("score"))
   }
 
+  /** EP-9 `GET /customers/<pk>/recommendations/`
+    * (`customers/views.py:188-236`): the cache-aware recommendation
+    * serve, batched. Decides per-request refresh via
+    * [[RecCache.refreshDecisions]] ((alpha, rules_version) invalidation
+    * + explicit-alpha pin), recomputes hybrid recommendations ONLY for
+    * the stale households (the `targetUsers` semi-predicate restricts
+    * the CF + assoc mining input), serializes the fresh top-N per
+    * household to a JSON payload, and upserts
+    * ([[RecCache.refreshedCacheWith]]). Returns the refreshed cache
+    * state — hit households keep their stored payload untouched,
+    * exactly the reference's else-branch. `latestVersion`: one row,
+    * column `latest_version` (the rules `MAX(created_at)` probe). */
+  def cachedHybridRecommendations(tx: DataFrame, user: String,
+                                  item: String, basket: String,
+                                  requests: DataFrame, cache: DataFrame,
+                                  latestVersion: DataFrame, alpha: Double,
+                                  topN: Int): DataFrame = {
+    val decisions = RecCache.refreshDecisions(requests, cache,
+      latestVersion).cache()
+    val stale = decisions.where(col("recalculate"))
+      .select(col("household").as("u"))
+    // the mining input stays FULL — CF similarities need every user's
+    // baskets even when only a few households are stale; the stale set
+    // restricts which users' blended lists are kept (semi-join on the
+    // recommendation grain, not on the transactions)
+    val fresh = hybridRecommendations(tx, user, item, basket, alpha, topN)
+      .join(stale, Seq("u"), "left_semi")
+      .groupBy(col("u").as("household"))
+      .agg(to_json(sort_array(collect_list(struct(
+        col("hybrid_score").as("score"), col("i"))), asc = false))
+        .as("payload")) // rank-ordered payload
+    RecCache.refreshedCacheWith(cache, decisions, fresh)
+  }
+
   /** EP-8 `manage.py optimize_churn_model`
     * (`management/commands/optimize_churn_model.py:16-48`): sweep churn
     * thresholds, return the per-threshold metrics and the

@@ -20,25 +20,53 @@ import org.apache.spark.sql.functions._
 object Heuristics {
 
   /** Per-product stats with trailing-window conditional aggregates
-    * (`ml_models.py:795-820`: A7 + T6 top-by-households). */
+    * (`ml_models.py:795-820`: A7 + T6 top-by-households).
+    *
+    * Two-level aggregation instead of five DISTINCT aggregates in one
+    * GROUP BY: Spark plans multi-distinct as an Expand that replicates
+    * every input row once per distinct clause (5× the shuffle volume
+    * here — measured as the whole family's cost at toy scale, and a 5×
+    * shuffle tax at 100 TB). Level 1 reduces to the (item, customer)
+    * grain keeping each customer's latest day (a customer is distinct
+    * in window w iff their LATEST purchase day reaches w's start) and
+    * exact decimal partials for the money sums; level 2 is a plain
+    * single-pass aggregation at the item grain. Same results, two
+    * narrow hash shuffles, no Expand. */
   def productWindowStats(tx: DataFrame, customer: String, item: String,
                          sales: String, qty: String, day: Column,
                          windows: Seq[(String, Int)], limit: Int): DataFrame = {
     val d = day.cast("date")
     val starts = windows.map(_._1)
       .zip(Trends.windowStarts(tx, day, windows.map(_._2)))
-    val windowAggs = starts.flatMap { case (nm, lo) =>
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val lvl1WindowAggs = starts.map { case (nm, lo) =>
+      sum(when(d >= lo, col(sales)).otherwise(lit(0.0)).cast(dec))
+        .as(s"__sv_$nm")
+    }
+    val lvl1Aggs = Seq(
+      max(d).as("__last_d"),
+      count(lit(1)).as("__n"),
+      sum(col(sales).cast(dec)).as("__sv"),
+      sum(col(qty)).as("__q")) ++ lvl1WindowAggs
+    val lvl1 = tx.groupBy(col(item), col(customer))
+      .agg(lvl1Aggs.head, lvl1Aggs.tail: _*)
+    // isNotNull guards: COUNT(DISTINCT customer) never counts NULL, so
+    // the null-customer group (one level-1 row) must not either — while
+    // the money/quantity/row totals DO include null-customer rows in
+    // both formulations
+    val lvl2WindowAggs = starts.flatMap { case (nm, lo) =>
       Seq(
-        moneySum(when(d >= lo, col(sales)).otherwise(lit(0.0)))
-          .as(s"sales_$nm"),
-        count_distinct(when(d >= lo, col(customer))).as(s"households_$nm"))
+        sum(col(s"__sv_$nm")).cast("double").as(s"sales_$nm"),
+        sum(when(col("__last_d") >= lo && col(customer).isNotNull, 1L)
+          .otherwise(0L)).as(s"households_$nm"))
     }
     val aggs = Seq(
-      countDistinct(col(customer)).as("households"),
-      (moneySum(col(sales)) / count(lit(1))).as("avg_value"),
-      moneySum(col(sales)).as("total_value"),
-      sum(col(qty)).as("total_quantity")) ++ windowAggs
-    tx.groupBy(col(item))
+      sum(when(col(customer).isNotNull, 1L).otherwise(0L))
+        .as("households"), // one level-1 row per (item, customer)
+      (sum(col("__sv")).cast("double") / sum(col("__n"))).as("avg_value"),
+      sum(col("__sv")).cast("double").as("total_value"),
+      sum(col("__q")).as("total_quantity")) ++ lvl2WindowAggs
+    lvl1.groupBy(col(item))
       .agg(aggs.head, aggs.tail: _*)
       .orderBy(col("households").desc, col(item).asc)
       .limit(limit)
@@ -126,18 +154,36 @@ object Heuristics {
     val windows = Seq("1m" -> 30, "3m" -> 90, "6m" -> 180, "12m" -> 365)
     val starts = windows.map(_._1)
       .zip(Trends.windowStarts(tx, day, windows.map(_._2)))
+    // same two-level shape as [[productWindowStats]]: the five DISTINCT
+    // customer counts become plain counts over the (category, customer)
+    // grain (distinct-in-window ⟺ latest day reaches the window start),
+    // avoiding the 5× Expand replication of the transaction stream
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val lvl1Aggs = Seq(
+      max(d).as("__last_d"),
+      count(lit(1)).as("__n"),
+      sum(col(sales).cast(dec)).as("__sv")) ++
+      starts.flatMap { case (nm, lo) =>
+        Seq(
+          sum(when(d >= lo, col(sales)).otherwise(lit(0.0)).cast(dec))
+            .as(s"__sv_$nm"),
+          sum(when(d >= lo, 1L).otherwise(0L)).as(s"__tx_$nm"))
+      }
+    val lvl1 = tx.groupBy(col(cat), col(customer))
+      .agg(lvl1Aggs.head, lvl1Aggs.tail: _*)
     val windowAggs = starts.flatMap { case (nm, lo) =>
       Seq(
-        count_distinct(when(d >= lo, col(customer))).as(s"customers_$nm"),
-        moneySum(when(d >= lo, col(sales)).otherwise(lit(0.0)))
-          .as(s"sales_$nm"),
-        sum(when(d >= lo, 1L).otherwise(0L)).as(s"tx_$nm"))
+        // isNotNull: parity with COUNT(DISTINCT ...)'s null exclusion
+        sum(when(col("__last_d") >= lo && col(customer).isNotNull, 1L)
+          .otherwise(0L)).as(s"customers_$nm"),
+        sum(col(s"__sv_$nm")).cast("double").as(s"sales_$nm"),
+        sum(col(s"__tx_$nm")).as(s"tx_$nm"))
     }
     val aggs = Seq(
-      countDistinct(col(customer)).as("customers"),
-      (moneySum(col(sales)) / count(lit(1))).as("avg_value"),
-      count(lit(1)).as("total_tx")) ++ windowAggs
-    val stats = tx.groupBy(col(cat)).agg(aggs.head, aggs.tail: _*)
+      sum(when(col(customer).isNotNull, 1L).otherwise(0L)).as("customers"),
+      (sum(col("__sv")).cast("double") / sum(col("__n"))).as("avg_value"),
+      sum(col("__n")).as("total_tx")) ++ windowAggs
+    val stats = lvl1.groupBy(col(cat)).agg(aggs.head, aggs.tail: _*)
       .where(col("customers") > 0 && col("avg_value") > 0)
 
     val recentRatio = col("customers_3m").cast("double") / col("customers")

@@ -56,15 +56,29 @@ object RecCache {
     * the request batch at all) is kept untouched. Returns the refreshed
     * cache state with the same schema as `cache`. */
   def refreshedCache(cache: DataFrame, decisions: DataFrame,
-                     freshPayload: Column): DataFrame = {
-    val recalc = decisions.where(col("recalculate"))
+                     freshPayload: Column): DataFrame =
+    upsert(cache, decisions.where(col("recalculate"))
       .select(col("household"), col("alpha"),
         col("latest_version").as("rules_version"),
-        freshPayload.as("payload"))
-    val untouched = cache
-      .join(recalc.select(col("household")), Seq("household"), "left_anti")
+        freshPayload.as("payload")))
+
+  /** [[refreshedCache]] with per-household payloads: `freshPayloads` is
+    * (`household`, `payload`) — typically the recomputed recommendation
+    * lists serialized to JSON; households recalculated but absent from
+    * it cache an empty list, mirroring the reference's behavior when the
+    * generator returns nothing for a household. */
+  def refreshedCacheWith(cache: DataFrame, decisions: DataFrame,
+                         freshPayloads: DataFrame): DataFrame =
+    upsert(cache, decisions.where(col("recalculate"))
+      .join(freshPayloads, Seq("household"), "left_outer")
+      .select(col("household"), col("alpha"),
+        col("latest_version").as("rules_version"),
+        coalesce(col("payload"), lit("[]")).as("payload")))
+
+  private def upsert(cache: DataFrame, fresh: DataFrame): DataFrame =
+    cache
+      .join(fresh.select(col("household")), Seq("household"), "left_anti")
       .select(col("household"), col("alpha"), col("rules_version"),
         col("payload"))
-    untouched.unionByName(recalc)
-  }
+      .unionByName(fresh)
 }

@@ -123,7 +123,16 @@ object Trends {
   /** A7 — multi-window conditional aggregation: one scan, per-key sums and
     * distinct-actor counts for each trailing window (`ml_models.py:806-813`,
     * `ml_models.py:984-995`). `windows` maps a label suffix to the window
-    * length in days. */
+    * length in days.
+    *
+    * Two-level aggregation (same shape as
+    * [[Heuristics.productWindowStats]]): N windows of `count_distinct`
+    * in one GROUP BY would plan as an Expand replicating every row N+1
+    * times before the shuffle; instead level 1 reduces to the
+    * (key, actor) grain — an actor is distinct-in-window iff their
+    * LATEST day reaches the window start — and level 2 is a plain
+    * aggregation. `key` and `actor` must be plain columns (they are
+    * re-resolved by name against the level-1 result). */
   def multiWindowStats(df: DataFrame, key: Column, dayCol: Column,
                        sales: Column, actor: Column,
                        windows: Seq[(String, Int)]): DataFrame = {
@@ -133,12 +142,24 @@ object Trends {
       case _: NumericType => dayCol
       case _ => dayCol.cast("date")
     }
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val lvl1Aggs = Seq(max(d).as("__last_d")) ++
+      starts.flatMap { case (nm, lo) =>
+        Seq(
+          sum(when(d >= lo, sales).otherwise(lit(0.0)).cast(dec))
+            .as(s"__sv_$nm"),
+          sum(when(d >= lo, 1L).otherwise(0L)).as(s"__tx_$nm"))
+      }
+    val lvl1 = df.groupBy(key, actor).agg(lvl1Aggs.head, lvl1Aggs.tail: _*)
     val aggs = starts.flatMap { case (nm, lo) =>
       Seq(
-        moneySum(when(d >= lo, sales).otherwise(lit(0.0))).as(s"sales_$nm"),
-        count_distinct(when(d >= lo, actor)).as(s"actors_$nm"),
-        sum(when(d >= lo, 1L).otherwise(0L)).as(s"tx_$nm"))
+        sum(col(s"__sv_$nm")).cast("double").as(s"sales_$nm"),
+        // isNotNull: COUNT(DISTINCT ...) never counts NULL, so the
+        // null-actor group (one level-1 row) must not either
+        sum(when(col("__last_d") >= lo && actor.isNotNull, 1L)
+          .otherwise(0L)).as(s"actors_$nm"),
+        sum(col(s"__tx_$nm")).as(s"tx_$nm"))
     }
-    df.groupBy(key).agg(aggs.head, aggs.tail: _*)
+    lvl1.groupBy(key).agg(aggs.head, aggs.tail: _*)
   }
 }

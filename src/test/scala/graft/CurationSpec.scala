@@ -63,6 +63,30 @@ class CurationSpec extends SparkSpec {
     assert(comp === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
   }
 
+  test("connected components FAIL LOUDLY when the iteration cap cuts " +
+      "convergence instead of returning wrong labels") {
+    // a 30-node chain needs ~diameter rounds under propagation; cap at 3
+    val n = 30L
+    val nodes = (0L until n).toDF("id")
+    val chain = (0L until n - 1).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e1 = intercept[IllegalStateException] {
+      Dedup.connectedComponents(nodes, chain, maxIter = 3).collect()
+    }
+    assert(e1.getMessage.contains("no fixpoint"))
+    val e2 = intercept[IllegalStateException] {
+      Dedup.connectedComponentsStar(nodes, chain, maxIter = 1).collect()
+    }
+    assert(e2.getMessage.contains("unconverged"))
+    // a generous cap converges on the same input (min-label propagation
+    // moves the minimum ONE hop per round: a 29-edge chain needs ~30
+    // rounds — the default cap of 20 would previously have returned
+    // silently-wrong labels here; now it throws, and the star variant
+    // or a raised cap is the fix)
+    val ok = Dedup.connectedComponents(nodes, chain, maxIter = 40)
+      .collect()
+    assert(ok.forall(_.getLong(1) == 0L))
+  }
+
   test("star-contraction CC collapses a 60-node chain (deep-graph case)") {
     val n = 60L
     val nodes = (0L until n).toDF("id")

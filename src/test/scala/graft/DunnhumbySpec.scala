@@ -148,6 +148,44 @@ class DunnhumbySpec extends SparkSpec {
     assert(rec >= 0.0 && rec <= 1.0, s"churn recall=$rec")
   }
 
+  test("productWindowStats two-level rewrite matches the single-pass " +
+      "DISTINCT formulation, including null customers") {
+    val tx = Seq(
+      (Some(1L), 10L, 5.0, 1L, "2024-03-01"),
+      (Some(1L), 10L, 7.0, 2L, "2024-01-15"),
+      (Some(2L), 10L, 1.0, 1L, "2024-03-20"),
+      (None,     10L, 9.0, 3L, "2024-03-25"), // null customer
+      (Some(3L), 20L, 2.0, 1L, "2023-06-01"),
+      (Some(3L), 20L, 2.5, 1L, "2024-03-28")
+    ).toDF("cust", "item", "sv", "q", "d")
+    val windows = Seq("1m" -> 30, "12m" -> 365)
+    val got = Heuristics.productWindowStats(tx, "cust", "item", "sv", "q",
+      col("d"), windows, 100).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // reference formulation, computed inline with true DISTINCT aggs
+    val d = col("d").cast("date")
+    val starts = windows.map(_._1)
+      .zip(Trends.windowStarts(tx, col("d"), windows.map(_._2)))
+    val wAggs = starts.flatMap { case (nm, lo) => Seq(
+      graft.functions.ColumnFns.moneySum(
+        when(d >= lo, col("sv")).otherwise(lit(0.0))).as(s"sales_$nm"),
+      count_distinct(when(d >= lo, col("cust"))).as(s"households_$nm")) }
+    val aggs = Seq(countDistinct(col("cust")).as("households"),
+      (graft.functions.ColumnFns.moneySum(col("sv")) / count(lit(1)))
+        .as("avg_value"),
+      graft.functions.ColumnFns.moneySum(col("sv")).as("total_value"),
+      sum(col("q")).as("total_quantity")) ++ wAggs
+    val want = tx.groupBy(col("item")).agg(aggs.head, aggs.tail: _*)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got.keySet === want.keySet)
+    got.keySet.foreach { k =>
+      val (g, w) = (got(k), want(k))
+      w.schema.fieldNames.filter(_ != "item").foreach { f =>
+        assert(g.getAs[Any](f) === w.getAs[Any](f), s"item $k col $f")
+      }
+    }
+  }
+
   test("golden heuristics: all four model confidence formulas match the " +
       "reference math on a literal stats frame (ml_models.py:857-907)") {
     // one product, stats chosen so no clamp saturates for any model

@@ -28,6 +28,36 @@ class EndpointsSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() == seg.count())
   }
 
+  test("EP-9 cached hybrid recommendations: stale households get fresh " +
+      "JSON payloads, hits keep theirs, cache upserts at latest version") {
+    import spark.implicits._
+    val tx = li.join(orders.select(col("o_orderkey").as("l_orderkey"),
+      col("o_custkey")), Seq("l_orderkey"))
+    val users = tx.select(col("o_custkey")).distinct()
+      .orderBy(col("o_custkey")).limit(3)
+      .collect().map(_.getLong(0))
+    def version(d: String) = Seq(java.sql.Date.valueOf(d))
+      .toDF("latest_version")
+    val v1 = version("2024-01-01")
+    // user 0 cached fresh at v1, user 1 cached STALE, user 2 uncached
+    val cache = Seq(
+      (users(0), 0.6, java.sql.Date.valueOf("2024-01-01"), "kept"),
+      (users(1), 0.6, java.sql.Date.valueOf("2020-01-01"), "stale"))
+      .toDF("household", "alpha", "rules_version", "payload")
+    val requests = users.toSeq.map(u => (u, 0.6, false))
+      .toDF("household", "alpha", "alpha_explicit")
+    val out = Endpoints.cachedHybridRecommendations(tx, "o_custkey",
+      "l_partkey", "l_orderkey", requests, cache, v1, 0.6, 5)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size == 3)
+    assert(out(users(0)).getAs[String]("payload") == "kept")
+    assert(out(users(1)).getAs[String]("payload") != "stale")
+    assert(out.values.forall(_.getAs[java.sql.Date]("rules_version")
+      .toString == "2024-01-01"))
+    // recomputed payloads are JSON arrays (possibly empty)
+    assert(out(users(2)).getAs[String]("payload").startsWith("["))
+  }
+
   test("EP-7 matched rules score = confidence x lift per fired rule") {
     import spark.implicits._
     val tx = Seq((1L, "A"), (1L, "B"), (2L, "A")).toDF("u0", "i0")
