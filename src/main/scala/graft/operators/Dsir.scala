@@ -26,16 +26,21 @@ import org.apache.spark.sql.functions._
 object Dsir {
 
   /** Portable word→bucket hash: first 15 hex digits of md5 mod
-    * `numBuckets` (same digest trick as [[NearDup.minHashPortable]]). */
+    * `numBuckets` (same digest trick as [[NearDup.minHashPortable]]),
+    * computed by the native [[graft.plans.Md5Prefix60]] expression —
+    * bit-equal to the `conv(substr(md5(w), 1, 15), 16, 10)` hex-route
+    * SQL the oracle keeps. */
   private def bucketExpr(numBuckets: Int): String =
-    s"CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT) % $numBuckets"
+    s"md5_prefix60(w) % $numBuckets"
 
   /** (id, bucket) per word OCCURRENCE — the multiset, map-only. */
   def wordBuckets(docs: DataFrame, id: String, text: String,
-                  numBuckets: Int): DataFrame =
+                  numBuckets: Int): DataFrame = {
+    graft.plans.GraftExtensions.register(docs.sparkSession)
     docs.select(col(id).as("id"),
         explode(split(trim(col(text)), "\\s+")).as("w"))
       .select(col("id"), expr(bucketExpr(numBuckets)).as("b"))
+  }
 
   /** Fitted per-bucket importance weights in micro-units:
     * `round(1e6 · (ln p̂_target(b) − ln p̂_raw(b)))` with add-one

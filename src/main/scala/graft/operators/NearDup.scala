@@ -79,9 +79,11 @@ object NearDup {
     (0 until 16).map(j => (1779033703L * (j + 1)) % MinHashP)
 
   /** Portable 60-bit shingle hash: the first 15 hex digits of md5, an
-    * identical value in any engine with md5 (unlike xxhash64/murmur). */
-  private val shingleHash =
-    s"CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT) % ${MinHashP}L"
+    * identical value in any engine with md5 (unlike xxhash64/murmur).
+    * Computed by the native [[graft.plans.Md5Prefix60]] expression —
+    * bit-equal to the `conv(substr(md5(s), 1, 15), 16, 10)` SQL form the
+    * oracles keep, minus the per-shingle hex-string round-trip. */
+  private val shingleHash = s"md5_prefix60(s) % ${MinHashP}L"
 
   /** MinHash + banded LSH with a PORTABLE hash family (md5-derived shingle
     * hashes, universal-hash minima, integer band keys) — same algorithm as
@@ -112,6 +114,7 @@ object NearDup {
     // minhash stage reads the map-only raw stream (partial-aggregated
     // mins, no corpus-wide distinct shuffle); only colliding docs pay
     // for distinct shingle sets, in the verify stage below
+    graft.plans.GraftExtensions.register(docs.sparkSession)
     val raw = rawShingles(docs, id, text, w).cache()
     val hp = raw.select(col("id"), expr(shingleHash).as("hp"))
     val mins = hp.groupBy(col("id")).agg(

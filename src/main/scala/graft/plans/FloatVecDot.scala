@@ -203,6 +203,61 @@ object SimHashPortable32 {
   }
 }
 
+/** Native codegen'd `md5_prefix60(string) -> BIGINT`: the first 60 bits
+  * of md5 as a non-negative long — bit-identical to
+  * `CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)`, the portable
+  * digest the whole curation family keys on (MinHash shingle hashes,
+  * DSIR word buckets). The SQL form materializes a 32-char hex string,
+  * substrings it, and re-parses base-16 PER VALUE — pure allocation
+  * overhead on streams with one hash per shingle/word occurrence. This
+  * expression digests straight from the UTF8String bytes into a long
+  * inside whole-stage codegen (ThreadLocal MessageDigest, no hex
+  * round-trip). DuckDB oracles keep the hex-route SQL and still match
+  * exactly; a property test pins the bit-equality against the expr
+  * form. */
+case class Md5Prefix60(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"md5_prefix60 expects STRING, got ${other.sql}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_prefix60"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftHash.md5Prefix60(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.GraftHash.md5Prefix60($c)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
+}
+
+/** Standalone object (NOT a companion — the case class would swallow the
+  * static forwarder janino needs) hosting the digest kernel called from
+  * generated code. */
+object GraftHash {
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  /** First 15 hex digits of md5 = big-endian first 8 bytes >>> 4. */
+  def md5Prefix60(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val md = digest.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var v = 0L
+    var j = 0
+    while (j < 8) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+    v >>> 4
+  }
+}
+
 /** Registers graft's native expressions. Two paths:
   *  - `spark.sql.extensions=graft.plans.GraftExtensions` at session build
   *    (the canonical `SparkSessionExtensions` route), or
@@ -229,7 +284,10 @@ object GraftExtensions {
     (new FunctionIdentifier("simhash_portable32"),
       new ExpressionInfo(classOf[SimHashPortable32].getName,
         "simhash_portable32"),
-      (children: Seq[Expression]) => SimHashPortable32(children.head)))
+      (children: Seq[Expression]) => SimHashPortable32(children.head)),
+    (new FunctionIdentifier("md5_prefix60"),
+      new ExpressionInfo(classOf[Md5Prefix60].getName, "md5_prefix60"),
+      (children: Seq[Expression]) => Md5Prefix60(children.head)))
 
   def register(spark: SparkSession): Unit =
     registrations.foreach { case (id, info, builder) =>

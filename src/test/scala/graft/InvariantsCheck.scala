@@ -357,6 +357,22 @@ object InvariantsCheck extends Properties("graft.invariants") {
         kept == want
     }
 
+  property("md5_prefix60 is bit-equal to the portable hex-route SQL " +
+      "form on arbitrary strings (incl. unicode)") =
+    forAll(Gen.nonEmptyListOf(Gen.oneOf(
+      Gen.alphaNumStr,
+      Gen.listOf(Gen.oneOf('a', 'é', '語', ' ', '0', '-')).map(_.mkString),
+      Gen.const("")))) { strs =>
+      graft.plans.GraftExtensions.register(spark)
+      val df = strs.distinct.toDF("s")
+      val rows = df.select(col("s"),
+          expr("md5_prefix60(s)").as("native"),
+          expr("CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)")
+            .as("sql"))
+        .collect()
+      rows.forall(r => r.getLong(1) == r.getLong(2) && r.getLong(1) >= 0)
+    }
+
   property("moneySum is invariant under row order and partitioning") =
     forAll(Gen.nonEmptyListOf(Gen.choose(-100000, 100000))) { cents =>
       val vals = cents.map(_ / 100.0)
