@@ -331,23 +331,75 @@ object Queries {
           UNION ALL SELECT * FROM efam)
         ORDER BY family, lift DESC, antecedent, consequent""")),
 
-    // ---------------------------------------------------------- R3 (rows-only)
+    // ---------------------------------------------------------- R3
+    // Multi-itemset FP-Growth rules WITH a full oracle: the item grain is
+    // p_type (6 uniform values), so frequent itemsets up to size 5 — and
+    // rules with 1..4-item antecedents — genuinely occur at test scale.
+    // The DuckDB mirror needs no FP-tree: baskets here hold ≤6 distinct
+    // items, so a recursive CTE enumerates every non-empty item subset
+    // per basket (≤63 rows/basket, built in ascending item order), counts
+    // them, and derives exactly MLlib's rule set — for each frequent
+    // itemset Z and each x ∈ Z: antecedent Z∖{x} (frequent by downward
+    // closure, so the self-join always hits), confidence
+    // freq(Z)/freq(Z∖{x}), lift conf/(freq(x)/N), support freq(Z)/N,
+    // minCount = ceil(minSupport·N) — the same integer-count double
+    // division on both engines. The antecedent array is emitted SORTED
+    // (a rule's antecedent is a set; MLlib's array order is FP-tree
+    // implementation detail), which both engines produce identically.
     Spec("q_fpgrowth_rules",
       (s, dir) => {
         val items = t(s, dir).lineitem.join(
           broadcast(t(s, dir).part
-            .select(col("p_partkey").as("l_partkey"), col("p_brand"))),
+            .select(col("p_partkey").as("l_partkey"), col("p_type"))),
           Seq("l_partkey"), "left")
-        AssociationRules.fpGrowthRules(items, "l_orderkey", "p_brand",
+        AssociationRules.fpGrowthRules(items, "l_orderkey", "p_type",
             AssociationRules.Params(minSupport = 0.02, minConfidence = 0.05))
-          .select(concat_ws(",", col("antecedent")).as("antecedent"),
+          .select(concat_ws(",", array_sort(col("antecedent")))
+              .as("antecedent"),
             concat_ws(",", col("consequent")).as("consequent"),
             stableRound(col("confidence"), 6).as("confidence"),
             stableRound(col("lift"), 6).as("lift"),
             stableRound(col("support"), 6).as("support"))
           .orderBy(col("antecedent"), col("consequent"))
       },
-      None),
+      Some("""WITH RECURSIVE bib AS (
+          SELECT DISTINCT l_orderkey AS basket, p_type AS item
+          FROM lineitem JOIN part ON p_partkey = l_partkey
+          WHERE p_type IS NOT NULL),
+        okb AS (SELECT basket FROM bib GROUP BY basket
+          HAVING COUNT(*) BETWEEN 2 AND 500),
+        bi2 AS (SELECT bib.* FROM bib JOIN okb ON okb.basket = bib.basket),
+        nb AS (SELECT COUNT(DISTINCT basket) AS n FROM bi2),
+        minc AS (SELECT CAST(ceil(0.02 * n) AS BIGINT) AS mc FROM nb),
+        sub(basket, itemset, last) AS (
+          SELECT basket, [item], item FROM bi2
+          UNION ALL
+          SELECT s.basket, list_append(s.itemset, b.item), b.item
+          FROM sub s JOIN bi2 b ON b.basket = s.basket AND b.item > s.last),
+        freq AS (
+          SELECT itemset, COUNT(*) AS c FROM sub GROUP BY itemset
+          HAVING COUNT(*) >= (SELECT mc FROM minc)),
+        cnt AS (SELECT item, COUNT(*) AS c FROM bi2 GROUP BY item),
+        expl AS (
+          SELECT f.itemset, f.c AS cz, unnest(f.itemset) AS cons
+          FROM freq f WHERE len(f.itemset) >= 2),
+        rules AS (
+          SELECT list_filter(e.itemset, x -> x <> e.cons) AS ant,
+                 e.cons, e.cz, a.c AS ca, k.c AS ck
+          FROM expl e
+          JOIN freq a ON a.itemset = list_filter(e.itemset,
+            x -> x <> e.cons)
+          JOIN cnt k ON k.item = e.cons)
+        SELECT array_to_string(ant, ',') AS antecedent,
+          cons AS consequent,
+          floor((CAST(cz AS DOUBLE) / ca) * 1e6 + 0.5) / 1e6
+            AS confidence,
+          floor(((CAST(cz AS DOUBLE) / ca) / (CAST(ck AS DOUBLE) / nb.n))
+            * 1e6 + 0.5) / 1e6 AS lift,
+          floor((CAST(cz AS DOUBLE) / nb.n) * 1e6 + 0.5) / 1e6 AS support
+        FROM rules CROSS JOIN nb
+        WHERE (CAST(cz AS DOUBLE) / ca) >= 0.05
+        ORDER BY antecedent, consequent""")),
 
     // ------------------------------------------- R3 pairwise cross-check
     // The single-antecedent slice of FP-Growth's output is exactly the
