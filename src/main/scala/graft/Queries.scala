@@ -2089,10 +2089,39 @@ object Queries {
         ORDER BY doc_id""")),
 
     // ------------------------------------------------- SimHash banded pairs
+    // Production 64-bit SimHash path (16-bit bands), fully oracle-gated:
+    // the fingerprint hash is the 64-bit md5 prefix (portable by
+    // construction), mirrored in DuckDB with HUGEINT fingerprints (a
+    // BIGINT can't hold bit 63 unsigned; xor/bit_count/shift all operate
+    // on the identical low-64 bit patterns).
     Spec("q_simhash_pairs",
       (s, dir) => NearDup.simHashPairs(t(s, dir).documents,
         "doc_id", "text", 16),
-      None),
+      Some("""WITH words AS (SELECT doc_id AS id,
+          string_split_regex(trim(text), '\s+') AS wa FROM documents
+          WHERE len(string_split_regex(trim(text), '\s+')) > 0),
+        tok AS (SELECT id,
+            CAST(('0x' || substr(md5(t.x), 1, 16)) AS UBIGINT) AS h
+          FROM words, UNNEST(wa) AS t(x)),
+        bits AS (SELECT id, b,
+            CASE WHEN SUM(2 * CAST((h >> CAST(b AS INT)) & 1 AS BIGINT)
+                - 1) > 0
+              THEN (CAST(1 AS HUGEINT) << CAST(b AS INT)) ELSE 0 END AS v
+          FROM tok, UNNEST(generate_series(0, 63)) AS g(b)
+          GROUP BY id, b),
+        fp AS (SELECT id, CAST(SUM(v) AS HUGEINT) AS simhash
+          FROM bits GROUP BY id),
+        banded AS (SELECT id, simhash, band,
+            (simhash >> CAST(band * 16 AS INT)) & 65535 AS key
+          FROM fp, UNNEST(generate_series(0, 3)) AS q(band)),
+        cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+            a.simhash AS sa, b.simhash AS sb
+          FROM banded a JOIN banded b
+          ON a.band = b.band AND a.key = b.key AND a.id < b.id)
+        SELECT id_a, id_b,
+          CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+        FROM cand WHERE bit_count(xor(sa, sb)) <= 16
+        ORDER BY hamming, id_a, id_b""")),
 
     // ------------------------------------- SimHash (portable 32-bit hash)
     Spec("q_simhash_portable",

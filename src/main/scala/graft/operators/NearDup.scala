@@ -187,17 +187,23 @@ object NearDup {
   }
 
   /** 64-bit SimHash per doc from word-token hashes: each token votes ±1 on
-    * every bit position of its xxhash64; the sign of the vote sum is the
-    * fingerprint bit. Backed by the native [[graft.plans.SimHash64]]
-    * expression — the equivalent `aggregate(zip_with(...))` HOF form costs
-    * tokens×64 interpreted lambda calls per document. */
+    * every bit position of its 64-bit md5 prefix; the sign of the vote sum
+    * is the fingerprint bit. Backed by the native
+    * [[graft.plans.SimHashPortable64]] expression — the equivalent
+    * `aggregate(zip_with(...))` HOF form costs tokens×64 interpreted
+    * lambda calls per document, and the md5-derived hash (unlike
+    * xxhash64) is reproducible in any engine, which is what lets the
+    * PRODUCTION 16-bit-band path in [[simHashPairs]] carry a full SQL
+    * oracle. The xxhash64-backed `simhash64` expression stays registered
+    * for deployments that prefer the cheaper per-token hash over
+    * cross-engine portability. */
   def simHash(docs: DataFrame, id: String, text: String): DataFrame = {
     graft.plans.GraftExtensions.register(docs.sparkSession)
     docs.select(col(id).as("id"),
         split(trim(col(text)), "\\s+").as("wa"))
       .where(size(col("wa")) > 0)
       .select(col("id"),
-        call_function("simhash64", col("wa")).as("simhash"))
+        call_function("simhash_portable64", col("wa")).as("simhash"))
   }
 
   /** Portable 32-bit SimHash near-dup pairs: per-token md5-derived hashes

@@ -247,15 +247,72 @@ object GraftHash {
       java.security.MessageDigest.getInstance("MD5")
   }
   /** First 15 hex digits of md5 = big-endian first 8 bytes >>> 4. */
-  def md5Prefix60(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+  def md5Prefix60(s: org.apache.spark.unsafe.types.UTF8String): Long =
+    md5First64(s) >>> 4
+
+  /** Full first 16 hex digits of md5 as a long (two's complement of the
+    * unsigned 64-bit value — same BITS as DuckDB's
+    * `CAST(('0x' || substr(md5(s), 1, 16)) AS UBIGINT)`). */
+  def md5First64(s: org.apache.spark.unsafe.types.UTF8String): Long = {
     val md = digest.get()
     md.reset()
     val d = md.digest(s.getBytes)
     var v = 0L
     var j = 0
     while (j < 8) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
-    v >>> 4
+    v
   }
+}
+
+/** Native 64-bit PORTABLE SimHash over a token array: each token's full
+  * 64-bit md5 prefix (big-endian first 8 bytes, the unsigned value of
+  * `'0x' || substr(md5(t), 1, 16)`) votes ±1 on bits 0..63; the sign of
+  * each vote sum is the fingerprint bit. Same algorithm as [[SimHash64]]
+  * but on a hash any engine can reproduce, so the WHOLE production
+  * simhash path — 16-bit banding included — mirrors into the DuckDB
+  * oracle ([[graft.operators.NearDup.simHashPairs]]); the xxhash64-backed
+  * [[SimHash64]] stays registered for non-portable deployments that want
+  * the cheaper per-token hash. */
+case class SimHashPortable64(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash_portable64 expects ARRAY<STRING>, got ${other.sql}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_portable64"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val tokens = input.asInstanceOf[ArrayData]
+    val votes = new Array[Long](64)
+    var t = 0
+    val n = tokens.numElements()
+    while (t < n) {
+      val s = tokens.getUTF8String(t)
+      if (s != null) {
+        val h = GraftHash.md5First64(s)
+        var i = 0
+        while (i < 64) {
+          votes(i) += (if (((h >>> i) & 1L) == 1L) 1L else -1L)
+          i += 1
+        }
+      }
+      t += 1
+    }
+    var fp = 0L
+    var i = 0
+    while (i < 64) {
+      if (votes(i) > 0) fp |= (1L << i)
+      i += 1
+    }
+    fp
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : Expression = copy(child = newChild)
 }
 
 /** Registers graft's native expressions. Two paths:
@@ -287,7 +344,11 @@ object GraftExtensions {
       (children: Seq[Expression]) => SimHashPortable32(children.head)),
     (new FunctionIdentifier("md5_prefix60"),
       new ExpressionInfo(classOf[Md5Prefix60].getName, "md5_prefix60"),
-      (children: Seq[Expression]) => Md5Prefix60(children.head)))
+      (children: Seq[Expression]) => Md5Prefix60(children.head)),
+    (new FunctionIdentifier("simhash_portable64"),
+      new ExpressionInfo(classOf[SimHashPortable64].getName,
+        "simhash_portable64"),
+      (children: Seq[Expression]) => SimHashPortable64(children.head)))
 
   def register(spark: SparkSession): Unit =
     registrations.foreach { case (id, info, builder) =>
