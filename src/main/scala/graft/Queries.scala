@@ -2923,6 +2923,72 @@ object Queries {
   private def corpusDocs(s: SparkSession, dir: String): DataFrame =
     t(s, dir).documents.where(col("doc_id") % 10 =!= 7)
 
+  /** Bigram Stupid-Backoff LM mirror ([[NgramLm]]): fit on the target
+    * split, score the corpus split. Bigrams form via a position self-join
+    * (`generate_subscripts` zips with `unnest` in DuckDB); per-transition
+    * log-probs micro-round BEFORE the per-doc sum, so `lp_micro` is the
+    * same exact BIGINT both engines compute. Yields CTE `sc`
+    * `(doc_id, n_trans, lp_micro)`. */
+  private def ngramScoreCte: String =
+    """WITH target AS (SELECT doc_id, text FROM documents
+        WHERE doc_id % 10 = 7),
+      raw AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 7),
+      ttk AS (SELECT doc_id, i,
+          CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % 4096 AS b
+        FROM (SELECT doc_id,
+            unnest(string_split_regex(trim(text), '\s+')) AS w,
+            generate_subscripts(string_split_regex(trim(text), '\s+'), 1)
+              AS i
+          FROM target)),
+      rtk AS (SELECT doc_id, i,
+          CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) % 4096 AS b
+        FROM (SELECT doc_id,
+            unnest(string_split_regex(trim(text), '\s+')) AS w,
+            generate_subscripts(string_split_regex(trim(text), '\s+'), 1)
+              AS i
+          FROM raw)),
+      uni AS (SELECT b, COUNT(*) AS c1 FROM ttk GROUP BY b),
+      bi AS (SELECT a.b AS b1, c.b AS b2, COUNT(*) AS c2
+        FROM ttk a JOIN ttk c ON a.doc_id = c.doc_id AND c.i = a.i + 1
+        GROUP BY 1, 2),
+      tot AS (SELECT COUNT(*) AS n1 FROM ttk),
+      rtr AS (SELECT a.doc_id, a.b AS b1, c.b AS b2
+        FROM rtk a JOIN rtk c ON a.doc_id = c.doc_id AND c.i = a.i + 1),
+      lp AS (SELECT r.doc_id,
+          CAST(floor(ln(CASE WHEN bi.c2 IS NOT NULL
+              THEN CAST(bi.c2 AS DOUBLE) / u1.c1
+              ELSE 0.4 * (COALESCE(u2.c1, 0) + 1.0) / (n1 + 4096.0) END)
+            * 1e6 + 0.5) AS BIGINT) AS lpm
+        FROM rtr r
+        LEFT JOIN bi ON bi.b1 = r.b1 AND bi.b2 = r.b2
+        LEFT JOIN uni u1 ON u1.b = r.b1
+        LEFT JOIN uni u2 ON u2.b = r.b2, tot),
+      sc AS (SELECT doc_id, COUNT(*) AS n_trans,
+          CAST(SUM(lpm) AS BIGINT) AS lp_micro
+        FROM lp GROUP BY doc_id)"""
+
+  /** Single-global-cumsum packing mirror ([[Packing]]): the oracle IS the
+    * naive one-partition window the Spark side deliberately avoids — the
+    * hash equality proves the two-level prefix sum exact. Yields CTE `sp`
+    * with spans + sequence ids at seqLen 512. */
+  private def packSpanCte: String =
+    """WITH tok AS (SELECT doc_id,
+          CAST(list_sum(list_transform(string_split_regex(trim(text),
+            '\s+'), x -> greatest(1, CAST(ceil(length(x)/4.0) AS BIGINT))))
+            AS BIGINT) AS est_tokens
+        FROM documents),
+      c AS (SELECT doc_id, est_tokens,
+          CAST(SUM(est_tokens) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS tok_end
+        FROM tok),
+      spans AS (SELECT doc_id, est_tokens, tok_end - est_tokens
+          AS tok_start, tok_end FROM c),
+      sp AS (SELECT doc_id, est_tokens, tok_start, tok_end,
+          tok_start // 512 AS seq_first, (tok_end - 1) // 512 AS seq_last,
+          tok_start % 512 AS offset_in_seq
+        FROM spans)"""
+
   private def curationSpecs: Seq[Spec] = Seq(
 
     // ----------------------------------- benchmark decontamination (filter)
@@ -3165,6 +3231,67 @@ object Queries {
           FROM tok)
         SELECT doc_id, source, est_tokens, cum_tokens FROM cum
         WHERE cum_tokens <= 2000 ORDER BY source, doc_id""")),
+
+    // -------------- CCNet-style bigram-LM perplexity scoring (Wenzek et
+    // al. 2020): fit Stupid Backoff on the target split, score the corpus
+    // by per-token cross-entropy. lp_micro is an exact BIGINT both
+    // engines agree on; ppl is derived from it by the same IEEE ops.
+    Spec("q_ngram_ppl",
+      (s, dir) => NgramLm.perplexity(corpusDocs(s, dir),
+        benchDocs(s, dir), "doc_id", "text", 4096)
+        .orderBy(col("doc_id")),
+      Some(ngramScoreCte + """
+        SELECT doc_id, n_trans, lp_micro,
+          floor(exp(-(lp_micro / 1e6) / n_trans) * 1e4 + 0.5) / 1e4 AS ppl
+        FROM sc ORDER BY doc_id""")),
+
+    // ------------------- the perplexity FILTER at the pooled-CE cut:
+    // both cut sums are exact BIGINTs, so the threshold is one division
+    // both engines compute bit-identically.
+    Spec("q_ngram_filter",
+      (s, dir) => NgramLm.keepBelowPooledCe(corpusDocs(s, dir),
+        benchDocs(s, dir), "doc_id", "text", 4096)
+        .orderBy(col("doc_id")),
+      Some(ngramScoreCte + """,
+        pool AS (SELECT CAST(SUM(lp_micro) AS BIGINT) AS sl,
+            CAST(SUM(n_trans) AS BIGINT) AS sn FROM sc)
+        SELECT doc_id, n_trans, lp_micro,
+          floor(exp(-(lp_micro / 1e6) / n_trans) * 1e4 + 0.5) / 1e4 AS ppl
+        FROM sc, pool
+        WHERE -(lp_micro / 1e6) / n_trans <= -(sl / 1e6) / sn
+        ORDER BY doc_id""")),
+
+    // ---------------- GPT-style sequence packing: the Spark side runs
+    // the TWO-LEVEL distributed prefix sum (blockWidth 64 exercises many
+    // blocks even at sf0.001); the oracle is the naive single global
+    // cumsum — hash equality proves the distributed decomposition exact.
+    Spec("q_pack_spans",
+      (s, dir) => Packing.packSequences(t(s, dir).documents,
+        "doc_id", "text", 512L, 64L)
+        .select(col("id").as("doc_id"), col("est_tokens"),
+          col("tok_start"), col("tok_end"), col("seq_first"),
+          col("seq_last"), col("n_seqs"), col("offset_in_seq"))
+        .orderBy(col("doc_id")),
+      Some(packSpanCte + """
+        SELECT doc_id, est_tokens, tok_start, tok_end, seq_first,
+          seq_last, seq_last - seq_first + 1 AS n_seqs, offset_in_seq
+        FROM sp ORDER BY doc_id""")),
+
+    // ------------------------ the per-(document, sequence) manifest a
+    // training data loader consumes.
+    Spec("q_pack_chunks",
+      (s, dir) => Packing.packedChunks(t(s, dir).documents,
+        "doc_id", "text", 512L, 64L)
+        .select(col("id").as("doc_id"), col("seq_id"), col("seq_off"),
+          col("n_tok"))
+        .orderBy(col("seq_id"), col("doc_id")),
+      Some(packSpanCte + """,
+        ch AS (SELECT doc_id, CAST(q AS BIGINT) AS seq_id,
+            greatest(tok_start, q * 512) AS a,
+            least(tok_end, (q + 1) * 512) AS e
+          FROM sp, UNNEST(generate_series(seq_first, seq_last)) AS t(q))
+        SELECT doc_id, seq_id, a % 512 AS seq_off, e - a AS n_tok
+        FROM ch ORDER BY seq_id, doc_id""")),
 
     // -------------------- model-based quality filter (rule distillation)
     // Rows-only by necessity (an LBFGS fit is not ANSI-SQL-expressible);

@@ -1,0 +1,92 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis.tokenCountEstimate
+
+/** GPT-style sequence packing: conceptually concatenate the corpus token
+  * stream in ascending document-id order and cut it into fixed-length
+  * training sequences of `seqLen` tokens (Brown et al., "Language Models
+  * are Few-Shot Learners", NeurIPS 2020 §2.3 — documents are packed
+  * back-to-back so no sequence wastes padding). The engine's job is the
+  * EXACT global token offset of every document; the tokenizer itself is
+  * the BPE-ish [[TextAnalysis.tokenCountEstimate]] (swap in real token
+  * counts by replacing one column). No reference counterpart — part of
+  * the LLM-training-data surface the brief adds.
+  *
+  * 100 TB shape: a naive global running sum is a WINDOW OVER ONE
+  * PARTITION — the whole corpus funnels through a single task. Instead
+  * [[tokenSpans]] computes a TWO-LEVEL prefix sum: documents cumsum
+  * within id-range blocks in parallel, per-block totals (corpus/blockWidth
+  * rows — tiny) prefix-sum on a single small partition, and the block
+  * base offsets broadcast back. Same exact result as the single window —
+  * which is precisely what the DuckDB oracle checks, since the mirror IS
+  * the single global cumsum.
+  */
+object Packing {
+
+  /** Exact global token span `[tok_start, tok_end)` of every document in
+    * ascending-id concatenation order, via the two-level prefix sum.
+    * `blockWidth` is the id-range width per block — any value gives the
+    * SAME output (asserted by `InvariantsCheck`); it only tunes
+    * parallelism. Output: `(id, est_tokens, tok_start, tok_end)`. */
+  def tokenSpans(docs: DataFrame, id: String, text: String,
+                 blockWidth: Long = 1L << 20): DataFrame = {
+    require(blockWidth >= 1, "blockWidth must be >= 1")
+    val est = docs.select(col(id).as("id"),
+        tokenCountEstimate(col(text)).as("est_tokens"))
+      .withColumn("blk", floor(col("id") / blockWidth).cast("long"))
+    val wIn = Window.partitionBy(col("blk")).orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inBlk = est.withColumn("cum_in", sum(col("est_tokens")).over(wIn))
+    // Per-block totals: ≤ corpus/blockWidth rows — the single-partition
+    // window is over THIS tiny frame, never the corpus.
+    val wBlk = Window.orderBy(col("blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = inBlk.groupBy(col("blk"))
+      .agg(sum(col("est_tokens")).as("blk_tokens"))
+      .select(col("blk"),
+        coalesce(sum(col("blk_tokens")).over(wBlk), lit(0L)).as("base"))
+    inBlk.join(broadcast(bases), Seq("blk"))
+      .select(col("id"), col("est_tokens"),
+        (col("base") + col("cum_in") - col("est_tokens")).as("tok_start"),
+        (col("base") + col("cum_in")).as("tok_end"))
+  }
+
+  /** Per-document packing summary: which training sequences the document
+    * lands in. `seq_first`/`seq_last` are the first/last sequence ids the
+    * document's tokens touch, `n_seqs` the span count, `offset_in_seq`
+    * the document's start offset inside `seq_first`. Tokens are never
+    * materialized — pure integer arithmetic on the spans (the `floor`
+    * divisions are exact: token offsets stay far below 2⁵²). */
+  def packSequences(docs: DataFrame, id: String, text: String,
+                    seqLen: Long, blockWidth: Long = 1L << 20): DataFrame = {
+    require(seqLen >= 1, "seqLen must be >= 1")
+    tokenSpans(docs, id, text, blockWidth)
+      .select(col("id"), col("est_tokens"), col("tok_start"), col("tok_end"),
+        floor(col("tok_start") / seqLen).cast("long").as("seq_first"),
+        floor((col("tok_end") - 1) / seqLen).cast("long").as("seq_last"),
+        pmod(col("tok_start"), lit(seqLen)).as("offset_in_seq"))
+      .withColumn("n_seqs", col("seq_last") - col("seq_first") + 1)
+  }
+
+  /** One row per (document, sequence) pair — the materialized packing
+    * manifest a data loader consumes: `seq_off` where the document's
+    * slice starts inside sequence `seq_id`, `n_tok` how many of its
+    * tokens land there. Map-only explode of the per-doc span (a document
+    * spans `⌈est_tokens/seqLen⌉ + 1` sequences at most); row count is
+    * `Σ n_seqs`, linear in the corpus. */
+  def packedChunks(docs: DataFrame, id: String, text: String,
+                   seqLen: Long, blockWidth: Long = 1L << 20): DataFrame = {
+    packSequences(docs, id, text, seqLen, blockWidth)
+      .select(col("id"), col("tok_start"), col("tok_end"),
+        explode(sequence(col("seq_first"), col("seq_last"))).as("seq_id"))
+      .select(col("id"), col("seq_id"),
+        pmod(greatest(col("tok_start"), col("seq_id") * seqLen),
+          lit(seqLen)).as("seq_off"),
+        (least(col("tok_end"), (col("seq_id") + 1) * seqLen) -
+          greatest(col("tok_start"), col("seq_id") * seqLen)).as("n_tok"))
+  }
+}
