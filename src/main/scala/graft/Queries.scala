@@ -3166,15 +3166,56 @@ object Queries {
     // exact dedup, the full portable-MinHash near-dup prune, char-30-gram
     // decontamination, LCG mixing, and the per-source token budget.
     Spec("q_training_mix",
-      (s, dir) => CurationPipeline.prepare(corpusDocs(s, dir),
-        benchDocs(s, dir), "doc_id", "text", "source",
-        CurationPipeline.Config(
-          minQualityScore = 0.3,
-          ratesPermille = Map("src0" -> 1000, "src1" -> 250),
-          defaultPermille = 800,
-          tokenBudgetPerSource = 2000L))
+      (s, dir) => trainingMixDf(s, dir)
         .orderBy(col("source"), col("doc_id")),
-      Some(s"""WITH corpus0 AS (SELECT doc_id, text, source FROM documents
+      Some(trainingMixCte + """
+        SELECT doc_id, source, est_tokens, cum_tokens FROM mix
+        ORDER BY source, doc_id""")),
+
+    // --------- curate → mix → budget → PACK, end to end: the packing
+    // manifest of the curated training mix — what actually ships to the
+    // trainer. The Spark side runs the two-level prefix sum over the
+    // pipeline survivors' existing token estimates; the oracle replays
+    // the whole curation mirror then the naive global cumsum.
+    Spec("q_training_mix_packed",
+      (s, dir) => Packing.packSequencesFromCounts(trainingMixDf(s, dir),
+        "doc_id", "est_tokens", 512L, 64L)
+        .select(col("id").as("doc_id"), col("est_tokens"),
+          col("tok_start"), col("tok_end"), col("seq_first"),
+          col("seq_last"), col("n_seqs"), col("offset_in_seq"))
+        .orderBy(col("doc_id")),
+      Some(trainingMixCte + """,
+        pc AS (SELECT doc_id, est_tokens,
+            CAST(SUM(est_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+              AS tok_end
+          FROM mix),
+        pspans AS (SELECT doc_id, est_tokens, tok_end - est_tokens
+            AS tok_start, tok_end FROM pc),
+        psp AS (SELECT doc_id, est_tokens, tok_start, tok_end,
+            tok_start // 512 AS seq_first,
+            (tok_end - 1) // 512 AS seq_last,
+            tok_start % 512 AS offset_in_seq
+          FROM pspans)
+        SELECT doc_id, est_tokens, tok_start, tok_end, seq_first,
+          seq_last, seq_last - seq_first + 1 AS n_seqs, offset_in_seq
+        FROM psp ORDER BY doc_id""")),
+  )
+
+  private def trainingMixDf(s: SparkSession, dir: String): DataFrame =
+    CurationPipeline.prepare(corpusDocs(s, dir),
+      benchDocs(s, dir), "doc_id", "text", "source",
+      CurationPipeline.Config(
+        minQualityScore = 0.3,
+        ratesPermille = Map("src0" -> 1000, "src1" -> 250),
+        defaultPermille = 800,
+        tokenBudgetPerSource = 2000L))
+
+  /** Full curation-pipeline mirror (quality floor → exact dedup → LSH
+    * near-dup prune → decontaminate → mix → per-source token budget),
+    * ending in CTE `mix` = the budget survivors. */
+  private def trainingMixCte: String =
+    s"""WITH corpus0 AS (SELECT doc_id, text, source FROM documents
           WHERE doc_id % 10 <> 7),
         benchd AS (SELECT doc_id, text FROM documents
           WHERE doc_id % 10 = 7),
@@ -3228,9 +3269,11 @@ object Queries {
           CAST(SUM(est_tokens) OVER (PARTITION BY source ORDER BY doc_id
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
             AS cum_tokens
-          FROM tok)
-        SELECT doc_id, source, est_tokens, cum_tokens FROM cum
-        WHERE cum_tokens <= 2000 ORDER BY source, doc_id""")),
+          FROM tok),
+        mix AS (SELECT doc_id, source, est_tokens, cum_tokens FROM cum
+          WHERE cum_tokens <= 2000)"""
+
+  private def lmPackSpecs: Seq[Spec] = Seq(
 
     // -------------- CCNet-style bigram-LM perplexity scoring (Wenzek et
     // al. 2020): fit Stupid Backoff on the target split, score the corpus
@@ -3314,5 +3357,5 @@ object Queries {
 
   val specs: Seq[Spec] = coreSpecs ++ statsSpecs ++ mlSpecs ++
     heuristicSpecs ++ miscSpecs ++ llmSpecs ++ sinkSpecs ++
-    textPipelineSpecs ++ streamingSpecs ++ curationSpecs
+    textPipelineSpecs ++ streamingSpecs ++ curationSpecs ++ lmPackSpecs
 }

@@ -122,7 +122,11 @@ object NgramLm {
   def keepBelowPooledCe(raw: DataFrame, target: DataFrame, id: String,
                         text: String, numBuckets: Int = 4096,
                         slack: Double = 1.0): DataFrame = {
-    val scored = perplexity(raw, target, id, text, numBuckets)
+    // intentional query-local cache (the LSH/IVF discipline — runners
+    // clearCache() per query): the cut aggregate and the filtered output
+    // both consume the scored frame, and without the cache the whole
+    // corpus-side LM scoring subplan executes twice
+    val scored = perplexity(raw, target, id, text, numBuckets).cache()
     val ce = -(col("lp_micro").cast("double") / 1e6) / col("n_trans")
     val cut = scored.agg(
       (-(sum(col("lp_micro")).cast("double") / 1e6) /

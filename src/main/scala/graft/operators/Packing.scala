@@ -33,10 +33,20 @@ object Packing {
     * SAME output (asserted by `InvariantsCheck`); it only tunes
     * parallelism. Output: `(id, est_tokens, tok_start, tok_end)`. */
   def tokenSpans(docs: DataFrame, id: String, text: String,
-                 blockWidth: Long = 1L << 20): DataFrame = {
+                 blockWidth: Long = 1L << 20): DataFrame =
+    tokenSpansFromCounts(
+      docs.select(col(id), tokenCountEstimate(col(text)).as("__est")),
+      id, "__est", blockWidth)
+
+  /** [[tokenSpans]] over PRE-COMPUTED token counts — the entry point for
+    * composing with upstream stages that already carry an estimate (the
+    * curation pipeline's budget stage does) or with real tokenizer
+    * output. */
+  def tokenSpansFromCounts(docs: DataFrame, id: String, estTokens: String,
+                           blockWidth: Long = 1L << 20): DataFrame = {
     require(blockWidth >= 1, "blockWidth must be >= 1")
     val est = docs.select(col(id).as("id"),
-        tokenCountEstimate(col(text)).as("est_tokens"))
+        col(estTokens).cast("long").as("est_tokens"))
       .withColumn("blk", floor(col("id") / blockWidth).cast("long"))
     val wIn = Window.partitionBy(col("blk")).orderBy(col("id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -62,9 +72,20 @@ object Packing {
     * materialized — pure integer arithmetic on the spans (the `floor`
     * divisions are exact: token offsets stay far below 2⁵²). */
   def packSequences(docs: DataFrame, id: String, text: String,
-                    seqLen: Long, blockWidth: Long = 1L << 20): DataFrame = {
+                    seqLen: Long, blockWidth: Long = 1L << 20): DataFrame =
+    sequenceSummary(tokenSpans(docs, id, text, blockWidth), seqLen)
+
+  /** [[packSequences]] over pre-computed token counts (see
+    * [[tokenSpansFromCounts]]). */
+  def packSequencesFromCounts(docs: DataFrame, id: String,
+                              estTokens: String, seqLen: Long,
+                              blockWidth: Long = 1L << 20): DataFrame =
+    sequenceSummary(
+      tokenSpansFromCounts(docs, id, estTokens, blockWidth), seqLen)
+
+  private def sequenceSummary(spans: DataFrame, seqLen: Long): DataFrame = {
     require(seqLen >= 1, "seqLen must be >= 1")
-    tokenSpans(docs, id, text, blockWidth)
+    spans
       .select(col("id"), col("est_tokens"), col("tok_start"), col("tok_end"),
         floor(col("tok_start") / seqLen).cast("long").as("seq_first"),
         floor((col("tok_end") - 1) / seqLen).cast("long").as("seq_last"),
