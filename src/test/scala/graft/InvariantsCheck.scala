@@ -382,4 +382,47 @@ object InvariantsCheck extends Properties("graft.invariants") {
         .agg(ColumnFns.moneySum($"v")).head().getDouble(0)
       a == b
     }
+
+  private val packDocGen = for {
+    n <- Gen.choose(1, 8)
+    docs <- Gen.listOfN(n, for {
+      id <- Gen.choose(-50L, 50L)
+      words <- Gen.nonEmptyListOf(
+        Gen.oneOf("a", "bb", "ccc", "dddd", "eeeeeeee", "word"))
+    } yield (id, words.mkString(" ")))
+  } yield docs.distinctBy(_._1)
+
+  property("packing: tokenSpans is blockWidth-invariant (the two-level " +
+      "prefix sum equals the naive global cumsum), contiguous, and " +
+      "token-conserving — any ids incl. negative") =
+    forAll(packDocGen) { docs =>
+      val df = docs.toDF("doc_id", "text")
+      def spans(w: Long) =
+        graft.operators.Packing.tokenSpans(df, "doc_id", "text", w)
+          .collect().map(r => (r.getLong(0), r.getLong(1),
+            r.getLong(2), r.getLong(3)))
+      val s1 = spans(1L)
+      val s5 = spans(5L)
+      val sBig = spans(1L << 20)
+      val sorted = s1.sortBy(_._1)
+      val contiguous = sorted.head._3 == 0L &&
+        sorted.sliding(2).forall {
+          case Array(a, b) => a._4 == b._3
+          case _ => true
+        }
+      s1.toSet == s5.toSet && s5.toSet == sBig.toSet &&
+        contiguous && sorted.forall(r => r._4 - r._3 == r._2)
+    }
+
+  property("ngram-lm: lp_micro is exact — invariant under row order and " +
+      "partitioning for arbitrary corpora") =
+    forAll(packDocGen.suchThat(_.nonEmpty)) { docs =>
+      val target = Seq((1000L, "a bb a ccc a dddd bb"))
+      def scores(d: Seq[(Long, String)], parts: Int): Map[Long, Long] =
+        graft.operators.NgramLm.perplexity(
+          d.toDF("doc_id", "text").repartition(parts),
+          target.toDF("doc_id", "text"), "doc_id", "text", 64)
+          .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      scores(docs, 1) == scores(docs.reverse, 5)
+    }
 }
