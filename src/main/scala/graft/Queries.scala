@@ -2485,6 +2485,27 @@ object Queries {
   private def augDocsCte: String =
     s"WITH aug AS (SELECT doc_id AS id, ($augDocsSql) AS text FROM documents)"
 
+  // Multi-line document fixture for the boilerplate-removal gates: the
+  // generator's single-line text gains line structure (split on ' value ')
+  // plus three boilerplate lines injected at 1/2, 1/3, 1/5 document rates.
+  // Valid in both Spark SQL and DuckDB, evaluated by each engine on its
+  // own side of the gate.
+  private val bpDocsSql: String =
+    """replace(text, ' value ', chr(10))
+      || CASE WHEN doc_id % 2 = 0
+              THEN chr(10) || 'Home | About | Contact' ELSE '' END
+      || CASE WHEN doc_id % 3 = 0
+              THEN chr(10) || 'Subscribe to our newsletter' ELSE '' END
+      || CASE WHEN doc_id % 5 = 0
+              THEN chr(10) || 'Copyright 2024 Example Corp' ELSE '' END"""
+
+  private def bpDocs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir).documents
+      .selectExpr("doc_id AS id", s"($bpDocsSql) AS text")
+
+  private def bpDocsCte: String =
+    s"WITH bp AS (SELECT doc_id AS id, ($bpDocsSql) AS text FROM documents)"
+
   private def textPipelineSpecs: Seq[Spec] = Seq(
 
     // ------------------------------------------------ Gopher quality rules
@@ -2654,7 +2675,38 @@ object Queries {
           sha256(regexp_replace(regexp_replace(text,
             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]',
             'g'), '\+[0-9]{8,}', '[PHONE]', 'g')) AS scrubbed_sha256
-        FROM aug ORDER BY id"""))
+        FROM aug ORDER BY id""")),
+
+    // -------------------------------- C4-style boilerplate line removal
+    // Multi-line fixture: content lines from splitting on ' value ', plus
+    // three injected boilerplate lines at 1/2, 1/3, 1/5 document rates —
+    // the nav-header / newsletter / copyright shape line-dedup exists for.
+    // Same expression evaluated by both engines (bpDocsSql).
+    Spec("q_boilerplate_lines",
+      (s, dir) => Boilerplate.frequentLines(bpDocs(s, dir), "id", "text", 20)
+        .orderBy(col("n_docs").desc, col("line")),
+      Some(bpDocsCte + """,
+        l AS (SELECT id, unnest(str_split(text, chr(10))) AS line FROM bp)
+        SELECT line, CAST(COUNT(DISTINCT id) AS BIGINT) AS n_docs
+        FROM l GROUP BY line HAVING COUNT(DISTINCT id) >= 20
+        ORDER BY n_docs DESC, line""")),
+
+    Spec("q_boilerplate_strip",
+      (s, dir) => Boilerplate.stripFrequentLines(bpDocs(s, dir), "id",
+        "text", 20).orderBy(col("id")),
+      Some(bpDocsCte + """,
+        m AS (SELECT id, str_split(text, chr(10)) AS lines FROM bp),
+        l AS (SELECT id, unnest(lines) AS line FROM m),
+        f AS (SELECT line FROM l GROUP BY line
+          HAVING COUNT(DISTINCT id) >= 20),
+        fa AS (SELECT COALESCE(list(line), CAST([] AS VARCHAR[])) AS bad
+          FROM f)
+        SELECT id, CAST(len(lines) AS BIGINT) AS n_lines,
+          CAST(len(list_filter(lines, x -> NOT list_contains(bad, x)))
+            AS BIGINT) AS n_kept,
+          array_to_string(list_filter(lines, x -> NOT list_contains(bad, x)),
+            chr(10)) AS clean_text
+        FROM m, fa ORDER BY id"""))
   )
 
   // Streaming oracle gates --------------------------------------------------
@@ -3274,6 +3326,25 @@ object Queries {
           WHERE cum_tokens <= 2000)"""
 
   private def lmPackSpecs: Seq[Spec] = Seq(
+
+    // ------------- deterministic train/val/test split assignment: the
+    // md5-bucket form of the eval-holdout discipline — membership is a
+    // pure function of the id, reproducible by any auditing engine.
+    Spec("q_split_assign",
+      (s, dir) => Splits.assignSplit(
+        t(s, dir).documents.select(col("doc_id"), col("source")),
+        "doc_id", 900, 50)
+        .groupBy(col("split")).agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy(col("split")),
+      Some("""SELECT CASE
+          WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+            AS BIGINT) % 1000 < 900 THEN 'train'
+          WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+            AS BIGINT) % 1000 < 950 THEN 'val'
+          ELSE 'test' END AS split,
+          COUNT(*) AS n_docs, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        FROM documents GROUP BY 1 ORDER BY split""")),
 
     // -------------- CCNet-style bigram-LM perplexity scoring (Wenzek et
     // al. 2020): fit Stupid Backoff on the target split, score the corpus

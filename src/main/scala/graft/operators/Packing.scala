@@ -45,9 +45,16 @@ object Packing {
   def tokenSpansFromCounts(docs: DataFrame, id: String, estTokens: String,
                            blockWidth: Long = 1L << 20): DataFrame = {
     require(blockWidth >= 1, "blockWidth must be >= 1")
+    // intentional query-local cache (runners clearCache() per query): the
+    // prefix sum consumes this frame TWICE — the in-block window and the
+    // per-block totals — and without the cache the whole upstream plan
+    // (e.g. the full curation pipeline in q_training_mix_packed) executes
+    // twice. The frame is the minimal (id, est_tokens, blk) projection,
+    // ~24 B/doc, spilling to disk if it outgrows executor memory.
     val est = docs.select(col(id).as("id"),
         col(estTokens).cast("long").as("est_tokens"))
       .withColumn("blk", floor(col("id") / blockWidth).cast("long"))
+      .cache()
     val wIn = Window.partitionBy(col("blk")).orderBy(col("id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val inBlk = est.withColumn("cum_in", sum(col("est_tokens")).over(wIn))

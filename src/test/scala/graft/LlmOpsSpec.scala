@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Ann, Collab, Multimodal, NearDup, TextAnalysis}
+import graft.operators.{Ann, Boilerplate, Collab, Multimodal, NearDup, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 class LlmOpsSpec extends SparkSpec {
@@ -377,5 +377,32 @@ class LlmOpsSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("u"), r.getAs[Double]("hybrid_score")))
       .toMap
     assert(out(1L) == 0.5 && out(2L) == 0.5)
+  }
+
+  // -------------------------------------------------- boilerplate removal
+
+  test("boilerplate: frequent lines found, stripped in order, empty docs " +
+      "kept with empty text") {
+    val d = Seq(
+      (1L, "unique one\nFOOTER\nunique two"),
+      (2L, "FOOTER\nother content"),
+      (3L, "FOOTER"),              // becomes empty after the strip
+      (4L, "alone\n\ntail"),       // the blank line is NOT frequent here
+      (5L, "FOOTER\nlast doc\n")   // trailing newline -> trailing empty line
+    ).toDF("doc_id", "text")
+
+    val freq = Boilerplate.frequentLines(d, "doc_id", "text", 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(freq == Map("FOOTER" -> 4L))
+
+    val out = Boilerplate.stripFrequentLines(d, "doc_id", "text", 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out(1L) == ((3L, 2L, "unique one\nunique two"))) // order kept
+    assert(out(2L) == ((2L, 1L, "other content")))
+    assert(out(3L) == ((1L, 0L, "")))                  // survives, empty
+    assert(out(4L) == ((3L, 3L, "alone\n\ntail")))     // untouched
+    assert(out(5L) == ((3L, 2L, "last doc\n")))        // trailing empty kept
   }
 }

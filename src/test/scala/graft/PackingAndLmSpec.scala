@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{NgramLm, Packing}
+import graft.operators.{NgramLm, Packing, Splits}
 import org.apache.spark.sql.functions._
 
 /** Unit gates for the CCNet-style bigram-LM perplexity filter and the
@@ -119,5 +119,32 @@ class PackingAndLmSpec extends SparkSpec {
       val seqs = manifest(id).sorted
       assert(seqs.head == first && seqs.last == last && seqs.length == n)
     }
+  }
+
+  // ------------------------------------------------------------- Splits
+
+  test("splits: assignment is total, disjoint, id-deterministic, and " +
+      "roughly proportional") {
+    val ids = (1L to 2000L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val assigned = Splits.assignSplit(ids, "doc_id", 800, 100)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(assigned.size == 2000)
+    val byName = assigned.values.groupBy(identity).view.mapValues(_.size)
+    // binomial 3-sigma bounds around 1600/200/200
+    assert(math.abs(byName("train") - 1600) < 54)
+    assert(math.abs(byName("val") - 200) < 41)
+    assert(math.abs(byName("test") - 200) < 41)
+    // repartitioning cannot move a document between splits
+    val again = Splits.assignSplit(ids.repartition(7), "doc_id", 800, 100)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == assigned)
+    // onlySplit slices are disjoint and cover everything
+    val parts = Seq("train", "val", "test").map(s =>
+      Splits.onlySplit(ids, "doc_id", s, 800, 100)
+        .select("doc_id").as[Long].collect().toSet)
+    assert(parts.map(_.size).sum == 2000)
+    assert(parts.reduce(_ ++ _).size == 2000)
   }
 }
