@@ -85,6 +85,13 @@ object Bench {
       probe(warmDir) // JIT-warm the probe itself before it ever gates
       runPass(warmDir)
     }
+    // warm the probe AT THE TARGET SF too: the warm-up pass touches only
+    // warmDir, so the first sfDir probe would otherwise pay the one-time
+    // file-listing/footer IO for the big tables and read as phantom
+    // "drift" against the warm end-of-pass probe (observed 0.70 s vs
+    // 0.19 s on an idle box). The sentinel must measure ambient load
+    // during the pass, not first-touch cache warmth.
+    probe(sfDir)
     val passes = (1 to math.max(1, reps)).map { _ =>
       val first = timedPass(sfDir)
       if (first.drift <= 2.0) first
