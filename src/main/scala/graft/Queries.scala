@@ -2171,6 +2171,70 @@ object Queries {
           FROM scored)
         WHERE rn <= 10 ORDER BY query_id, rn""")),
 
+    // -------------------------------------- SQ8 scalar-quantized corpus
+    // FAISS-SQ8 shape: per-dim affine codes in [0,255] (4x smaller
+    // resident corpus), scoring on the dequantized reconstruction. The
+    // code arithmetic is identical IEEE-double steps on both engines, so
+    // the whole quantizer is hash-gated, not just its row count.
+    Spec("q_sq8_codes",
+      (s, dir) => Ann.sqEncode(t(s, dir).embeddings, "vec_id", "embedding")
+        .select(col("id").as("vec_id"),
+          concat_ws(",", transform(col("codes"), c => c.cast("string")))
+            .as("codes_csv"),
+          expr("aggregate(codes, 0L, (a, c) -> a + c)").as("code_sum"))
+        .orderBy(col("vec_id")),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+        b AS (SELECT i, MIN(v[i]) AS mn, MAX(v[i]) AS mx
+          FROM e, UNNEST(generate_series(1, len(v))) AS t(i) GROUP BY i),
+        ba AS (SELECT list(mn ORDER BY i) AS mins,
+            list(mx ORDER BY i) AS maxs FROM b),
+        c AS (SELECT vec_id, list_transform(generate_series(1, len(v)), i ->
+            CASE WHEN maxs[i] = mins[i] THEN 0
+            ELSE least(255, greatest(0, CAST(floor(
+              (v[i] - mins[i]) / (maxs[i] - mins[i]) * 255.0 + 0.5)
+              AS BIGINT))) END) AS codes
+          FROM e, ba)
+        SELECT vec_id,
+          array_to_string(list_transform(codes, x -> CAST(x AS VARCHAR)),
+            ',') AS codes_csv,
+          CAST(list_aggregate(codes, 'sum') AS BIGINT) AS code_sum
+        FROM c ORDER BY vec_id""")),
+
+    Spec("q_ann_sq8",
+      (s, dir) => {
+        val e = t(s, dir).embeddings
+        Ann.sqTopK(e, e.where(col("vec_id") % 100 === 0),
+          "vec_id", "embedding", 10).orderBy(col("query_id"), col("rn"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+        b AS (SELECT i, MIN(v[i]) AS mn, MAX(v[i]) AS mx
+          FROM e, UNNEST(generate_series(1, len(v))) AS t(i) GROUP BY i),
+        ba AS (SELECT list(mn ORDER BY i) AS mins,
+            list(mx ORDER BY i) AS maxs FROM b),
+        c AS (SELECT vec_id, list_transform(generate_series(1, len(v)), i ->
+            CASE WHEN maxs[i] = mins[i] THEN 0
+            ELSE least(255, greatest(0, CAST(floor(
+              (v[i] - mins[i]) / (maxs[i] - mins[i]) * 255.0 + 0.5)
+              AS BIGINT))) END) AS codes
+          FROM e, ba),
+        h AS (SELECT vec_id, list_transform(generate_series(1, len(codes)),
+            i -> mins[i] + (codes[i] * (maxs[i] - mins[i])) / 255.0) AS vh
+          FROM c, ba),
+        n AS (SELECT vec_id, vh, sqrt(list_dot_product(vh, vh)) AS nrm
+          FROM h),
+        q AS (SELECT * FROM n WHERE vec_id % 100 = 0),
+        scored AS (SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+            floor((list_dot_product(q.vh, c.vh) / (q.nrm * c.nrm))
+              * 1e4 + 0.5) / 1e4 AS cosine
+          FROM q CROSS JOIN n c WHERE c.vec_id <> q.vec_id)
+        SELECT query_id, cand_id, cosine, rn FROM (SELECT *,
+            CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, cand_id) AS BIGINT) AS rn
+          FROM scored)
+        WHERE rn <= 10 ORDER BY query_id, rn""")),
+
     // ------------------------------------------------- ANN via sign-LSH
     Spec("q_ann_lsh",
       (s, dir) => Ann.lshTopK(t(s, dir).embeddings, "vec_id", "embedding",

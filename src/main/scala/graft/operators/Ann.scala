@@ -423,4 +423,82 @@ object Ann {
         .orderBy(col("csim").desc, col("id").asc)).cast("long"))
       .where(col("rn") <= perCell)
       .select(col("id"), col("cell"), col("csim"), col("rn"))
+
+  // ------------------------------------------------- SQ8 scalar quantization
+
+  /** Per-dimension (min, max) quantizer bounds as ONE row of parallel
+    * double arrays — the trained state of a FAISS-style SQ8 scalar
+    * quantizer. The posexplode shuffles only (dim, partial-min/max) pairs
+    * after map-side combine: dims × partitions rows, never the matrix. */
+  def sqBounds(df: DataFrame, vec: String): DataFrame =
+    df.select(posexplode(col(vec)).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(min(col("x").cast("double")).as("mn"),
+        max(col("x").cast("double")).as("mx"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("i"), col("mn")))),
+          s => s.getField("mn")).as("mins"),
+        transform(array_sort(collect_list(struct(col("i"), col("mx")))),
+          s => s.getField("mx")).as("maxs"))
+
+  /** Affine code per dimension: `floor((x-mn)/(mx-mn)*255 + 0.5)` clamped
+    * to [0,255], 0 where the dimension is constant. Pure integer output
+    * from IEEE-double steps both engines execute identically — the codes
+    * are bit-portable, so the whole quantizer is oracle-checkable. */
+  private val sqCodeExpr: String =
+    """transform(sequence(1, size(v)), i ->
+      |  CASE WHEN element_at(maxs, i) = element_at(mins, i) THEN 0L
+      |  ELSE least(255L, greatest(0L, CAST(floor(
+      |    (CAST(element_at(v, i) AS DOUBLE) - element_at(mins, i))
+      |    / (element_at(maxs, i) - element_at(mins, i)) * 255.0 + 0.5)
+      |    AS BIGINT))) END)""".stripMargin
+
+  /** Reconstruction: `mn + (code * (mx - mn)) / 255.0` — written in this
+    * exact shape on both engine sides so the doubles are bit-equal. */
+  private val sqDequantExpr: String =
+    """transform(sequence(1, size(codes)), i ->
+      |  element_at(mins, i) + (element_at(codes, i)
+      |    * (element_at(maxs, i) - element_at(mins, i))) / 255.0)""".stripMargin
+
+  /** SQ8-encode a corpus: `id, codes (array<bigint> in [0,255]), vh (the
+    * dequantized vector scoring runs against)`. At scale the codes column
+    * is the stored representation — 1 byte/dim of information vs 4 for
+    * the float (store `codes` and the one-row bounds; `vh` reconstructs
+    * on the fly in the scoring kernel, exactly as FAISS SQ8 does). */
+  def sqEncode(df: DataFrame, id: String, vec: String): DataFrame = {
+    val b = sqBounds(df, vec)
+    df.select(col(id).as("id"), col(vec).as("v"))
+      .crossJoin(broadcast(b))
+      .withColumn("codes", expr(sqCodeExpr))
+      .select(col("id"), col("codes"), expr(sqDequantExpr).as("vh"))
+  }
+
+  /** Exact-over-compressed top-k: cosine on the dequantized vectors for
+    * each query id, self excluded. The query×corpus scoring is the
+    * brute-force contract (small |Q| by design — compose with
+    * [[lshBuckets]]/[[ivfTopK]] cells for candidate generation when |Q|
+    * is large); what SQ8 buys is the 4× smaller resident corpus. */
+  def sqTopK(corpus: DataFrame, queryIds: DataFrame, id: String,
+             vec: String, k: Int): DataFrame = {
+    GraftExtensions.register(corpus.sparkSession)
+    val enc = sqEncode(corpus, id, vec)
+      .withColumn("nrm", sqrt(nativeDot(col("vh"), col("vh"))))
+      .cache()
+    val q = enc.join(broadcast(queryIds.select(col(id).as("id"))),
+        Seq("id"), "left_semi")
+      .select(col("id").as("query_id"), col("vh").as("qv"),
+        col("nrm").as("qn"))
+    val c = enc.select(col("id").as("cand_id"), col("vh").as("cv"),
+      col("nrm").as("cn"))
+    q.crossJoin(c)
+      .where(col("query_id") =!= col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        stableRound(nativeDot(col("qv"), col("cv")) / (col("qn") * col("cn")),
+          4).as("cosine"))
+      .withColumn("rn", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("cosine").desc, col("cand_id").asc))
+        .cast("long"))
+      .where(col("rn") <= k)
+  }
 }

@@ -110,6 +110,38 @@ class LlmOpsSpec extends SparkSpec {
       .head().getLong(0) <= 10)
   }
 
+  test("ANN: SQ8 codes are in range and SQ8 top-10 recalls the " +
+      "brute-force top-1") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val enc = Ann.sqEncode(e, "vec_id", "embedding")
+    // every code in [0,255]; dequantized value within half a step of the
+    // original (the quantizer's defining error bound)
+    val bad = enc.select(explode($"codes").as("c"))
+      .where($"c" < 0 || $"c" > 255).count()
+    assert(bad == 0)
+    val err = enc.join(e, enc("id") === e("vec_id"))
+      .select(expr("""aggregate(zip_with(vh, embedding, (a, b) ->
+        abs(a - CAST(b AS DOUBLE))), CAST(0.0 AS DOUBLE),
+        (m, x) -> greatest(m, x))""").as("max_err"))
+      .agg(max($"max_err")).head().getDouble(0)
+    val bounds = Ann.sqBounds(e, "embedding")
+      .select(expr("""aggregate(zip_with(maxs, mins, (a, b) -> a - b),
+        CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, x))""").as("span"))
+      .head().getDouble(0)
+    assert(err <= bounds / 255.0 / 2.0 + 1e-9,
+      s"reconstruction err $err exceeds half a quantization step")
+    // 8-bit reconstruction barely moves cosines: the true top-1 should
+    // appear in the SQ8 top-10 for nearly every query
+    val brute = Ann.bruteForceTopK(e, e, "vec_id", "embedding", 1)
+      .select($"query_id", $"cand_id".as("true_nn"))
+    val sq = Ann.sqTopK(e, e, "vec_id", "embedding", 10)
+      .select($"query_id", $"cand_id")
+    val hits = brute.join(sq, brute("query_id") === sq("query_id")
+      && brute("true_nn") === sq("cand_id")).count()
+    val recall = hits.toDouble / brute.count()
+    assert(recall > 0.9, s"SQ8 recall@10 of top-1 = $recall")
+  }
+
   test("ANN: multi-probe LSH recall dominates single-probe recall") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val brute = Ann.bruteForceTopK(e, e, "vec_id", "embedding", 1)

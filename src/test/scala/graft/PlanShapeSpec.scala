@@ -30,7 +30,10 @@ class PlanShapeSpec extends SparkSpec {
 
   /** Quadratic-by-design oracle baselines (documented in scaladoc). */
   private val allPairsByDesign = Set(
-    "q_ann_bruteforce", "q_cosine_dups", "q_neardup_jaccard")
+    "q_ann_bruteforce", "q_cosine_dups", "q_neardup_jaccard",
+    // small-|Q| scoring contract over the SQ8-compressed corpus —
+    // candidate generation composes with LSH/IVF when |Q| grows
+    "q_ann_sq8")
 
   private val materializingGates = Set(
     // MLlib training inside fn; result frame is not a pipeline plan
