@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.functions.ColumnFns.stableRound
+import graft.plans.GraftExtensions
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -10,9 +11,15 @@ import org.apache.spark.sql.functions._
   * filter, done here with exact k-gram matching rather than fuzzy
   * containment).
   *
-  * 100 TB shape: both sides reduce to DISTINCT (id, md5(k-gram)) streams —
-  * the join key is a 16-byte digest, never the text, so the shuffle carries
-  * ~32 bytes per gram regardless of document size. The benchmark side is a
+  * 100 TB shape: both sides reduce to DISTINCT (id, digest(k-gram))
+  * streams — the join key is the native codegen'd 8-byte `md5_prefix60`
+  * digest, never the text (and never a 32-char hex string), so the
+  * shuffle carries ~16 bytes per gram regardless of document size. A
+  * 60-bit collision can only FALSELY MATCH a gram, i.e. conservatively
+  * drop an extra corpus document — the safe direction for
+  * decontamination (at 10^12 corpus grams expect ~400 spurious gram
+  * matches; contaminated docs usually share many grams, so the marginal
+  * doc loss is noise). The benchmark side is a
   * dimension table (eval suites are millions of grams at most): Spark's
   * AQE broadcasts it, making the contamination check a map-side semi join
   * over the corpus gram stream. The corpus-side `distinct` is a partial
@@ -24,27 +31,36 @@ import org.apache.spark.sql.functions._
   */
 object Decontaminate {
 
-  /** Distinct (id, md5-of-k-gram) per document. Documents shorter than `k`
-    * characters contribute nothing. The gram hash (not the gram) is what
-    * flows into every downstream shuffle. */
+  /** (id, digest-of-k-gram) per document, distinct when `dedup`.
+    * Documents shorter than `k` characters contribute nothing. The
+    * 8-byte gram digest (not the gram) is what flows into every
+    * downstream shuffle. `dedup = false` skips the per-doc distinct
+    * aggregate — correct (and measurably cheaper) whenever the consumer
+    * is duplicate-insensitive, like the semi-join probe side in
+    * [[contaminatedIds]]: the probe stream never shuffles, so the
+    * distinct would pay a full hash aggregate to save nothing. */
   def gramHashes(docs: DataFrame, id: String, text: String,
-                 k: Int): DataFrame =
-    docs.where(length(col(text)) >= k)
+                 k: Int, dedup: Boolean = true): DataFrame = {
+    GraftExtensions.register(docs.sparkSession)
+    val g = docs.where(length(col(text)) >= k)
       .select(col(id).as("id"), explode(expr(
         s"transform(sequence(1, length($text) - ${k - 1}), " +
           s"i -> substring($text, i, $k))")).as("g"))
-      .select(col("id"), md5(col("g")).as("h"))
-      .distinct()
+      .select(col("id"), call_function("md5_prefix60", col("g")).as("h"))
+    if (dedup) g.distinct() else g
+  }
 
-  /** Distinct (id, md5-of-w-word-gram) per document — the GPT-3
+  /** Distinct (id, digest-of-w-word-gram) per document — the GPT-3
     * appendix-C unit (13-gram word overlap). Reuses the near-dup
     * shingle stream; documents shorter than `w` words contribute
     * nothing. */
   def wordGramHashes(docs: DataFrame, id: String, text: String,
-                     w: Int): DataFrame =
-    NearDup.rawShingles(docs, id, text, w)
-      .select(col("id"), md5(col("s")).as("h"))
-      .distinct()
+                     w: Int, dedup: Boolean = true): DataFrame = {
+    GraftExtensions.register(docs.sparkSession)
+    val g = NearDup.rawShingles(docs, id, text, w)
+      .select(col("id"), call_function("md5_prefix60", col("s")).as("h"))
+    if (dedup) g.distinct() else g
+  }
 
   private def overlapIds(corpusGrams: DataFrame, benchGrams: DataFrame,
                          id: String): DataFrame =
@@ -56,7 +72,7 @@ object Decontaminate {
   /** Corpus ids sharing ≥1 character k-gram with `bench`. */
   def contaminatedIds(corpus: DataFrame, bench: DataFrame, id: String,
                       text: String, k: Int): DataFrame =
-    overlapIds(gramHashes(corpus, id, text, k),
+    overlapIds(gramHashes(corpus, id, text, k, dedup = false),
       gramHashes(bench, id, text, k), id)
 
   /** Corpus ids sharing ≥1 w-word gram with `bench` (GPT-3 style;
@@ -64,7 +80,7 @@ object Decontaminate {
   def contaminatedIdsWordGrams(corpus: DataFrame, bench: DataFrame,
                                id: String, text: String,
                                w: Int = 13): DataFrame =
-    overlapIds(wordGramHashes(corpus, id, text, w),
+    overlapIds(wordGramHashes(corpus, id, text, w, dedup = false),
       wordGramHashes(bench, id, text, w), id)
 
   /** The corpus with every document sharing a w-word gram with `bench`
