@@ -2828,7 +2828,7 @@ object Queries {
             Streams.eventStreamMicros(s, src, maxFilesPerTrigger = Some(2)),
             "3650 days", "1 day", "1 day")
           Streams.runToTable(win, "graft_stream_windows",
-              OutputMode.Complete())
+              OutputMode.Complete(), statePartitions = Some(8))
             .select(col("window.start").cast("date").as("day"),
               col("event_type"), col("n"), col("total_value"))
             .orderBy(col("day"), col("event_type"))
@@ -2847,7 +2847,8 @@ object Queries {
           val dd = Streams.streamingDedupGlobal(
             Streams.eventStreamMicros(s, src, maxFilesPerTrigger = Some(2)),
             Seq("user_id", "event_type"))
-          Streams.runToTable(dd, "graft_stream_dedup", OutputMode.Append())
+          Streams.runToTable(dd, "graft_stream_dedup", OutputMode.Append(),
+              statePartitions = Some(8))
             .groupBy(col("event_type"))
             .agg(count(lit(1)).as("n_users"))
             .orderBy(col("event_type"))
@@ -2873,7 +2874,8 @@ object Queries {
             ev.where(col("event_type") === "view"),
             ev.where(col("event_type") === "click"),
             "user_id", "3650 days", beforeSec = 0L, afterSec = 1800L)
-          Streams.runToTable(j, "graft_stream_join", OutputMode.Append())
+          Streams.runToTable(j, "graft_stream_join", OutputMode.Append(),
+              statePartitions = Some(8))
             .groupBy(col("k"))
             .agg(count(lit(1)).as("n_matches"),
               moneySum(col("r_value")).as("click_value"))
@@ -2904,7 +2906,7 @@ object Queries {
               col("value")).as[Streams.Event]
           val sess = Streams.sessionize(ev, "3650 days", gapSec = 3600L)
           Streams.runToTable(sess.toDF(), "graft_stream_sessions",
-              OutputMode.Append())
+              OutputMode.Append(), statePartitions = Some(8))
             .select(col("user_id"),
               unix_micros(col("start_ts")).as("start_us"),
               unix_micros(col("end_ts")).as("end_us"),

@@ -61,13 +61,30 @@ object Streams {
     * streaming oracle gates: `Trigger.AvailableNow` processes the whole
     * backlog (honoring `maxFilesPerTrigger` batching) then stops, and the
     * memory sink holds everything the stream emitted. The sink is
-    * driver-resident — gate/test scale only, not a production sink. */
-  def runToTable(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
+    * driver-resident — gate/test scale only, not a production sink.
+    *
+    * `statePartitions` scopes `spark.sql.shuffle.partitions` to the
+    * query's lifetime: a stateful query locks its state-store count at
+    * first start, and every micro-batch then pays one store (open +
+    * snapshot + commit) per partition PER STATEFUL OPERATOR — pure
+    * fixed overhead when the backlog is small. Results are identical at
+    * any setting (the aggregations are partition-order free by the
+    * engine's exactness rules); the knob sizes state parallelism to the
+    * stream's actual volume, in either direction — gates size it DOWN
+    * (toy backlog, 4-8 micro-batches), a production deployment sizes it
+    * UP to its key cardinality. */
+  def runToTable(df: DataFrame, name: String, mode: OutputMode,
+                 statePartitions: Option[Int] = None): DataFrame = {
     val spark = df.sparkSession
     spark.catalog.dropTempView(name) // stale view from a prior run
-    val q = df.writeStream.format("memory").queryName(name)
-      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    statePartitions.foreach(n =>
+      spark.conf.set("spark.sql.shuffle.partitions", n.toString))
+    try {
+      val q = df.writeStream.format("memory").queryName(name)
+        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(name)
   }
 
