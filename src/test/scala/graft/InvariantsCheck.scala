@@ -414,6 +414,39 @@ object InvariantsCheck extends Properties("graft.invariants") {
         contiguous && sorted.forall(r => r._4 - r._3 == r._2)
     }
 
+  private val lineDocGen: Gen[List[(Long, String)]] = {
+    val lineGen = Gen.oneOf("FOOTER", "nav bar", "alpha", "beta", "gamma",
+      "delta", "", "x y z")
+    Gen.nonEmptyListOf(Gen.listOfN(4, lineGen).map(_.mkString("\n")))
+      .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+  }
+
+  property("boilerplate: no non-empty frequent line survives a strip, " +
+      "and a second strip only drops empty-line artifacts") =
+    forAll(lineDocGen, Gen.choose(2, 4)) { (docs, minDocs) =>
+      // Stripping removes whole line-CLASSES, so surviving lines keep
+      // their original doc-counts — all < minDocs. The one exception is
+      // '': a fully-stripped doc re-splits to a single empty line, which
+      // can push '' over the threshold; hence idempotence is stated on
+      // the non-empty lines only.
+      val df = docs.toDF("doc_id", "text")
+      def strip(d: org.apache.spark.sql.DataFrame): Map[Long, String] =
+        graft.operators.Boilerplate
+          .stripFrequentLines(d, "doc_id", "text", minDocs.toLong)
+          .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+      val once = strip(df)
+      val survivors = once.toList.toDF("doc_id", "text")
+      val freqLeft = graft.operators.Boilerplate
+        .frequentLines(survivors, "doc_id", "text", minDocs.toLong)
+        .where(col("line") =!= "").count()
+      val twice = strip(survivors)
+      val stable = once.forall { case (i, t) =>
+        t.split("\n", -1).filter(_.nonEmpty).toSeq ==
+          twice(i).split("\n", -1).filter(_.nonEmpty).toSeq
+      }
+      freqLeft == 0L && stable
+    }
+
   property("ngram-lm: lp_micro is exact — invariant under row order and " +
       "partitioning for arbitrary corpora") =
     forAll(packDocGen.suchThat(_.nonEmpty)) { docs =>
