@@ -3109,6 +3109,67 @@ object Queries {
 
   private def curationSpecs: Seq[Spec] = Seq(
 
+    // -------------------------------- incremental-ingestion exact dedup
+    // Batch-vs-index shape: dedup a NEW batch within itself (keep min
+    // id) and against the standing corpus digest index, bodies never
+    // touched. Fixture injects cross-batch and within-batch duplicate
+    // classes with the same CASE expression on both engines.
+    Spec("q_dedup_incremental",
+      (s, dir) => {
+        val docs = t(s, dir).documents
+        val corp = docs.selectExpr("doc_id",
+          "CASE WHEN doc_id % 7 = 0 THEN 'shared boilerplate document' " +
+            "ELSE text END AS text")
+        val batch = docs.selectExpr("doc_id + 100000 AS id",
+          "CASE WHEN doc_id % 4 = 0 THEN 'shared boilerplate document' " +
+            "WHEN doc_id % 4 = 1 THEN 'batch only duplicate' " +
+            "ELSE text || ' batchnew' END AS text")
+        Dedup.dedupIncremental(batch,
+            Dedup.contentDigests(corp, "text"), "id", "text")
+          .orderBy(col("id"))
+      },
+      Some("""WITH corp AS (SELECT doc_id,
+          CASE WHEN doc_id % 7 = 0 THEN 'shared boilerplate document'
+            ELSE text END AS text FROM documents),
+        b AS (SELECT doc_id + 100000 AS id,
+          CASE WHEN doc_id % 4 = 0 THEN 'shared boilerplate document'
+            WHEN doc_id % 4 = 1 THEN 'batch only duplicate'
+            ELSE text || ' batchnew' END AS text FROM documents),
+        idx AS (SELECT DISTINCT md5(text) AS content_hash FROM corp),
+        bd AS (SELECT md5(text) AS content_hash, MIN(id) AS id
+          FROM b GROUP BY 1)
+        SELECT id, content_hash FROM bd
+        WHERE content_hash NOT IN (SELECT content_hash FROM idx)
+        ORDER BY id""")),
+
+    // ------------------------------ exact top-fraction score selection
+    Spec("q_select_topfrac",
+      (s, dir) => Selection.keepTopFraction(
+        TextAnalysis.qualityScore(t(s, dir).documents, "doc_id", "text"),
+        "id", "quality_score", 0.2)
+        .orderBy(col("quality_score").desc, col("id")),
+      Some("""WITH qm AS (SELECT doc_id AS id,
+          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+            AS n_words,
+          floor((CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+            AS DOUBLE) / length(text)) * 1e6 + 0.5) / 1e6 AS punct_ratio,
+          floor((CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+              x -> list_contains(['the','a','an','of','and','or','in','to',
+                'is','it','on','for','with','as','at','by'], x))) AS DOUBLE)
+            / len(string_split_regex(trim(text), '\s+'))) * 1e6 + 0.5) / 1e6
+            AS stopword_ratio
+          FROM documents),
+        qsc AS (SELECT id, floor((least(CAST(n_words AS DOUBLE) / 50.0, 1.0)
+          * least(stopword_ratio * 5.0 + 0.5, 1.0)
+          * (1.0 - least(punct_ratio * 5.0, 1.0) * 0.5)) * 1e6 + 0.5) / 1e6
+          AS quality_score FROM qm)
+        SELECT id, quality_score FROM (SELECT id, quality_score,
+            ROW_NUMBER() OVER (ORDER BY quality_score DESC, id) AS rn,
+            COUNT(*) OVER () AS n
+          FROM qsc)
+        WHERE rn <= ceil(0.2 * n)
+        ORDER BY quality_score DESC, id""")),
+
     // ----------------------------------- benchmark decontamination (filter)
     Spec("q_decontaminate",
       (s, dir) => Decontaminate.decontaminate(corpusDocs(s, dir),

@@ -53,6 +53,29 @@ object Dedup {
       .groupBy(col("content_hash"))
       .agg(min(col(id)).as(id), count(lit(1)).as("n_copies"))
 
+  /** The persistent digest index incremental ingestion dedups against:
+    * one MD5 per distinct content already in the corpus. At scale this is
+    * a bucketed table on `content_hash` (see `Sinks.writeBucketed`) so
+    * the anti-join below co-locates without a shuffle. */
+  def contentDigests(corpus: DataFrame, content: String): DataFrame =
+    corpus.select(md5(col(content)).as("content_hash")).distinct()
+
+  /** Incremental-ingestion dedup — the shape a streaming/batched corpus
+    * build actually runs: dedup the NEW batch (keep-min-id within the
+    * batch) and drop everything whose content digest already exists in
+    * the corpus index, WITHOUT touching corpus bodies. Cost is linear in
+    * the batch: one digest-grain aggregate over the batch + one
+    * hash-or-broadcast anti-join against the index. Returns the batch
+    * survivors (id, content_hash). The caller appends survivors and
+    * unions their digests into the index — both append-only writes. */
+  def dedupIncremental(batch: DataFrame, index: DataFrame, id: String,
+                       content: String): DataFrame =
+    batch.select(col(id), md5(col(content)).as("content_hash"))
+      .groupBy(col("content_hash"))
+      .agg(min(col(id)).as(id))
+      .join(index, Seq("content_hash"), "left_anti")
+      .select(col(id), col("content_hash"))
+
   /** End-to-end corpus dedup — the training-data cleaning pipeline as one
     * call: (1) exact content dedup keeping the smallest id per MD5;
     * (2) near-dup pruning among the exact survivors via portable

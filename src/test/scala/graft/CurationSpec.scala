@@ -270,4 +270,37 @@ class CurationSpec extends SparkSpec {
       assert(csims === csims.sorted.reverse)
     }
   }
+
+  test("incremental dedup: drops index hits, keeps one per batch class, " +
+      "passes novel content through") {
+    val index = graft.operators.Dedup.contentDigests(
+      Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text"), "text")
+    val batch = Seq((10L, "a"), (11L, "c"), (12L, "c"), (13L, "d"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Dedup
+      .dedupIncremental(batch, index, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(11L, 13L)) // 'a' hits the index; 'c' keeps min id
+  }
+
+  test("selection: exact top-fraction is the best ceil(frac*n) rows and " +
+      "the approx-quantile backend lands near the same keep-rate") {
+    val scored = graft.operators.TextAnalysis.qualityScore(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+      "doc_id", "text").cache()
+    val n = scored.count()
+    val kept = graft.operators.Selection
+      .keepTopFraction(scored, "id", "quality_score", 0.2).collect()
+    assert(kept.length == math.ceil(0.2 * n).toInt)
+    val keptIds = kept.map(_.getLong(0)).toSet
+    val minKept = kept.map(_.getDouble(1)).min
+    val maxDropped = scored.where(!col("id").isInCollection(keptIds))
+      .agg(max(col("quality_score"))).head().getDouble(0)
+    assert(minKept >= maxDropped) // boundary ties break on id, never score
+    val approxRate = graft.operators.Selection
+      .keepAboveQuantile(scored, "id", "quality_score", 0.2)
+      .count().toDouble / n
+    assert(approxRate > 0.1 && approxRate < 0.35,
+      s"approx keep-rate $approxRate far from 0.2")
+  }
 }
