@@ -23,6 +23,7 @@ object Profile {
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries(name)
     (1 to reps).foreach { i =>
+      if (sys.env.contains("GRAFT_CLEARCACHE")) spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val df = fn(spark, sfDir)
       if (sys.env.contains("GRAFT_EXPLAIN") && i == 1) df.explain("formatted")

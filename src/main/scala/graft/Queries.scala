@@ -3379,6 +3379,104 @@ object Queries {
         SELECT doc_id, est_tokens, tok_start, tok_end, seq_first,
           seq_last, seq_last - seq_first + 1 AS n_seqs, offset_in_seq
         FROM psp ORDER BY doc_id""")),
+
+    // -------------------- paragraph-level exact dedup (Dolma line dedup)
+    // The synthetic docs have no newlines, so the fixture builds a
+    // multi-paragraph corpus with the SAME expression on both engines:
+    // every ' table ' becomes a standalone 'table' line (mass cross-doc
+    // duplicates) and every third doc gains a shared header paragraph.
+    // Non-blank lines dedup globally keeping the first (doc, position)
+    // occurrence; blank lines always survive; documents with no
+    // surviving content are dropped; texts are reassembled and hashed by
+    // the gate — so the window, the blank bypass, and the reassembly are
+    // all oracle-checked.
+    Spec("q_paragraph_dedup",
+      (s, dir) => {
+        val fix = t(s, dir).documents.selectExpr("doc_id",
+          "CASE WHEN doc_id % 3 = 0 THEN 'shared header paragraph' " +
+            "|| chr(10) ELSE '' END || replace(text, ' table ', " +
+            "chr(10) || 'table' || chr(10)) AS text")
+        Dedup.dedupParagraphs(fix, "doc_id", "text")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH fix AS (SELECT doc_id,
+          CASE WHEN doc_id % 3 = 0 THEN 'shared header paragraph'
+            || chr(10) ELSE '' END || replace(text, ' table ',
+            chr(10) || 'table' || chr(10)) AS text
+        FROM documents),
+        p AS (SELECT doc_id,
+            generate_subscripts(string_split(text, chr(10)), 1) AS idx,
+            unnest(string_split(text, chr(10))) AS para
+          FROM fix),
+        k AS (SELECT doc_id, idx, para, 1 AS c FROM (
+            SELECT doc_id, idx, para,
+              ROW_NUMBER() OVER (PARTITION BY md5(para)
+                ORDER BY doc_id, idx) AS rn
+            FROM p WHERE trim(para) <> '') WHERE rn = 1),
+        s AS (SELECT * FROM k UNION ALL
+          SELECT doc_id, idx, para, 0 AS c FROM p WHERE trim(para) = ''),
+        tot AS (SELECT doc_id, COUNT(*) AS n_paras FROM p
+          GROUP BY doc_id),
+        agg AS (SELECT doc_id,
+            string_agg(para, chr(10) ORDER BY idx) AS text,
+            CAST(COUNT(*) AS BIGINT) AS n_kept,
+            SUM(c) AS n_content
+          FROM s GROUP BY doc_id)
+        SELECT a.doc_id, a.text, a.n_kept,
+          CAST(t.n_paras - a.n_kept AS BIGINT) AS n_dropped
+        FROM agg a JOIN tot t USING (doc_id) WHERE a.n_content > 0
+        ORDER BY a.doc_id""")),
+
+    // ------------------------- semantic dedup (SemDeDup, arXiv:2303.09540)
+    // The corpus embeddings are near-orthogonal (max within-cell cosine
+    // ≈ 0.6), so the fixture injects two deterministic duplicate classes
+    // mirrored on both engines: exact copies (cosine 1.0, equal csim →
+    // the id tie-break must fire) and +0.05-perturbed copies (cosine
+    // ≈ 0.999, distinct csim → the keep-low-centroid-similarity branch
+    // must fire). All arithmetic is in DOUBLE on both engines, so the
+    // 4-decimal rounded scores are bit-equal.
+    Spec("q_semantic_dedup",
+      (s, dir) => {
+        val e0 = t(s, dir).embeddings.selectExpr("vec_id",
+          "transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding")
+        val copies = e0.where(col("vec_id") % 50 === 0)
+          .selectExpr("vec_id + 100000 AS vec_id", "embedding")
+        val pert = e0.where(col("vec_id") % 50 === 1)
+          .selectExpr("vec_id + 200000 AS vec_id",
+            "transform(embedding, x -> x + 0.05D) AS embedding")
+        Ann.semanticDedup(e0.unionByName(copies).unionByName(pert),
+            "vec_id", "embedding", 16, 0.8)
+          .select(col("id").as("vec_id"), col("cell"), col("csim"))
+          .orderBy(col("cell"), col("csim").desc, col("vec_id"))
+      },
+      Some("""WITH e0 AS (SELECT vec_id AS id,
+          CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        e AS (SELECT id, v FROM e0
+          UNION ALL SELECT id + 100000, v FROM e0 WHERE id % 50 = 0
+          UNION ALL SELECT id + 200000, list_transform(v, x -> x + 0.05)
+            FROM e0 WHERE id % 50 = 1),
+        b AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        st AS (SELECT greatest(1, COUNT(*) // 16) AS stride FROM b),
+        centers AS (SELECT id AS cell, v AS cv0, nrm AS cn0 FROM b, st
+          WHERE id % stride = 0 ORDER BY id LIMIT 16),
+        sims AS (SELECT b.id, b.v, b.nrm, c.cell,
+            floor((list_dot_product(b.v, c.cv0) / (b.nrm * c.cn0))
+              * 1e4 + 0.5) / 1e4 AS csim
+          FROM b CROSS JOIN centers c),
+        ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+            ORDER BY csim DESC, cell) AS pr FROM sims),
+        asg AS (SELECT id, cell, csim, v, nrm FROM ranked WHERE pr = 1),
+        prs AS (SELECT x.id AS id_a, x.csim AS ca, y.id AS id_b,
+            y.csim AS cb
+          FROM asg x JOIN asg y ON x.cell = y.cell AND x.id < y.id
+          WHERE floor((list_dot_product(x.v, y.v) / (x.nrm * y.nrm))
+            * 1e4 + 0.5) / 1e4 >= 0.8),
+        vict AS (SELECT DISTINCT CASE WHEN ca > cb
+            OR (ca = cb AND id_a > id_b) THEN id_a ELSE id_b END AS id
+          FROM prs)
+        SELECT id AS vec_id, cell, csim FROM asg
+        WHERE id NOT IN (SELECT id FROM vict)
+        ORDER BY cell, csim DESC, vec_id""")),
   )
 
   private def trainingMixDf(s: SparkSession, dir: String): DataFrame =

@@ -392,7 +392,15 @@ object Ann {
     * cluster structure behind cluster-balanced selection; centers
     * broadcast, assignment map-side, one window at the vector grain. */
   def clusterAssignments(df: DataFrame, id: String, vec: String,
-                         nCells: Int = 16): DataFrame = {
+                         nCells: Int = 16): DataFrame =
+    clusterAssignmentsWithVecs(df, id, vec, nCells)
+      .select(col("id"), col("cell"), col("csim"))
+
+  /** [[clusterAssignments]] carrying the normalized vector and its norm
+    * through — the form within-cluster pair scoring needs. */
+  private def clusterAssignmentsWithVecs(df: DataFrame, id: String,
+                                         vec: String,
+                                         nCells: Int): DataFrame = {
     GraftExtensions.register(df.sparkSession)
     val base = normalized(df, id, vec, "id", "v", "nrm").cache()
     val n = base.count()
@@ -402,12 +410,46 @@ object Ann {
       .select(col("id").as("cell"), col("v").as("cv0"),
         col("nrm").as("cn0"))
     base.crossJoin(broadcast(centers))
-      .select(col("id"), col("cell"),
+      .select(col("id"), col("v"), col("nrm"), col("cell"),
         stableRound(nativeDot(col("v"), col("cv0"))
           / (col("nrm") * col("cn0")), 4).as("csim"))
       .withColumn("pr", row_number().over(Window.partitionBy(col("id"))
         .orderBy(col("csim").desc, col("cell").asc)))
       .where(col("pr") === 1)
+      .select(col("id"), col("v"), col("nrm"), col("cell"), col("csim"))
+  }
+
+  /** Semantic dedup (SemDeDup — Abbas et al. 2023, arXiv:2303.09540):
+    * assign every vector to its nearest strided-sample centroid, score
+    * every WITHIN-CLUSTER pair, and for each pair with
+    * `cosine ≥ minCosine` drop the member closer to the centroid (higher
+    * `csim`; ties drop the higher id) — the paper's keep-low-
+    * centroid-similarity policy, retaining the most diverse
+    * representative of each semantic-duplicate group. Returns the
+    * surviving (id, cell, csim).
+    *
+    * Scale shape: the candidate join is per-cell all-pairs — quadratic in
+    * the CELL size by design (the paper's own formulation), so `nCells`
+    * must grow with the corpus to keep cells bounded (SemDeDup uses 50 K
+    * clusters at LAION scale). The join is one shuffle keyed by cell;
+    * centroids broadcast; nothing is ever all-pairs across cells. */
+  def semanticDedup(df: DataFrame, id: String, vec: String,
+                    nCells: Int = 16, minCosine: Double = 0.9): DataFrame = {
+    val asg = clusterAssignmentsWithVecs(df, id, vec, nCells).cache()
+    val pairs = asg.select(col("cell"), col("id").as("id_a"),
+        col("v").as("va"), col("nrm").as("na"), col("csim").as("ca"))
+      .join(asg.select(col("cell"), col("id").as("id_b"),
+        col("v").as("vb"), col("nrm").as("nb"), col("csim").as("cb")),
+        Seq("cell"))
+      .where(col("id_a") < col("id_b"))
+      .where(stableRound(nativeDot(col("va"), col("vb"))
+        / (col("na") * col("nb")), 4) >= minCosine)
+    val victims = pairs.select(
+      when(col("ca") > col("cb") ||
+        (col("ca") === col("cb") && col("id_a") > col("id_b")),
+        col("id_a")).otherwise(col("id_b")).as("id"))
+      .distinct()
+    asg.join(victims, Seq("id"), "left_anti")
       .select(col("id"), col("cell"), col("csim"))
   }
 

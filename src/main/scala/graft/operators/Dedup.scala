@@ -259,4 +259,50 @@ object Dedup {
     }
     labels.select(col("id").as(id), col("component"))
   }
+
+  /** Paragraph-level exact dedup (the Dolma/RefinedWeb line-dedup stage):
+    * every NON-BLANK line of every document is deduplicated globally —
+    * only its first occurrence in (id, position) order survives — then
+    * documents are reassembled from their surviving lines; documents left
+    * with no non-blank content are dropped. Blank/whitespace lines are
+    * structural, not content: they always survive and, deliberately,
+    * never enter the dedup window — at corpus scale the blank-line hash
+    * would be a single partition holding billions of rows (the one skew
+    * key this operator would otherwise create).
+    *
+    * Cost: one shuffle of the non-blank line stream keyed by the line's
+    * MD5 (the window), one doc-grain shuffle to reassemble. Line bodies
+    * ride each shuffle once; a digest-only variant would still have to
+    * join bodies back at the same grain, paying the same bytes plus an
+    * extra join. MD5, not a 64-bit hash, for the same birthday-bound
+    * reason as [[exactByContent]].
+    *
+    * Returns (id, text, n_kept, n_dropped): the rebuilt text, how many
+    * lines survived, and how many the dedup removed. */
+  def dedupParagraphs(docs: DataFrame, id: String, text: String): DataFrame = {
+    val paras = docs.select(col(id).as("id"),
+      posexplode(split(col(text), "\n", -1)).as(Seq("idx", "para")))
+    val blank = trim(col("para")) === ""
+    val w = Window.partitionBy(md5(col("para")))
+      .orderBy(col("id"), col("idx"))
+    val kept = paras.where(!blank)
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col("id"), col("idx"), col("para"), lit(1L).as("__content"))
+    val survivors = kept.unionByName(paras.where(blank)
+      .select(col("id"), col("idx"), col("para"), lit(0L).as("__content")))
+    val totals = paras.groupBy(col("id"))
+      .agg(count(lit(1)).as("__n_paras"))
+    survivors.groupBy(col("id"))
+      .agg(
+        concat_ws("\n",
+          transform(array_sort(collect_list(struct(col("idx"), col("para")))),
+            s => s.getField("para"))).as(text),
+        count(lit(1)).as("n_kept"),
+        sum(col("__content")).as("__n_content"))
+      .where(col("__n_content") > 0)
+      .join(totals, Seq("id"))
+      .select(col("id").as(id), col(text), col("n_kept"),
+        (col("__n_paras") - col("n_kept")).as("n_dropped"))
+  }
 }

@@ -437,4 +437,40 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(4L) == ((3L, 3L, "alone\n\ntail")))     // untouched
     assert(out(5L) == ((3L, 2L, "last doc\n")))        // trailing empty kept
   }
+
+  test("paragraph dedup: global first-occurrence wins, blanks survive, " +
+      "all-dup docs drop") {
+    val d = Seq(
+      (1L, "alpha\nbeta\nalpha"),   // in-doc dup: 2nd alpha drops
+      (2L, "beta\n\ngamma"),        // beta seen in doc 1; blank kept
+      (3L, "beta"),                 // everything already seen → doc drops
+      (4L, "   \ndelta")            // whitespace line is structural
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.dedupParagraphs(d, "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out.keySet == Set(1L, 2L, 4L))              // doc 3 fully deduped
+    assert(out(1L) == (("alpha\nbeta", 2L, 1L)))
+    assert(out(2L) == (("\ngamma", 2L, 1L)))           // blank rides along
+    assert(out(4L) == (("   \ndelta", 2L, 0L)))
+  }
+
+  test("semantic dedup: keeps the low-centroid-similarity member of a " +
+      "dup pair and tie-breaks exact copies by id") {
+    // nCells=1 → stride=5 → single centroid = vec 0. Pairs ≥ 0.95:
+    // (0,1),(0,2) victim 0 (csim 1.0 highest), (1,2) victim 1
+    // (csim .995 > .9929 — the diversity branch), (3,4) exact copies
+    // (equal csim → drop the higher id, 4). Survivors: 2 and 3.
+    val vecs = Seq(
+      (0L, Array(1.0, 0.0)),
+      (1L, Array(1.0, 0.1)),
+      (2L, Array(1.0, 0.12)),
+      (3L, Array(0.0, 1.0)),
+      (4L, Array(0.0, 1.0))
+    ).toDF("vec_id", "embedding")
+    val out = Ann.semanticDedup(vecs, "vec_id", "embedding", 1, 0.95)
+      .collect().map(_.getLong(0)).toSet
+    assert(out == Set(2L, 3L))
+  }
 }
