@@ -3477,6 +3477,127 @@ object Queries {
         SELECT id AS vec_id, cell, csim FROM asg
         WHERE id NOT IN (SELECT id FROM vict)
         ORDER BY cell, csim DESC, vec_id""")),
+
+    // ----------------- ExactSubstr duplicate spans (Lee et al. 2022)
+    // The synthetic corpus has 1000+ naturally duplicated 8-word grams
+    // (31-word vocabulary), so no fixture injection is needed: the gram
+    // digesting, the ≥2-occurrence mark, and the interval-contiguity
+    // island merge are all exercised by the raw documents table.
+    Spec("q_substr_dup_spans",
+      (s, dir) => SubstrDedup.duplicateSpans(
+          t(s, dir).documents, "doc_id", "text", 8)
+        .orderBy(col("doc_id"), col("span_start")),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+          FROM documents),
+        g AS (SELECT doc_id, i, CAST(('0x' || substr(md5(
+              array_to_string(ws[i:i+7], ' ')), 1, 15)) AS BIGINT) AS h
+          FROM w, LATERAL (SELECT unnest(generate_series(1,
+            len(ws) - 7)) AS i) WHERE len(ws) >= 8),
+        dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2),
+        d AS (SELECT doc_id, i FROM g WHERE h IN (SELECT h FROM dup)),
+        brk AS (SELECT doc_id, i, CASE WHEN i - lag(i) OVER
+            (PARTITION BY doc_id ORDER BY i) > 8 THEN 1 ELSE 0 END AS b
+          FROM d),
+        isl AS (SELECT doc_id, i, SUM(b) OVER (PARTITION BY doc_id
+            ORDER BY i ROWS UNBOUNDED PRECEDING) AS grp FROM brk)
+        SELECT doc_id, CAST(MIN(i) AS BIGINT) AS span_start,
+          CAST(MAX(i) + 7 AS BIGINT) AS span_end,
+          CAST(MAX(i) + 7 - MIN(i) + 1 AS BIGINT) AS n_words
+        FROM isl GROUP BY doc_id, grp
+        ORDER BY doc_id, span_start""")),
+
+    // -------------------- ExactSubstr strip (all occurrences removed)
+    Spec("q_substr_strip",
+      (s, dir) => SubstrDedup.stripDuplicateSpans(
+          t(s, dir).documents, "doc_id", "text", 8)
+        .orderBy(col("doc_id")),
+      Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+          FROM documents),
+        g AS (SELECT doc_id, i, CAST(('0x' || substr(md5(
+              array_to_string(ws[i:i+7], ' ')), 1, 15)) AS BIGINT) AS h
+          FROM w, LATERAL (SELECT unnest(generate_series(1,
+            len(ws) - 7)) AS i) WHERE len(ws) >= 8),
+        dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2),
+        d AS (SELECT doc_id, i FROM g WHERE h IN (SELECT h FROM dup)),
+        brk AS (SELECT doc_id, i, CASE WHEN i - lag(i) OVER
+            (PARTITION BY doc_id ORDER BY i) > 8 THEN 1 ELSE 0 END AS b
+          FROM d),
+        isl AS (SELECT doc_id, i, SUM(b) OVER (PARTITION BY doc_id
+            ORDER BY i ROWS UNBOUNDED PRECEDING) AS grp FROM brk),
+        sp AS (SELECT doc_id, MIN(i) AS s, MAX(i) + 7 AS e
+          FROM isl GROUP BY doc_id, grp),
+        cov AS (SELECT doc_id, pos FROM sp,
+          LATERAL (SELECT unnest(generate_series(s, e)) AS pos)),
+        wp AS (SELECT doc_id, pos, ws[pos] AS word FROM w,
+          LATERAL (SELECT unnest(generate_series(1, len(ws))) AS pos))
+        SELECT t.doc_id,
+          coalesce(string_agg(CASE WHEN c.pos IS NULL THEN t.word END,
+            ' ' ORDER BY t.pos), '') AS text,
+          CAST(COUNT(CASE WHEN c.pos IS NULL THEN 1 END) AS BIGINT)
+            AS n_kept,
+          CAST(COUNT(c.pos) AS BIGINT) AS n_removed
+        FROM wp t LEFT JOIN cov c
+          ON t.doc_id = c.doc_id AND t.pos = c.pos
+        GROUP BY t.doc_id ORDER BY t.doc_id""")),
+
+    // ------------------------------- TF-IDF top-k keyword extraction
+    Spec("q_tfidf_topk",
+      (s, dir) => Terms.tfIdfTopK(t(s, dir).documents, "doc_id", "text", 5)
+        .orderBy(col("doc_id"), col("tfidf").desc, col("term")),
+      Some("""WITH tc AS (SELECT doc_id, term,
+            CAST(COUNT(*) AS BIGINT) AS tf
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents) WHERE term <> '' GROUP BY doc_id, term),
+        df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tc
+          GROUP BY term),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        sc AS (SELECT doc_id, tc.term, tf, df,
+            tf * (1000000 + CAST(floor(ln(CAST(n_docs + 1 AS DOUBLE)
+              / (df + 1)) * 1e6 + 0.5) AS BIGINT)) AS score_micro
+          FROM tc JOIN df ON tc.term = df.term CROSS JOIN n),
+        ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+            ORDER BY score_micro DESC, term) AS rn FROM sc)
+        SELECT doc_id, term, tf, df,
+          floor((CAST(score_micro AS DOUBLE) / 1e6) * 1e6 + 0.5) / 1e6
+            AS tfidf
+        FROM ranked WHERE rn <= 5
+        ORDER BY doc_id, tfidf DESC, term""")),
+
+    // ------------------- per-source unigram KL divergence (drift gate)
+    Spec("q_source_divergence",
+      (s, dir) => Terms.sourceDivergence(
+          t(s, dir).documents, "doc_id", "text", "source")
+        .orderBy(col("source")),
+      Some("""WITH w2 AS (SELECT doc_id, src, term FROM
+          (SELECT doc_id, source AS src,
+            unnest(string_split(text, ' ')) AS term FROM documents)
+          WHERE term <> ''),
+        st AS (SELECT src, term, CAST(COUNT(*) AS BIGINT) AS c_st
+          FROM w2 GROUP BY src, term),
+        tt AS (SELECT term, CAST(SUM(c_st) AS BIGINT) AS c_t FROM st
+          GROUP BY term),
+        ss AS (SELECT src, CAST(SUM(c_st) AS BIGINT) AS c_s FROM st
+          GROUP BY src),
+        tot AS (SELECT CAST(SUM(c_t) AS BIGINT) AS c_tot FROM tt),
+        dn AS (SELECT source AS src, CAST(COUNT(*) AS BIGINT) AS n_docs
+          FROM documents GROUP BY source),
+        contrib AS (SELECT st.src, c_s, c_st * (
+            CAST(floor(ln(CAST(c_st AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+            - CAST(floor(ln(CAST(c_s AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+            - CAST(floor(ln(CAST(c_t AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+            + CAST(floor(ln(CAST(c_tot AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+          ) AS kc
+          FROM st JOIN tt ON st.term = tt.term
+            JOIN ss ON st.src = ss.src CROSS JOIN tot),
+        agg AS (SELECT src, c_s, CAST(COUNT(*) AS BIGINT) AS n_terms,
+            CAST(SUM(kc) AS BIGINT) AS klm
+          FROM contrib GROUP BY src, c_s)
+        SELECT a.src AS source, d.n_docs, a.n_terms,
+          a.c_s AS n_words,
+          floor((CAST(klm AS DOUBLE) / (CAST(c_s AS DOUBLE) * 1e6))
+            * 1e6 + 0.5) / 1e6 AS kl_corpus
+        FROM agg a JOIN dn d ON a.src = d.src
+        ORDER BY source""")),
   )
 
   private def trainingMixDf(s: SparkSession, dir: String): DataFrame =

@@ -1,0 +1,108 @@
+package graft.operators
+
+import graft.functions.ColumnFns.stableRound
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Term-statistics operators over a document corpus: TF-IDF keyword
+  * extraction and per-source unigram-distribution divergence (corpus
+  * drift/skew monitoring). Both follow the repo's exact-arithmetic
+  * contract: every logarithm is rounded to integer MICRO-units (×1e6)
+  * the moment it is taken, and everything after that is exact BIGINT
+  * arithmetic — so scores are bit-identical across engines and under
+  * re-partitioning (same discipline as [[NgramLm]]).
+  *
+  * 100 TB shape: all aggregates are vocabulary- or (doc × vocab)-grain
+  * with map-side partial combine; corpus-level scalars (N docs, total
+  * words) are single-row aggregates cross-joined back (broadcast), never
+  * collected; the only windows run at (doc, term) grain partitioned by
+  * doc. Nothing is ever all-pairs.
+  *
+  * No counterpart in the reference (its corpus is transactional); part of
+  * the LLM-training-data surface the brief adds.
+  */
+object Terms {
+
+  /** `floor(ln(x)·1e6 + 0.5)` as BIGINT — the micro-int log. */
+  private def lnMicro(c: org.apache.spark.sql.Column) =
+    floor(log(c) * 1e6 + 0.5).cast("long")
+
+  /** (id, term, tf): per-document term counts over a single-space word
+    * split (one (id, term)-keyed shuffle, map-side combined). */
+  def termCounts(docs: DataFrame, id: String, text: String): DataFrame =
+    docs.select(col(id).as("id"),
+        explode(split(col(text), " ")).as("term"))
+      .where(col("term") =!= "")
+      .groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Top-`k` TF-IDF terms per document. Smoothed IDF (sklearn's
+    * formulation): `idf = ln((N+1)/(df+1)) + 1`, kept as the exact
+    * micro-int `idf_micro = 1e6 + lnMicro((N+1)/(df+1))`; the score
+    * ranks by the exact BIGINT `tf · idf_micro` (ties broken by term),
+    * and surfaces as `tfidf = tf·idf_micro / 1e6` rounded to 6 decimals.
+    * Returns (id, term, tf, df, tfidf). */
+  def tfIdfTopK(docs: DataFrame, id: String, text: String,
+                k: Int): DataFrame = {
+    val tc = termCounts(docs, id, text)
+    val df_ = tc.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).as("n_docs"))
+    val scored = tc.join(df_, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("idf_micro", lit(1000000L) +
+        lnMicro((col("n_docs") + 1).cast("double") / (col("df") + 1)))
+      .withColumn("score_micro", col("tf") * col("idf_micro"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("score_micro").desc, col("term").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("id").as(id), col("term"), col("tf"), col("df"),
+        stableRound(col("score_micro").cast("double") / 1e6, 6).as("tfidf"))
+  }
+
+  /** Per-source KL divergence of the source's unigram distribution from
+    * the whole-corpus distribution — the drift/skew monitor a multi-source
+    * ingest runs per snapshot. With `c_st` the count of term `t` in
+    * source `s`, `C_s = Σ_t c_st`, and corpus-wide `c_t`, `C`:
+    *
+    *   KL(s ‖ corpus) = Σ_t (c_st/C_s) · ln((c_st/C_s)/(c_t/C))
+    *     = (Σ_t c_st · [lnμ(c_st) − lnμ(C_s) − lnμ(c_t) + lnμ(C)]) / (C_s·1e6)
+    *
+    * where lnμ is the micro-int log — so the sum is exact BIGINT and the
+    * single division at the end is the only float op (rounded to 6).
+    * Every source term exists in the corpus by construction, so no
+    * zero-probability guard is needed. Returns
+    * (source, n_docs, n_terms, n_words, kl_corpus), totally ordered by
+    * the caller. */
+  def sourceDivergence(docs: DataFrame, id: String, text: String,
+                       source: String): DataFrame = {
+    val words = docs.select(col(id).as("id"), col(source).as("src"),
+        explode(split(col(text), " ")).as("term"))
+      .where(col("term") =!= "")
+    val bySrcTerm = words.groupBy(col("src"), col("term"))
+      .agg(count(lit(1)).as("c_st"))
+    val byTerm = bySrcTerm.groupBy(col("term"))
+      .agg(sum(col("c_st")).as("c_t"))
+    val bySrc = bySrcTerm.groupBy(col("src"))
+      .agg(sum(col("c_st")).as("c_s"))
+    val total = byTerm.select(sum(col("c_t")).as("c_tot"))
+    val docsBySrc = docs.groupBy(col(source).as("src"))
+      .agg(count(lit(1)).as("n_docs"))
+    bySrcTerm
+      .join(byTerm, Seq("term"))
+      .join(bySrc, Seq("src"))
+      .crossJoin(broadcast(total))
+      .withColumn("contrib", col("c_st") *
+        (lnMicro(col("c_st")) - lnMicro(col("c_s"))
+          - lnMicro(col("c_t")) + lnMicro(col("c_tot"))))
+      .groupBy(col("src"), col("c_s"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("contrib")).as("klm"))
+      .join(docsBySrc, Seq("src"))
+      .select(col("src").as(source), col("n_docs"),
+        col("n_terms"), col("c_s").as("n_words"),
+        stableRound(col("klm").cast("double")
+          / (col("c_s").cast("double") * 1e6), 6).as("kl_corpus"))
+  }
+}

@@ -473,4 +473,85 @@ class LlmOpsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(out == Set(2L, 3L))
   }
+
+  test("exact-substring dedup: shared run found in both docs, interval " +
+      "merge bridges a sub-k gap, strip removes every copy") {
+    // docs 1 and 2 share words 1..9 ("w1 .. w9"): gram starts 1 and 2
+    // (k=8) are duplicated in both → one span [1, 9] each. Doc 3 repeats
+    // ITS OWN 8-gram at starts 1 and 12 with a 3-word wedge between the
+    // two copies: interval contiguity (12 − 1 > 8 splits only past k)
+    // must report TWO spans [1,8] and [12,19], not one. Doc 4 is clean.
+    val w9 = (1 to 9).map(i => s"w$i").mkString(" ")
+    val own = (1 to 8).map(i => s"x$i").mkString(" ")
+    val d = Seq(
+      (1L, s"$w9 tail1 only1"),
+      (2L, s"$w9 tail2 only2"),
+      (3L, s"$own gap1 gap2 gap3 $own"),
+      (4L, "a b c d e f g h")       // 8 words, gram unique → no span
+    ).toDF("doc_id", "text")
+    val spans = graft.operators.SubstrDedup
+      .duplicateSpans(d, "doc_id", "text", 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(spans == Set((1L, 1L, 9L), (2L, 1L, 9L),
+      (3L, 1L, 8L), (3L, 12L, 19L)))
+    val out = graft.operators.SubstrDedup
+      .stripDuplicateSpans(d, "doc_id", "text", 8)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(1L) == (("tail1 only1", 2L, 9L)))   // all copies go
+    assert(out(2L) == (("tail2 only2", 2L, 9L)))
+    assert(out(3L) == (("gap1 gap2 gap3", 3L, 16L)))
+    assert(out(4L) == (("a b c d e f g h", 8L, 0L)))  // untouched
+  }
+
+  test("tf-idf: corpus-unique term outranks a ubiquitous one; top-k and " +
+      "tie order hold") {
+    // 'rare' appears only in doc 1 (df=1, idf high); 'the' is in all 3
+    // docs (df=3 → idf = ln(4/4)+1 = 1 exactly). Doc 1: rare tf=1 must
+    // outrank the tf=2 ('the' score 2.0 < rare ln(2)+1 = 1.693…? no —
+    // 2·1.0 > 1·1.693), so the top term by score is 'the'; checks the
+    // exact micro-int scores rather than a guessed order.
+    val d = Seq(
+      (1L, "the rare the"),
+      (2L, "the common word"),
+      (3L, "the word word")
+    ).toDF("doc_id", "text")
+    val top = graft.operators.Terms.tfIdfTopK(d, "doc_id", "text", 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // doc 1: the tf=2 df=3 idf_micro=1e6 → 2.0; rare tf=1 df=1
+    // idf_micro = 1e6 + round(ln(2)·1e6) = 1693147 → 1.693147
+    assert(top((1L, "the")) == ((2L, 3L, 2.0)))
+    assert(top((1L, "rare")) == ((1L, 1L, 1.693147)))
+    // doc 3: word tf=2 df=2, idf_micro = 1e6 + round(ln(4/3)·1e6)
+    val wordScore = top((3L, "word"))
+    assert(wordScore._1 == 2L && wordScore._2 == 2L)
+    assert(math.abs(wordScore._3 - 2 * (1.0 + math.log(4.0 / 3))) < 1e-5)
+  }
+
+  test("source divergence: identical sources diverge zero; a skewed " +
+      "source diverges positive") {
+    val d = Seq(
+      (1L, "a b c", "s1"), (2L, "a b c", "s1"),
+      (3L, "a b c", "s2"),                      // s2 ≡ corpus shape? no —
+      (4L, "z z z", "s3")                       // s3 pulls corpus off s1/s2
+    ).toDF("doc_id", "text", "source")
+    val kl = graft.operators.Terms
+      .sourceDivergence(d, "doc_id", "text", "source")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    // s1 and s2 have the SAME distribution {a,b,c}: identical KL
+    assert(kl("s1")._4 == kl("s2")._4)
+    assert(kl("s1")._4 > 0)            // corpus includes z → shifted
+    assert(kl("s3")._4 > kl("s1")._4)  // all-z source diverges harder
+    assert(kl("s1") == ((2L, 3L, 6L, kl("s1")._4)))
+    // a one-source corpus diverges exactly zero from itself
+    val solo = graft.operators.Terms.sourceDivergence(
+      Seq((1L, "p q r", "only")).toDF("doc_id", "text", "source"),
+      "doc_id", "text", "source").collect()
+    assert(solo.length == 1 && solo.head.getDouble(4) == 0.0)
+  }
 }
