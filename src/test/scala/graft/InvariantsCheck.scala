@@ -328,7 +328,8 @@ object InvariantsCheck extends Properties("graft.invariants") {
     }
 
   property("takeByTokenBudget keeps exactly the maximal in-budget " +
-      "ascending-id prefix per source") =
+      "ascending-id prefix per source, for ANY blockWidth (the blocked " +
+      "prefix sum equals the naive per-source cumsum)") =
     forAll(for {
       n <- Gen.choose(1, 10)
       budget <- Gen.choose(1L, 60L)
@@ -339,9 +340,11 @@ object InvariantsCheck extends Properties("graft.invariants") {
       (i.toLong, t, if (i % 2 == 0) "x" else "y") })) {
       case (budget, rows) =>
         val docs = rows.toDF("doc_id", "text", "source")
-        val kept = graft.operators.Mixing
-          .takeByTokenBudget(docs, "doc_id", "text", "source", budget)
+        def keptAt(w: Long) = graft.operators.Mixing
+          .takeByTokenBudget(docs, "doc_id", "text", "source", budget, w)
           .select("doc_id").as[Long].collect().toSet
+        val kept = keptAt(1L << 20)
+        val blockInvariant = kept == keptAt(1L) && kept == keptAt(3L)
         // reference: per source, walk ids ascending, accumulate the same
         // estimate (ceil(len/4) per whitespace token, min 1), stop at the
         // first doc that would cross the budget — it and everything after
@@ -354,7 +357,7 @@ object InvariantsCheck extends Properties("graft.invariants") {
             .scanLeft(0L) { case (acc, r) => acc + estimate(r._2) }.tail
           sorted.zip(cum).takeWhile(_._2 <= budget).map(_._1._1)
         }.toSet
-        kept == want
+        blockInvariant && kept == want
     }
 
   property("md5_prefix60 is bit-equal to the portable hex-route SQL " +
