@@ -1371,7 +1371,8 @@ object Queries {
     * the identical stats CTE with `rawConfSql` as the pre-noise
     * confidence (the only part that varies across models). */
   private def heuristicRecsSpec(name: String, modelName: String,
-                                rawConfSql: String): Spec =
+                                rawConfSql: String): Spec = {
+    val salt = Heuristics.modelSalt(modelName)
     Spec(name,
       (s, dir) => Heuristics.heuristicScores(
         Heuristics.productWindowStats(custItemTx(s, dir),
@@ -1392,7 +1393,8 @@ object Queries {
         scored AS (SELECT pid, households, avg_value, sales_3m,
             households_3m,
             greatest(0.5, least(0.9658, """ + rawConfSql + """
-              + ((((pid % 10000) * 2654435761) % 10000) / 10000.0 * 0.06) - 0.03))
+              + (((((pid % 10000) + """ + salt + """) * 2654435761) % 10000)
+                 / 10000.0 * 0.06) - 0.03))
               AS conf
           FROM stats WHERE households > 0 AND avg_value > 0),
         rev AS (SELECT *,
@@ -1407,6 +1409,7 @@ object Queries {
             AS projected_revenue
         FROM rev
         ORDER BY projected_revenue DESC, confidence DESC, l_partkey"""))
+  }
 
   private def heuristicSpecs: Seq[Spec] = Seq(
 

@@ -14,8 +14,11 @@ import org.apache.spark.sql.functions._
   * Noise determinism (SURVEY §7.5#4): the reference seeds numpy with
   * `hash(model+pid) % 10000` — Python's string hash is process-random, so
   * the reference itself is only distributionally reproducible. We use an
-  * explicit multiplicative-hash draw from the product id, which is exactly
-  * reproducible everywhere and has the same (-0.03, 0.03) uniform shape.
+  * explicit multiplicative-hash draw from (model salt + product id), which
+  * is exactly reproducible everywhere, has the same (-0.03, 0.03) uniform
+  * shape, AND preserves the reference's structure of per-model
+  * decorrelated noise (one product draws four different noises across the
+  * four models).
   */
 object Heuristics {
 
@@ -72,12 +75,24 @@ object Heuristics {
       .limit(limit)
   }
 
-  /** Deterministic uniform(-amp, amp) noise keyed on the item id. The key
-    * is reduced before the multiplicative mix so the product cannot
-    * overflow Long (ANSI) at large ids. */
-  def seededNoise(itemId: Column, amp: Double): Column =
-    (pmod(pmod(itemId, lit(10000L)) * lit(2654435761L), lit(10000L))
-      .cast("double") / 10000.0 * (2 * amp)) - amp
+  /** Deterministic per-model additive salt for [[seededNoise]]: a tiny
+    * 31-polynomial string hash of the model name reduced mod 10000. The
+    * reference seeds numpy with `hash(model_name + str(product_id))`
+    * (`ml_models.py:881-883`), so for one product the four models draw
+    * four DIFFERENT noises; mixing this salt into the draw reproduces
+    * that decorrelation structure exactly (value parity is impossible —
+    * Python's `hash` is process-salted). Computed at plan-build time, so
+    * SQL oracles embed it as a literal. */
+  def modelSalt(modelName: String): Long =
+    modelName.foldLeft(7L)((h, c) => (h * 31 + c) % 10000L)
+
+  /** Deterministic uniform(-amp, amp) noise keyed on the item id plus an
+    * additive salt (see [[modelSalt]]). Both operands are reduced below
+    * 10⁴ before the multiplicative mix so the product (< 2·10⁴ ×
+    * 2.7·10⁹ ≈ 5.3·10¹³) cannot overflow Long (ANSI) at large ids. */
+  def seededNoise(itemId: Column, amp: Double, salt: Long = 0L): Column =
+    (pmod((pmod(itemId, lit(10000L)) + lit(salt)) * lit(2654435761L),
+      lit(10000L)).cast("double") / 10000.0 * (2 * amp)) - amp
 
   /** Per-model confidence formulas (`ml_models.py:857-879`): each model
     * name selects distinct popularity/value weighting; anything not named
@@ -119,7 +134,8 @@ object Heuristics {
                       modelName: String = "neural_network"): DataFrame = {
     val rawConf = confidenceFormula(modelName, baseAccuracy)
     val conf = greatest(lit(0.5),
-      least(lit(baseAccuracy), rawConf + seededNoise(col(item), 0.03)))
+      least(lit(baseAccuracy),
+        rawConf + seededNoise(col(item), 0.03, modelSalt(modelName))))
     val baseRevenue = when(col(s"sales_$horizon") > 0, col(s"sales_$horizon"))
       .otherwise(col("avg_value") * col(s"households_$horizon"))
     val growth = lit(1.0) + (conf - 0.5) * 0.5

@@ -31,15 +31,23 @@ final case class Tables(spark: SparkSession, dir: String) {
   def orders: DataFrame = table("orders")
   def lineitem: DataFrame = table("lineitem")
 
-  // Event stream table. The driver writes `ts` as parquet TIMESTAMP(NANOS),
-  // which Spark's vectorized reader rejects; read nanos as long
-  // (legacy conf) and rebuild a microsecond TimestampType column with
-  // integer `div` (a double division would lose precision at 1e18 nanos).
+  // Event stream table. Some driver generations write `ts` as parquet
+  // TIMESTAMP(NANOS), which Spark's vectorized reader rejects — those are
+  // read as nanos-long (legacy conf) and rebuilt into a microsecond
+  // timestamp with integer `div` (a double division would lose precision
+  // at 1e18 nanos). Newer generations write TIMESTAMP(MICROS,
+  // isAdjustedToUTC=false), which Spark reads natively as TIMESTAMP_NTZ —
+  // the naive wall-clock DuckDB also sees, so it passes through untouched.
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table("events").withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val df = table("events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ => df
+    }
   }
 
   // training-data pipeline tables

@@ -204,8 +204,12 @@ class DunnhumbySpec extends SparkSpec {
         math.min(math.max(avg / 60.0, 0.0), 1.0) + 0.1)),
       "gradient_boost" -> base * (0.6 + 0.4 * (hh / 1500.0 +
         math.pow(avg, 0.4) / 8.0 + 0.2)))
-    val noise = ((pid % 10000L) * 2654435761L % 10000L) / 10000.0 * 0.06 -
-      0.03
+    // per-model decorrelated noise, replicated literally
+    // (ml_models.py:881-883 seeds hash(model_name + str(pid)))
+    def salt(m: String) = m.foldLeft(7L)((h, c) => (h * 31 + c) % 10000L)
+    def noise(m: String) =
+      (((pid % 10000L) + salt(m)) * 2654435761L % 10000L) / 10000.0 *
+        0.06 - 0.03
     def round(v: Double, d: Int) =
       math.floor(v * math.pow(10, d) + 0.5) / math.pow(10, d)
     val got = rawConf.keys.map { model =>
@@ -215,7 +219,7 @@ class DunnhumbySpec extends SparkSpec {
         r.getAs[Long]("projected_revenue"))
     }.toMap
     rawConf.foreach { case (model, rc) =>
-      val conf = math.max(0.5, math.min(base, rc + noise))
+      val conf = math.max(0.5, math.min(base, rc + noise(model)))
       val projected = math.max(sales3m * 0.8, math.min(sales3m * 1.5,
         sales3m * (1.0 + (conf - 0.5) * 0.5)))
       assert(got(model)._1 === round(conf, 3), s"confidence [$model]")
@@ -224,10 +228,17 @@ class DunnhumbySpec extends SparkSpec {
     }
     // the four formulas must actually discriminate on this frame
     assert(got.values.map(_._1).toSet.size === 4)
-    // an unknown model name falls to the gradient_boost else-branch,
-    // exactly like the reference's if/elif chain
+    // ...and so must the four noises for ONE product — the reference's
+    // hash(model+pid) seed draws per-model decorrelated noise
+    assert(rawConf.keys.map(noise).toSet.size === 4)
+    assert(Heuristics.modelSalt("neural_network") === salt("neural_network"))
+    // an unknown model name falls to the gradient_boost else-branch
+    // FORMULA, exactly like the reference's if/elif chain — but draws its
+    // own noise (the reference seeds on the unknown name too)
+    val mysteryConf = math.max(0.5, math.min(base,
+      rawConf("gradient_boost") + noise("mystery")))
     assert(Heuristics.heuristicScores(stats, "pid", base, "3m", "mystery")
-      .head().getAs[Double]("confidence") === got("gradient_boost")._1)
+      .head().getAs[Double]("confidence") === round(mysteryConf, 3))
   }
 
   test("J11: duplicated antecedent items are set semantics — [A,A] -> D " +
