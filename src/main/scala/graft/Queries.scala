@@ -1173,6 +1173,82 @@ object Queries {
           FROM blended)
         WHERE rn <= 5 ORDER BY u, rn""")),
 
+    // ------------------------------------------- §2.14 amortized family
+    // The CF family off ONE materialization each of the user-item
+    // counts, the similarity pairs, and the scored CF candidates —
+    // [[Collab.cfFamily]]; run separately, q_cf_user_sims /
+    // q_cf_recommendations / q_hybrid_recommendations each re-pay the
+    // item self-join under the cache-clearing harness. The mirror
+    // replays each family from shared CTEs.
+    Spec("q_cf_family",
+      (s, dir) => Collab.cfFamily(
+        Collab.userItemCounts(custItemTx(s, dir), "o_custkey", "l_partkey"),
+        AssociationRules.rulesRaw(t(s, dir).lineitem,
+          "l_orderkey", "l_partkey", rulesParams),
+        5, 0.6, u => u % 50 === 0),
+      Some("""WITH """ + cfSimsSql + """,
+        sym AS (SELECT u1, u2, cos FROM sims
+          UNION ALL SELECT u2, u1, cos FROM sims),
+        scored AS (SELECT sym.u1 AS u, ui.i,
+            floor((SUM(sym.cos * ui.c)) * 1e6 + 0.5) / 1e6 AS score
+          FROM sym JOIN ui ON ui.u = sym.u2
+          WHERE sym.cos > 0 AND sym.u1 % 50 = 0
+            AND NOT EXISTS (SELECT 1 FROM ui me
+              WHERE me.u = sym.u1 AND me.i = ui.i)
+          GROUP BY 1, 2),
+        sims_fam AS (SELECT 'sims' AS family, u1 AS u, u2 AS i,
+            floor((cos) * 1e6 + 0.5) / 1e6 AS score,
+            CAST(0 AS BIGINT) AS rn
+          FROM sims ORDER BY score DESC, u, i LIMIT 1000),
+        cf_fam AS (SELECT 'cf' AS family, u, i, score, rn
+          FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY u
+              ORDER BY score DESC, i) AS BIGINT) AS rn
+            FROM scored)
+          WHERE rn <= 5),
+        bi AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+          FROM lineitem WHERE l_partkey IS NOT NULL),
+        tot AS (SELECT COUNT(DISTINCT basket) AS n FROM bi),
+        cnt AS (SELECT item, COUNT(*) AS c FROM bi GROUP BY item),
+        okb AS (SELECT basket FROM bi GROUP BY basket
+          HAVING COUNT(*) BETWEEN 2 AND 500),
+        pairs AS (
+          SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS pair_baskets
+          FROM bi a JOIN bi b ON a.basket = b.basket AND a.item < b.item
+          JOIN okb ON okb.basket = a.basket
+          GROUP BY 1, 2
+          ORDER BY pair_baskets DESC, item_a, item_b LIMIT 2000),
+        raw AS (SELECT p.item_a, p.item_b,
+            CAST(p.pair_baskets AS DOUBLE) / ca.c AS confidence,
+            (CAST(p.pair_baskets AS DOUBLE) / ca.c)
+              / (CAST(cb.c AS DOUBLE) / t.n) AS lift
+          FROM pairs p CROSS JOIN tot t
+          JOIN cnt ca ON ca.item = p.item_a
+          JOIN cnt cb ON cb.item = p.item_b),
+        assoc AS (SELECT ui.u, raw.item_b AS i,
+            floor((SUM(raw.confidence * raw.lift)) * 1e6 + 0.5) / 1e6 AS score
+          FROM ui JOIN raw ON raw.item_a = ui.i
+          WHERE ui.u % 50 = 0
+            AND NOT EXISTS (SELECT 1 FROM ui me
+              WHERE me.u = ui.u AND me.i = raw.item_b)
+          GROUP BY 1, 2),
+        an AS (SELECT u, i, score,
+            MAX(score) OVER (PARTITION BY u) AS mx FROM assoc),
+        cn AS (SELECT u, i, score,
+            MAX(score) OVER (PARTITION BY u) AS mx FROM scored),
+        blended AS (SELECT COALESCE(a.u, c.u) AS u, COALESCE(a.i, c.i) AS i,
+            floor((0.6 * COALESCE(a.score / a.mx, 0.0)
+              + 0.4 * COALESCE(c.score / c.mx, 0.0)) * 1e6 + 0.5) / 1e6
+              AS hybrid_score
+          FROM an a FULL OUTER JOIN cn c ON a.u = c.u AND a.i = c.i),
+        hyb_fam AS (SELECT 'hybrid' AS family, u, i, hybrid_score AS score,
+            rn
+          FROM (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY u
+              ORDER BY hybrid_score DESC, i) AS BIGINT) AS rn
+            FROM blended)
+          WHERE rn <= 5)
+        SELECT * FROM sims_fam UNION ALL SELECT * FROM cf_fam
+        UNION ALL SELECT * FROM hyb_fam""")),
+
     // ---------------------------------------------------------- J11
     // Multi-item rule-antecedent matching: [a,b]→c triple rules at the
     // brand grain, fired per customer when BOTH antecedent brands are in

@@ -23,13 +23,24 @@ object Verify {
     // driver sets no env and always gets the full run)
     val only = sys.env.get("GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // Failures must be LOUD: a query that throws gets (a) an _ERROR.txt
+    // marker in its (otherwise empty) output dir and (b) an entry in
+    // failed.json beside oracle_sql.json — so a plan-time break surfaces
+    // as a red row on the driver's board instead of silently shrinking
+    // the denominator (the round-7 streaming regression vanished this way).
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getName}: ${e.getMessage}"
+        System.err.println(s"[verify] $name failed: $msg")
+        failed(name) = msg
+        val d = new java.io.File(s"$outDir/$name")
+        d.mkdirs()
+        Files.writeString(Paths.get(s"$outDir/$name/_ERROR.txt"), msg + "\n")
       }
       // several operators (LSH/IVF bucketed frames) intentionally return
       // results backed by a cached intermediate; across ~100 queries those
@@ -52,6 +63,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val failedJson = failed
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/failed.json"), failedJson)
+    if (failed.nonEmpty)
+      System.err.println(
+        s"[verify] ${failed.size} quer${if (failed.size == 1) "y" else "ies"}" +
+          s" FAILED: ${failed.keys.mkString(", ")}")
     spark.stop()
   }
 }

@@ -293,6 +293,64 @@ object Collab {
         proj.schema.fieldNames.map(col): _*)
   }
 
+  /** The whole CF family — top-`simsLimit` user similarities (§2.14
+    * sims), top-`k` CF recommendations, and the hybrid assoc+CF blend —
+    * off ONE materialization of each shared stage. Run separately, the
+    * three queries each re-pay the item self-join (the dominant
+    * shuffle — the isolation-correct but 3× price the per-query
+    * registrations pay under a cache-clearing harness); this entry point
+    * is the amortized contract, the CF twin of
+    * [[AssociationRules.rulesFamily]]: the user-item counts are cached
+    * once, the similarity pairs are cached once and serve both the
+    * top-similarities listing and the candidate scoring, and the scored
+    * CF candidates are cached once and serve both the top-k
+    * recommendations and the hybrid blend's CF side.
+    *
+    * `userFilter` builds the target-user predicate from whichever column
+    * holds the user id at each use site (the similarity frame calls it
+    * on `u1`, the purchase frame on `u`).
+    *
+    * Output: (`family`, `u`, `i`, `score`, `rn`) where family is
+    *  - `sims` — top-`simsLimit` pairs by rounded cosine (u = u1,
+    *    i = u2, rn = 0: similarities are a pair listing, not a ranking);
+    *  - `cf` — [[recommend]] semantics (top `k` per target user);
+    *  - `hybrid` — [[hybridBlend]] semantics (α·assoc + (1−α)·cf).
+    * Caches are query-local by the engine's harness convention; the two
+    * count() barriers exist because Spark tasks racing an unmaterialized
+    * cache each recompute it (getOrCompute does not cross-task-wait). */
+  def cfFamily(counts0: DataFrame, rules: DataFrame, k: Int, alpha: Double,
+               userFilter: Column => Column,
+               simsLimit: Int = 1000): DataFrame = {
+    val counts = counts0.cache()
+    counts.count()
+    val sims = userSimilarities(counts).cache()
+    sims.count()
+    // rounding happens BEFORE the top-N, matching q_cf_user_sims (ties
+    // on rounded cosine break on the unique ordered pair key)
+    val simsFam = sims
+      .select(lit("sims").as("family"), col("u1").as("u"),
+        col("u2").as("i"), stableRound(col("cos"), 6).as("score"))
+      .orderBy(col("score").desc, col("u"), col("i")).limit(simsLimit)
+      .withColumn("rn", lit(0L))
+    val scored = scoreCandidates(counts, sims, userFilter(col("u1"))).cache()
+    scored.count()
+    val recs = scored
+      .withColumn("rn", row_number().over(
+          Window.partitionBy(col("u"))
+            .orderBy(col("score").desc, col("i").asc))
+        .cast("long"))
+      .where(col("rn") <= k)
+      .select(lit("cf").as("family"), col("u"), col("i"), col("score"),
+        col("rn"))
+    val assoc = assocScores(counts.where(userFilter(col("u"))), rules)
+    val hyb = hybridBlend(assoc, scored, alpha, k)
+      .select(lit("hybrid").as("family"), col("u"), col("i"),
+        col("hybrid_score").as("score"), col("rn"))
+    simsFam.select(col("family"), col("u"), col("i"), col("score"),
+        col("rn"))
+      .unionByName(recs).unionByName(hyb)
+  }
+
   /** Hybrid blend (`customers/views.py:127-163`): normalize each source's
     * scores by its PER-USER max (the reference scores one household per
     * request, so its "max" is per-request = per-user), then

@@ -79,10 +79,15 @@ object Heuristics {
     * 31-polynomial string hash of the model name reduced mod 10000. The
     * reference seeds numpy with `hash(model_name + str(product_id))`
     * (`ml_models.py:881-883`), so for one product the four models draw
-    * four DIFFERENT noises; mixing this salt into the draw reproduces
-    * that decorrelation structure exactly (value parity is impossible —
-    * Python's `hash` is process-salted). Computed at plan-build time, so
-    * SQL oracles embed it as a literal. */
+    * four DIFFERENT noises; mixing this salt into the draw gives the
+    * same per-product property — the four models disagree — though not
+    * the reference's full independence: an additive salt makes each
+    * model's noise series a deterministic circular shift (mod 10⁴) of
+    * the others' across products, where the reference's per-(model,
+    * product) hash seeds are pairwise unrelated. (Value parity is
+    * impossible either way — Python's `hash` is process-salted.)
+    * Computed at plan-build time, so SQL oracles embed it as a
+    * literal. */
   def modelSalt(modelName: String): Long =
     modelName.foldLeft(7L)((h, c) => (h * 31 + c) % 10000L)
 

@@ -31,22 +31,25 @@ final case class Tables(spark: SparkSession, dir: String) {
   def orders: DataFrame = table("orders")
   def lineitem: DataFrame = table("lineitem")
 
-  // Event stream table. Some driver generations write `ts` as parquet
-  // TIMESTAMP(NANOS), which Spark's vectorized reader rejects — those are
-  // read as nanos-long (legacy conf) and rebuilt into a microsecond
-  // timestamp with integer `div` (a double division would lose precision
-  // at 1e18 nanos). Newer generations write TIMESTAMP(MICROS,
-  // isAdjustedToUTC=false), which Spark reads natively as TIMESTAMP_NTZ —
-  // the naive wall-clock DuckDB also sees, so it passes through untouched.
+  // Event stream table. Driver generations have written `ts` three ways:
+  // parquet TIMESTAMP(NANOS) (Spark's vectorized reader rejects it — read
+  // as nanos-long via the legacy conf and rebuilt with integer `div`; a
+  // double division would lose precision at 1e18 nanos), TIMESTAMP(MICROS,
+  // isAdjustedToUTC=false) (read natively as TIMESTAMP_NTZ), and plain
+  // TIMESTAMP. All three are canonicalized to TimestampType here so every
+  // downstream consumer — including type-strict ones like `unix_micros`
+  // in the streaming backlog writer — sees one stable schema across data
+  // generations. The session timezone is pinned to UTC, so the NTZ→LTZ
+  // cast preserves the naive wall-clock values DuckDB sees.
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = table("events")
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        df.withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000")))
-      case _ => df
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => df
+      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
     }
   }
 
