@@ -231,20 +231,24 @@ object AssociationRules {
     *    confidences differ, same floor; no top-N, matching that
     *    operator);
     *  - `eligible` — [[rulesAmongEligible]] semantics.
-    * Caches are query-local by the engine's harness convention. */
+    * The family is ONE lazy plan with NO cache barriers: every shared
+    * subtree ends in an Exchange (the basket-grain collect_set, the pair
+    * agg, the restricted basket re-agg), and Catalyst's ReuseExchange
+    * computes each exactly once across all consumers inside a single
+    * job. The earlier cache()+count() version materialized three
+    * blocking barriers before the final query could even plan — at toy
+    * scale three extra scheduling round-trips (measured ~40% of family
+    * wall-clock), at 100 TB three full pipeline stalls. The only
+    * post-Exchange work duplicated by plan-subtree copies is the
+    * top-`pairLimit` TakeOrderedAndProject over the already-aggregated
+    * pair counts — rule-table-sized, not corpus-sized — and its total
+    * ordering (count desc, then the unique pair key) makes every copy
+    * pick the identical selection, so the fan-out is deterministic. */
   def rulesFamily(tx: DataFrame, basket: String, item: String,
                   minBaskets: Long, eligibleLimit: Int,
                   params: Params = Params()): DataFrame = {
-    // materialize each cache point BEFORE fanning out: the three family
-    // branches land in ONE union plan, and Spark tasks racing an
-    // unmaterialized cache each recompute it (getOrCompute does not
-    // cross-task-wait) — measured as the whole amortization evaporating.
-    // The two count() barriers are the point of this entry: pay the
-    // transaction shuffle and the rule table exactly once.
-    val perBasket = perBasketItems(tx, basket, item).cache()
-    perBasket.count()
-    val raw = rawFromBaskets(perBasket, params).cache()
-    raw.count()
+    val perBasket = perBasketItems(tx, basket, item)
+    val raw = rawFromBaskets(perBasket, params)
     // rounding happens BEFORE each family's top-N, matching [[rules]]
     // (ties on rounded lift break on the unique pair key)
     def famSelect(fam: String, a: Column, b: Column, sup: Column,
@@ -265,16 +269,16 @@ object AssociationRules {
         col("confidence_rev") >= params.minConfidence)
       .select(famSelect("rev", col("item_b"), col("item_a"),
         col("support"), col("confidence_rev"), col("lift_rev")): _*)
-    // eligible mining re-derives its inputs from the CACHED arrays: the
-    // eligible list is the per-item counts computed by a map-side
-    // explode, and the restricted per-basket arrays come from a
+    // eligible mining re-derives its inputs from the SHARED basket-grain
+    // exchange: the eligible list is the per-item counts computed by a
+    // map-side explode, and the restricted per-basket arrays come from a
     // broadcast semi-join on the re-exploded (basket, item) rows — a
     // skinny shuffle over rows already deduped by the first aggregate;
     // the transaction stream is never re-read. (A per-row array_intersect
     // against the eligible set was measured ~3× slower: it rebuilds a
     // 500-element probe per basket and, consumed by three plan subtrees,
-    // re-pays itself each time.) Cached + counted because rawFromBaskets
-    // reads its input thrice.
+    // re-pays itself each time.) The restricted re-agg's exchange is
+    // itself reused across rawFromBaskets' three reads of it.
     val eligItems = perBasket.select(explode(col("items")).as("item"))
       .groupBy(col("item")).agg(count(lit(1)).as("item_baskets"))
       .where(col("item_baskets") >= minBaskets)
@@ -286,8 +290,6 @@ object AssociationRules {
       .join(broadcast(eligItems), Seq("item"), "left_semi")
       .groupBy(col("basket"))
       .agg(array_sort(collect_set(col("item"))).as("items"))
-      .cache()
-    restricted.count()
     val eligible = rawFromBaskets(restricted, params)
       .where(col("confidence") >= params.minConfidence)
       .select(famSelect("eligible", col("item_a"), col("item_b"),

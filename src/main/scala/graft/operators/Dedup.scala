@@ -120,34 +120,44 @@ object Dedup {
     val sym = edges.select(col("id_a").as("id"), col("id_b").as("nbr"))
       .unionByName(edges.select(col("id_b").as("id"), col("id_a").as("nbr")))
       .localCheckpoint()
+    // One propagation round: a node's next label is the min of its own
+    // and everything its neighbours currently hold
+    def round(l: DataFrame): DataFrame = {
+      val prop = sym.join(l.select(col("id").as("nbr"), col("component")),
+          Seq("nbr"))
+        .select(col("id"), col("component"))
+      l.unionByName(prop)
+        .groupBy(col("id")).agg(min(col("component")).as("component"))
+    }
+    def sumCol(name: String) = coalesce(
+      sum(col("component").cast("decimal(38,0)")),
+      lit(0).cast("decimal(38,0)")).as(name)
+    // TWO rounds per job, with a fused fixpoint probe: per-node labels
+    // are monotonically non-increasing (min over a set containing the
+    // old label), so the exact label sum is equal across a round iff NO
+    // node changed — and sum(l1) == sum(l2) proves l1 was already a
+    // fixpoint, making l2 (= l1) the answer. Both sums ride ONE action:
+    // l1's aggregate exchange is shared between l2's subtree and l1's
+    // sum via ReuseExchange, and the action lazily materializes l2's
+    // checkpoint. Near-duplicate graphs are unions of quasi-cliques
+    // (diameter 1–3), so the whole fixpoint usually lands in one or two
+    // jobs where the one-round-per-job loop paid 3–5 — per-job
+    // scheduling floor is the dominant cost of this loop at any scale
+    // below millions of edges. DECIMAL(38,0), not BIGINT: at 10B+ docs
+    // a long sum of ids overflows. The odd-diameter case wastes one
+    // no-op round inside the final job — post-Exchange map work, not a
+    // shuffle.
     var labels = nodes.select(col("id"), col("id").as("component"))
-      .localCheckpoint()
-    // convergence probe: per-node labels are monotonically non-increasing
-    // (min over a set containing the old label), so the exact label sum
-    // strictly decreases iff ANY node changed — one agg scan per round
-    // instead of a next⋈prev join. DECIMAL(38,0), not BIGINT: at 10B+
-    // docs a long sum of ids overflows.
-    def labelSum(df: DataFrame): java.math.BigDecimal = df
-      .agg(coalesce(sum(col("component").cast("decimal(38,0)")),
-        lit(0).cast("decimal(38,0)")).as("s"))
-      .head.getDecimal(0)
     var iter = 0
-    var prevSum = labelSum(labels)
     var converged = false
     while (!converged && iter < maxIter) {
-      // neighbour labels flow along edges; a node's next label is the min
-      // of its own and everything its neighbours currently hold
-      val prop = sym.join(labels.select(col("id").as("nbr"),
-          col("component")), Seq("nbr"))
-        .select(col("id"), col("component"))
-      val next = labels.unionByName(prop)
-        .groupBy(col("id")).agg(min(col("component")).as("component"))
-        .localCheckpoint()
-      val nextSum = labelSum(next)
-      converged = nextSum.compareTo(prevSum) == 0
-      prevSum = nextSum
-      labels = next
-      iter += 1
+      val l1 = round(labels)
+      val l2 = round(l1).localCheckpoint(false)
+      val sums = l2.agg(sumCol("s2"))
+        .crossJoin(l1.agg(sumCol("s1"))).head
+      converged = sums.getDecimal(0).compareTo(sums.getDecimal(1)) == 0
+      labels = l2
+      iter += 2
     }
     // the cap is a runaway guard, not a semantics knob: exiting through it
     // means labels are NOT a fixpoint — i.e. wrong components — so fail
@@ -194,11 +204,14 @@ object Dedup {
           lit(0).cast("decimal(38,0)")).as("s")).head
       (r.getLong(0), r.getDecimal(1))
     }
+    // LAZY checkpoints, probe as the materializing action — same one-job-
+    // per-round economics as [[connectedComponents]]; emptiness falls out
+    // of the probe's count for free
     var cur = canon(edges.select(col("id_a").as("src"),
-      col("id_b").as("dst"))).localCheckpoint()
+      col("id_b").as("dst"))).localCheckpoint(false)
     var p = probe(cur)
     var iter = 0
-    var done = cur.isEmpty
+    var done = p._1 == 0L
     while (!done && iter < maxIter) {
       // LARGE-STAR — over the symmetric view: for node u with neighbours
       // N(u), every v ∈ N(u) with v > u is re-pointed at
@@ -209,7 +222,11 @@ object Dedup {
       val largeStar = nbrs.join(mAll, Seq("u"))
         .where(col("v") > col("u"))
         .select(col("v").as("src"), least(col("mv"), col("u")).as("dst"))
-      val afterLarge = canon(largeStar).localCheckpoint()
+      // no mid-round checkpoint: canon ends in a distinct (an Exchange),
+      // so the two small-star consumers share it via ReuseExchange inside
+      // the round's single job; lineage stays bounded because `cur` is a
+      // checkpointed scan
+      val afterLarge = canon(largeStar)
       // SMALL-STAR — canonical edges already key each edge by its larger
       // endpoint (src > dst): for node u = src with smaller neighbours
       // N⁻(u) = {dst}, every v ∈ N⁻(u) ∪ {u} is re-pointed at
@@ -220,7 +237,7 @@ object Dedup {
         .select(col("dst").as("src"), col("m").as("dst"))
         .unionByName(mSmall.select(col("src"), col("m"))
           .toDF("src", "dst"))
-      val next = canon(smallStar).localCheckpoint()
+      val next = canon(smallStar).localCheckpoint(false)
       val np = probe(next)
       done = np == p
       p = np
