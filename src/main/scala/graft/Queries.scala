@@ -3832,6 +3832,43 @@ object Queries {
         SELECT doc_id, seq_id, a % 512 AS seq_off, e - a AS n_tok
         FROM ch ORDER BY seq_id, doc_id""")),
 
+    // ---------------- packing manifest from REAL BPE token counts.
+    // Rows-only by necessity (a greedy ranked-merge loop is not
+    // ANSI-SQL-expressible). The gate still REQUIREs tokenizer
+    // correctness on the training sample before the frame builds:
+    // byte-exact decode(encode(text)) == text roundtrip and count
+    // consistency for every sampled doc; structural manifest invariants
+    // (spans contiguous, offsets < seqLen) are covered by the
+    // oracle-green q_pack_spans sibling (same operator, estimate
+    // counts) and BpeSpec's golden tokenizations.
+    Spec("q_pack_spans_bpe",
+      (s, dir) => {
+        import graft.functions.Bpe
+        val docs = t(s, dir).documents
+        val merges = Bpe.trainOnSample(docs, "doc_id", "text",
+          numMerges = 200, sampleRows = 300)
+        val sample = docs.select(col("text")).where(col("text").isNotNull)
+          .orderBy(col("doc_id")).limit(50).collect().map(_.getString(0))
+        sample.foreach { txt =>
+          val toks = Bpe.encode(txt, merges)
+          require(Bpe.decode(toks) == txt,
+            "q_pack_spans_bpe: BPE roundtrip broke byte-exactness")
+          require(toks.length == Bpe.countTokens(txt, merges),
+            "q_pack_spans_bpe: encode/count disagree")
+        }
+        graft.plans.GraftExtensions.register(s)
+        Packing.packSequencesFromCounts(
+          docs.select(col("doc_id").as("id"),
+            Bpe.tokenCount(col("text"), merges).as("bpe_tokens")),
+          "id", "bpe_tokens", 512L, 64L)
+          .select(col("id").as("doc_id"),
+            col("est_tokens").as("bpe_tokens"),
+            col("tok_start"), col("tok_end"), col("seq_first"),
+            col("seq_last"), col("n_seqs"), col("offset_in_seq"))
+          .orderBy(col("doc_id"))
+      },
+      None),
+
     // -------------------- model-based quality filter (rule distillation)
     // Rows-only by necessity (an LBFGS fit is not ANSI-SQL-expressible);
     // the gate still REQUIREs held-out quality: the distilled scorer must

@@ -315,6 +315,64 @@ case class SimHashPortable64(child: Expression)
       : Expression = copy(child = newChild)
 }
 
+/** Native BPE token count: `bpe_count(text, merges)` where `merges` is a
+  * FOLDABLE string literal in `merges.txt` form ("left right" per line).
+  * The merges table is parsed ONCE per expression instance (transient
+  * lazy) and the literal rides the serialized plan to every executor —
+  * for a 50K-merge vocab ~500 KB, the same per-executor distribution
+  * cost as a broadcast variable, with none of the lifecycle plumbing.
+  * Per-row work is the greedy merge loop of [[graft.functions.Bpe]]
+  * behind a per-thread hot-word LRU; codegen emits a single virtual call
+  * on the referenced expression instance (the tokenizer loop is
+  * genuinely imperative — inlining it as generated source would blow the
+  * janino method-size budget for zero gain).
+  *
+  * Why token COUNT and not the token array: the packing/budget operators
+  * ([[graft.operators.Packing]], [[graft.operators.Mixing]]) consume
+  * counts only, and returning the array would ship every token string
+  * through the row format just to take its length. */
+case class BpeTokenCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case (StringType, StringType) =>
+        TypeCheckResult.TypeCheckFailure(
+          "bpe_count expects a FOLDABLE merges-table literal as its " +
+            "second argument")
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"bpe_count expects (STRING, STRING), got ${l.sql} and ${r.sql}")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bpe_count"
+
+  @transient private lazy val merges: graft.functions.Bpe.Merges = {
+    val v = right.eval()
+    require(v != null, "bpe_count: merges literal must not be null")
+    graft.functions.Bpe.Merges.parse(v.toString)
+  }
+
+  def countUtf8(s: org.apache.spark.unsafe.types.UTF8String): Long =
+    graft.functions.Bpe.countTokens(s.toString, merges)
+
+  override protected def nullSafeEval(text: Any, m: Any): Any =
+    countUtf8(text.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, _) => {
+      val ref = ctx.addReferenceObj("bpeCounter", this,
+        classOf[BpeTokenCount].getName)
+      s"${ev.value} = $ref.countUtf8($t);"
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Registers graft's native expressions. Two paths:
   *  - `spark.sql.extensions=graft.plans.GraftExtensions` at session build
   *    (the canonical `SparkSessionExtensions` route), or
@@ -348,7 +406,11 @@ object GraftExtensions {
     (new FunctionIdentifier("simhash_portable64"),
       new ExpressionInfo(classOf[SimHashPortable64].getName,
         "simhash_portable64"),
-      (children: Seq[Expression]) => SimHashPortable64(children.head)))
+      (children: Seq[Expression]) => SimHashPortable64(children.head)),
+    (new FunctionIdentifier("bpe_count"),
+      new ExpressionInfo(classOf[BpeTokenCount].getName, "bpe_count"),
+      (children: Seq[Expression]) =>
+        BpeTokenCount(children.head, children(1))))
 
   def register(spark: SparkSession): Unit =
     registrations.foreach { case (id, info, builder) =>
