@@ -2591,6 +2591,25 @@ object Queries {
           CAST(3 AS BIGINT) AS channels, CAST(1 AS BIGINT) AS n_frames
         FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""")),
 
+    // Audio twin of q_multimodal_decode: real RIFF/WAVE containers
+    // decoded by the in-JDK audio stack; the BlobCodec quad reads as
+    // (sample_rate, bits_per_sample, channels, n_frames) here.
+    Spec("q_audio_decode",
+      (s, dir) => Multimodal.decodePartitioned(
+        Multimodal.syntheticWavTable(
+          t(s, dir).documents.select(col("doc_id"))
+            .where(col("doc_id") % 10 === 0), "doc_id"),
+        () => new Multimodal.WavCodec)
+        .select(col("id").as("doc_id"),
+          col("width").as("sample_rate"),
+          col("height").as("bits_per_sample"),
+          col("channels"), col("n_frames"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id, 8000 + 1000 * (doc_id % 8) AS sample_rate,
+          CAST(16 AS BIGINT) AS bits_per_sample,
+          1 + doc_id % 2 AS channels, 128 + doc_id % 256 AS n_frames
+        FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""")),
+
     Spec("q_frame_samples",
       (s, dir) => Multimodal.sampleFrames(
         Multimodal.asBlobTable(t(s, dir).documents, "doc_id", "text"), 4, 16)

@@ -151,6 +151,68 @@ object Multimodal {
     }
   }
 
+  /** REAL audio header decode via `javax.sound.sampled` (in the JDK —
+    * zero new dependencies): WAV / AIFF / AU headers are read through
+    * `AudioSystem.getAudioFileFormat`, which parses the container header
+    * only — never the sample data — the scalable path for audio metadata
+    * over binary columns. The [[BlobCodec]] quad maps to audio as
+    * (sample_rate, bits_per_sample, channels, n_frames); blobs no
+    * provider recognizes fall back to [[StubCodec]]'s arithmetic,
+    * keeping the seam total. Stream-marked so the format reader never
+    * copies the byte array. */
+  class WavCodec extends BlobCodec {
+    private val stub = new StubCodec
+
+    def decode(blob: Array[Byte]): (Long, Long, Long, Long) = {
+      try {
+        val fmt = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+          new java.io.ByteArrayInputStream(blob))
+        val af = fmt.getFormat
+        (af.getSampleRate.round.toLong,
+          af.getSampleSizeInBits.toLong,
+          af.getChannels.toLong,
+          fmt.getFrameLength.toLong)
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException =>
+          stub.decode(blob)
+        case _: java.io.IOException => stub.decode(blob)
+      }
+    }
+  }
+
+  /** Deterministic WAV fixture table: one REAL 16-bit PCM WAV per input
+    * id — `8000 + 1000·(id mod 8)` Hz, `1 + id mod 2` channels,
+    * `128 + id mod 256` frames — encoded per partition with
+    * `javax.sound.sampled`. The audio twin of [[syntheticPngTable]]:
+    * dims are pure id arithmetic any SQL engine can predict, while the
+    * bytes are genuine RIFF/WAVE containers only a real audio stack can
+    * read. */
+  def syntheticWavTable(ids: DataFrame, id: String): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    ids.select(col(id).cast("long")).as[Long].mapPartitions { it =>
+      it.map { i =>
+        val rate = (8000 + 1000 * math.floorMod(i, 8L)).toInt
+        val channels = (1 + math.floorMod(i, 2L)).toInt
+        val frames = (128 + math.floorMod(i, 256L)).toInt
+        val fmt = new javax.sound.sampled.AudioFormat(
+          rate.toFloat, 16, channels, true, false)
+        val pcm = new Array[Byte](frames * fmt.getFrameSize)
+        var j = 0
+        while (j < pcm.length) { // deterministic non-silent content
+          pcm(j) = ((i + j) % 251).toByte
+          j += 1
+        }
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        (i, bos.toByteArray)
+      }
+    }.toDF("id", "blob")
+  }
+
   /** Deterministic PNG fixture table: one REAL `(64 + id mod 97) ×
     * (64 + id mod 53)` 3-channel PNG per input id, encoded per partition
     * with `javax.imageio`. Exists so the real-decode path has an

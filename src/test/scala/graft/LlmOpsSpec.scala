@@ -336,6 +336,38 @@ class LlmOpsSpec extends SparkSpec {
     assert(decoded(5000L) === ((117L, 82L, 3L, 1L))) // 64+53, 64+18
   }
 
+  test("multimodal: WavCodec reads true rate/bits/channels/frames from " +
+      "real WAV bytes, stub-falls-back on garbage") {
+    def wav(rate: Int, channels: Int, frames: Int): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(
+        rate.toFloat, 16, channels, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(
+          new Array[Byte](frames * fmt.getFrameSize)), fmt, frames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val codec = new Multimodal.WavCodec
+    assert(codec.decode(wav(44100, 2, 500)) === ((44100L, 16L, 2L, 500L)))
+    assert(codec.decode(wav(8000, 1, 37)) === ((8000L, 16L, 1L, 37L)))
+    val garbage = "definitely not audio".getBytes("UTF-8")
+    assert(codec.decode(garbage) === new Multimodal.StubCodec()
+      .decode(garbage))
+    // distributed path over the generated WAV fixture table: dims are
+    // id arithmetic (8000+1000·(id%8) Hz, 1+id%2 ch, 128+id%256 frames)
+    val ids = Seq(10L, 107L, 5000L).toDF("doc_id")
+    val decoded = Multimodal.decodePartitioned(
+      Multimodal.syntheticWavTable(ids, "doc_id"),
+      () => new Multimodal.WavCodec)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(decoded(10L) === ((10000L, 16L, 1L, 138L)))
+    assert(decoded(107L) === ((11000L, 16L, 2L, 235L)))
+    assert(decoded(5000L) === ((8000L, 16L, 1L, 264L)))
+  }
+
   test("CF: cosine similarity and recommendation on a hand-checked case") {
     // users 1,2 share item A; user 2 also bought B -> recommend B to 1
     val tx = Seq((1L, 10L), (1L, 10L), (2L, 10L), (2L, 11L), (3L, 12L))
