@@ -3240,6 +3240,58 @@ object Queries {
         WHERE content_hash NOT IN (SELECT content_hash FROM idx)
         ORDER BY id""")),
 
+    // -------------------- Bloom-prefiltered incremental ingestion dedup
+    // Same semantics as q_dedup_incremental — the Bloom sketch rejects
+    // definite-new digests map-side and the anti-join adjudicates only
+    // the mightContain rows, so the result is EXACT and the two queries
+    // share one mirror; only the plan differs (probe side of the
+    // anti-join shrinks from |batch| to |dups| + fpp·|batch|).
+    Spec("q_dedup_incremental_bloom",
+      (s, dir) => {
+        val docs = t(s, dir).documents
+        val corp = docs.selectExpr("doc_id",
+          "CASE WHEN doc_id % 7 = 0 THEN 'shared boilerplate document' " +
+            "ELSE text END AS text")
+        val batch = docs.selectExpr("doc_id + 100000 AS id",
+          "CASE WHEN doc_id % 4 = 0 THEN 'shared boilerplate document' " +
+            "WHEN doc_id % 4 = 1 THEN 'batch only duplicate' " +
+            "ELSE text || ' batchnew' END AS text")
+        val index = Dedup.contentDigests(corp, "text")
+        val bloom = Dedup.indexBloom(index, expectedItems = 1000000L)
+        Dedup.dedupIncrementalBloom(batch, index, "id", "text", bloom)
+          .orderBy(col("id"))
+      },
+      Some("""WITH corp AS (SELECT doc_id,
+          CASE WHEN doc_id % 7 = 0 THEN 'shared boilerplate document'
+            ELSE text END AS text FROM documents),
+        b AS (SELECT doc_id + 100000 AS id,
+          CASE WHEN doc_id % 4 = 0 THEN 'shared boilerplate document'
+            WHEN doc_id % 4 = 1 THEN 'batch only duplicate'
+            ELSE text || ' batchnew' END AS text FROM documents),
+        idx AS (SELECT DISTINCT md5(text) AS content_hash FROM corp),
+        bd AS (SELECT md5(text) AS content_hash, MIN(id) AS id
+          FROM b GROUP BY 1)
+        SELECT id, content_hash FROM bd
+        WHERE content_hash NOT IN (SELECT content_hash FROM idx)
+        ORDER BY id""")),
+
+    // ------------------------- per-source length percentile profiling
+    // Exact interpolated percentiles (the quantile_cont definition) per
+    // source — the pass that derives per-source length-filter cutoffs.
+    // The approx_percentile scale path is spec-pinned to this within
+    // tolerance (LlmOpsSpec) rather than oracle-gated (its sketch is
+    // engine-specific).
+    Spec("q_length_percentiles",
+      (s, dir) => TextAnalysis.lengthPercentiles(t(s, dir).documents,
+        "source", length(col("text")).cast("long"))
+        .orderBy(col("source")),
+      Some("""SELECT source, COUNT(*) AS n_docs,
+          floor(quantile_cont(length(text), 0.1) * 1e6 + 0.5) / 1e6 AS p10,
+          floor(quantile_cont(length(text), 0.5) * 1e6 + 0.5) / 1e6 AS p50,
+          floor(quantile_cont(length(text), 0.9) * 1e6 + 0.5) / 1e6 AS p90,
+          floor(quantile_cont(length(text), 0.99) * 1e6 + 0.5) / 1e6 AS p99
+        FROM documents GROUP BY source ORDER BY source""")),
+
     // ------------------------------ exact top-fraction score selection
     Spec("q_select_topfrac",
       (s, dir) => Selection.keepTopFraction(

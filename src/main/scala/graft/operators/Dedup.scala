@@ -60,6 +60,45 @@ object Dedup {
   def contentDigests(corpus: DataFrame, content: String): DataFrame =
     corpus.select(md5(col(content)).as("content_hash")).distinct()
 
+  /** Bloom-filter sketch of a digest index — built ONCE per index
+    * version (one distributed aggregation pass; partial filters merge on
+    * the driver) and reused across EVERY subsequent ingestion batch,
+    * which is what Spark's automatic runtime bloom filters (AQE
+    * InjectRuntimeFilter) cannot do: those are rebuilt per query. Size
+    * it by the index's distinct-digest count; at fpp 1% the sketch is
+    * ~1.2 bytes/digest. */
+  def indexBloom(index: DataFrame, expectedItems: Long,
+                 fpp: Double = 0.01): org.apache.spark.util.sketch.BloomFilter =
+    index.stat.bloomFilter("content_hash", expectedItems, fpp)
+
+  /** [[dedupIncremental]] with a Bloom prefilter — the web-crawl
+    * ingestion shape, where the batch is mostly NEW content: the sketch
+    * rejects definite-new digests MAP-SIDE (no false negatives, so
+    * nothing new is ever lost), and only the `mightContain` rows —
+    * true duplicates plus the fpp sliver of false positives — pay the
+    * anti-join shuffle against the index. The final result is EXACT
+    * (the anti-join adjudicates every maybe), so this shares
+    * q_dedup_incremental's oracle; only the plan changes: the anti-join's
+    * probe side shrinks from |batch| to |dups| + fpp·|batch|. With the
+    * index bucketed on content_hash ([[contentDigests]]) the residual
+    * join co-locates without shuffling the index. */
+  def dedupIncrementalBloom(batch: DataFrame, index: DataFrame, id: String,
+                            content: String,
+                            bloom: org.apache.spark.util.sketch.BloomFilter)
+      : DataFrame = {
+    graft.plans.GraftExtensions.register(batch.sparkSession)
+    val b = batch.select(col(id), md5(col(content)).as("content_hash"))
+      .groupBy(col("content_hash"))
+      .agg(min(col(id)).as(id))
+    val might = graft.plans.BloomMightContain.column(col("content_hash"),
+      bloom)
+    val definiteNew = b.where(!might)
+    val maybeDup = b.where(might)
+      .join(index, Seq("content_hash"), "left_anti")
+    definiteNew.unionByName(maybeDup)
+      .select(col(id), col("content_hash"))
+  }
+
   /** Incremental-ingestion dedup — the shape a streaming/batched corpus
     * build actually runs: dedup the NEW batch (keep-min-id within the
     * batch) and drop everything whose content digest already exists in
@@ -154,7 +193,7 @@ object Dedup {
       val l1 = round(labels)
       val l2 = round(l1).localCheckpoint(false)
       val sums = l2.agg(sumCol("s2"))
-        .crossJoin(l1.agg(sumCol("s1"))).head
+        .crossJoin(l1.agg(sumCol("s1"))).head()
       converged = sums.getDecimal(0).compareTo(sums.getDecimal(1)) == 0
       labels = l2
       iter += 2
@@ -201,7 +240,7 @@ object Dedup {
     def probe(df: DataFrame): (Long, java.math.BigDecimal) = {
       val r = df.agg(count(lit(1)).as("n"),
         coalesce(sum((col("src") * 3 + col("dst")).cast("decimal(38,0)")),
-          lit(0).cast("decimal(38,0)")).as("s")).head
+          lit(0).cast("decimal(38,0)")).as("s")).head()
       (r.getLong(0), r.getDecimal(1))
     }
     // LAZY checkpoints, probe as the materializing action — same one-job-

@@ -182,6 +182,38 @@ object TextAnalysis {
     * before exporting a corpus. Map-only; the scrubbed text is carried as
     * (length, sha256) here so gates stay compact — production would keep
     * the scrubbed column itself. */
+  /** Per-source EXACT length percentiles (linear interpolation, the
+    * `quantile_cont` definition) — the profiling pass that sets
+    * length-filter thresholds per source before corpus cleaning (every
+    * curation recipe filters "too short / too long" with per-source
+    * cutoffs; eyeballed constants drift as sources change). Exact
+    * `percentile` needs the values of each group collected into its
+    * aggregation buffer — fine up to ~10⁸ docs per source; past that,
+    * swap in [[lengthPercentilesApprox]]. */
+  def lengthPercentiles(docs: DataFrame, source: String, length: Column,
+                        ps: Seq[Double] = Seq(0.1, 0.5, 0.9, 0.99))
+      : DataFrame =
+    docs.groupBy(col(source))
+      .agg(count(lit(1)).as("n_docs"),
+        ps.map(p => graft.functions.ColumnFns
+          .stableRound(percentile(length, lit(p)), 6)
+          .as(s"p${(p * 100).round}")): _*)
+
+  /** The 100 TB path for [[lengthPercentiles]]: Greenwald–Khanna
+    * approximate percentiles (`approx_percentile`) hold a bounded-size
+    * sketch per group instead of the group's values — memory is
+    * O(1/accuracy · log n) however large the source. Not oracle-gated
+    * (the sketch is engine-specific); LlmOpsSpec pins it to the exact
+    * operator within tolerance on the test corpus. */
+  def lengthPercentilesApprox(docs: DataFrame, source: String,
+                              length: Column,
+                              ps: Seq[Double] = Seq(0.1, 0.5, 0.9, 0.99),
+                              accuracy: Int = 10000): DataFrame =
+    docs.groupBy(col(source))
+      .agg(count(lit(1)).as("n_docs"),
+        ps.map(p => approx_percentile(length, lit(p), lit(accuracy))
+          .cast("double").as(s"p${(p * 100).round}")): _*)
+
   def piiScrub(docs: DataFrame, id: String, text: String,
                emailPat: String = EmailPattern,
                phonePat: String = PhonePattern): DataFrame = {

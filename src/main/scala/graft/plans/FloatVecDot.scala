@@ -373,6 +373,76 @@ case class BpeTokenCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native Bloom-filter membership probe: `bloom_might_contain(s, sketch)`
+  * where `sketch` is a FOLDABLE binary literal holding a serialized
+  * `org.apache.spark.util.sketch.BloomFilter` (`writeTo` wire form —
+  * see [[BloomMightContain.column]]). The literal rides the plan once
+  * per stage, the same distribution cost as a broadcast variable minus
+  * the lifecycle plumbing; it targets the per-index ingestion sketches
+  * of [[graft.operators.Dedup.dedupIncrementalBloom]] (~1.2 B/digest at
+  * 1% fpp — a 100M-digest filter is ~120 MB and should graduate to an
+  * explicit broadcast + mapPartitions instead). Deserialized ONCE per
+  * executor via a transient lazy; bit semantics match
+  * `BloomFilter.putString` (membership hashes the UTF-8 bytes). */
+case class BloomMightContain(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, BinaryType) if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case (StringType, BinaryType) =>
+        TypeCheckResult.TypeCheckFailure(
+          "bloom_might_contain expects a FOLDABLE serialized-sketch " +
+            "literal as its second argument")
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"bloom_might_contain expects (STRING, BINARY), got ${l.sql} " +
+          s"and ${r.sql}")
+    }
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain"
+
+  @transient private lazy val bloom
+      : org.apache.spark.util.sketch.BloomFilter = {
+    val v = right.eval()
+    require(v != null,
+      "bloom_might_contain: sketch literal must not be null")
+    org.apache.spark.util.sketch.BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(v.asInstanceOf[Array[Byte]]))
+  }
+
+  def mightContain(s: org.apache.spark.unsafe.types.UTF8String): Boolean =
+    bloom.mightContainBinary(s.getBytes)
+
+  override protected def nullSafeEval(s: Any, sketch: Any): Any =
+    mightContain(s.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (s, _) => {
+      val ref = ctx.addReferenceObj("bloomProbe", this,
+        classOf[BloomMightContain].getName)
+      s"${ev.value} = $ref.mightContain($s);"
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object BloomMightContain {
+  /** Column form: serializes the filter into the binary literal the
+    * expression expects. Requires [[GraftExtensions]] registered. */
+  def column(c: org.apache.spark.sql.Column,
+             bloom: org.apache.spark.util.sketch.BloomFilter)
+      : org.apache.spark.sql.Column = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    org.apache.spark.sql.functions.call_function("bloom_might_contain",
+      c, org.apache.spark.sql.functions.lit(bos.toByteArray))
+  }
+}
+
 /** Registers graft's native expressions. Two paths:
   *  - `spark.sql.extensions=graft.plans.GraftExtensions` at session build
   *    (the canonical `SparkSessionExtensions` route), or
@@ -410,7 +480,12 @@ object GraftExtensions {
     (new FunctionIdentifier("bpe_count"),
       new ExpressionInfo(classOf[BpeTokenCount].getName, "bpe_count"),
       (children: Seq[Expression]) =>
-        BpeTokenCount(children.head, children(1))))
+        BpeTokenCount(children.head, children(1))),
+    (new FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContain].getName,
+        "bloom_might_contain"),
+      (children: Seq[Expression]) =>
+        BloomMightContain(children.head, children(1))))
 
   def register(spark: SparkSession): Unit =
     registrations.foreach { case (id, info, builder) =>

@@ -336,6 +336,45 @@ class LlmOpsSpec extends SparkSpec {
     assert(decoded(5000L) === ((117L, 82L, 3L, 1L))) // 64+53, 64+18
   }
 
+  test("dedup: bloom-prefiltered incremental ingestion equals the " +
+      "plain anti-join path and never loses new content") {
+    import graft.operators.Dedup
+    val corpus = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+      .toDF("doc_id", "text")
+    val batch = Seq((10L, "alpha"), (11L, "delta"), (12L, "delta"),
+      (13L, "epsilon")).toDF("id", "text")
+    val index = Dedup.contentDigests(corpus, "text")
+    val bloom = Dedup.indexBloom(index, expectedItems = 100L)
+    val viaBloom = Dedup.dedupIncrementalBloom(batch, index, "id", "text",
+      bloom).collect().map(_.getLong(0)).sorted
+    val viaJoin = Dedup.dedupIncremental(batch, index, "id", "text")
+      .collect().map(_.getLong(0)).sorted
+    // alpha is a corpus dup (dropped), delta dedups within-batch to 11
+    assert(viaBloom.toSeq == Seq(11L, 13L))
+    assert(viaBloom.toSeq == viaJoin.toSeq)
+  }
+
+  test("profiling: approx length percentiles track the exact operator") {
+    import graft.operators.TextAnalysis
+    val docs = (1 to 500).map(i =>
+      (i.toLong, if (i % 2 == 0) "s0" else "s1", "x" * (i % 97 + 3)))
+      .toDF("doc_id", "source", "text")
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val exact = asMap(TextAnalysis.lengthPercentiles(docs, "source",
+      length(col("text")).cast("long"), Seq(0.1, 0.5, 0.9)))
+    val approx = asMap(TextAnalysis.lengthPercentilesApprox(docs, "source",
+      length(col("text")).cast("long"), Seq(0.1, 0.5, 0.9)))
+    exact.keys.foreach { s =>
+      val (e, a) = (exact(s), approx(s))
+      // GK sketch at accuracy 10^4 on 250 rows is exact up to the
+      // interpolation convention — allow one length-unit of drift
+      assert(math.abs(e._1 - a._1) <= 1.0 && math.abs(e._2 - a._2) <= 1.0
+        && math.abs(e._3 - a._3) <= 1.0, s"$s: exact=$e approx=$a")
+    }
+  }
+
   test("multimodal: WavCodec reads true rate/bits/channels/frames from " +
       "real WAV bytes, stub-falls-back on garbage") {
     def wav(rate: Int, channels: Int, frames: Int): Array[Byte] = {
