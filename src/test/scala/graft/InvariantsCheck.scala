@@ -450,6 +450,31 @@ object InvariantsCheck extends Properties("graft.invariants") {
       freqLeft == 0L && stable
     }
 
+  // BPE over arbitrary unicode (driver-side — the tokenizer kernel the
+  // distributed bpe_count expression calls): byte-exact roundtrip,
+  // encode/count agreement, and merges monotonically shrink or preserve
+  // token count. Unicode surrogate halves are excluded: lone surrogates
+  // are not valid scalar values, and String→UTF-8→String replaces them
+  // with U+FFFD by the Unicode spec (not a tokenizer property).
+  private val textGen: Gen[String] = Gen.listOf(Gen.frequency(
+    8 -> Gen.alphaNumChar,
+    3 -> Gen.oneOf(' ', ' ', '\t', '\n', '\'', '.', ','),
+    1 -> Gen.choose('¡', 'ɏ'),
+    1 -> Gen.choose('一', '仿'))).map(_.mkString)
+
+  property("BPE: decode(encode(s)) is byte-exact, count == |encode|, " +
+      "and merges never increase token count") =
+    forAll(textGen, Gen.choose(0, 40)) { (s, nMerges) =>
+      import graft.functions.Bpe
+      val trained = Bpe.train(Iterator(s, s, s), nMerges)
+      val none = Bpe.Merges(IndexedSeq.empty)
+      val toks = Bpe.encode(s, trained)
+      Bpe.decode(toks) == s &&
+        toks.length == Bpe.countTokens(s, trained) &&
+        Bpe.decode(Bpe.encode(s, none)) == s &&
+        toks.length <= Bpe.encode(s, none).length
+    }
+
   property("ngram-lm: lp_micro is exact — invariant under row order and " +
       "partitioning for arbitrary corpora") =
     forAll(packDocGen.suchThat(_.nonEmpty)) { docs =>
