@@ -40,11 +40,13 @@ object CurationPipeline {
   def prepare(corpus: DataFrame, bench: DataFrame, id: String,
               text: String, source: String,
               cfg: Config = Config()): DataFrame = {
-    // 1 — heuristic quality floor (map-only score, semi join on ids)
-    val scoreIds = TextAnalysis.qualityScore(corpus, id, text)
-      .where(col("quality_score") >= cfg.minQualityScore)
-      .select(col("id").as(id))
-    val f1 = corpus.join(scoreIds, Seq(id), "left_semi")
+    // 1 — heuristic quality floor: a pure map-side predicate ON the
+    // corpus scan. The earlier form computed a per-doc score frame and
+    // semi-joined it back on id — a corpus-sized exchange that bought
+    // nothing, since the score is a deterministic function of the text
+    // column already in hand.
+    val f1 = corpus.where(
+      TextAnalysis.qualityScoreCol(col(text)) >= cfg.minQualityScore)
     // 2 — exact content dedup, keep the smallest id per md5.
     // The survivor frame is CACHED: every later stage (LSH shingling,
     // the near-dup anti join, both decontamination branches) re-reads

@@ -49,15 +49,35 @@ object TextAnalysis {
       tokenCountEstimate(t).as("token_estimate"))
   }
 
-  /** Composite quality score in [0,1]: length sweet-spot × stopword
-    * presence × punctuation sanity (the usual heuristic-filter shape). */
+  /** Composite quality score in [0,1] as a pure COLUMN — length
+    * sweet-spot × stopword presence × punctuation sanity (the usual
+    * heuristic-filter shape). Being a plain expression is the point:
+    * a pipeline can filter `where(qualityScoreCol(text) >= floor)`
+    * map-side on the scan, with no per-doc aggregate frame and no
+    * semi-join exchange. Intermediate ratios round at 6 exactly like
+    * [[qualityMetrics]], so this IS that frame's score column. */
+  def qualityScoreCol(text: Column): Column = {
+    val w = tokens(text)
+    val nChars = length(text).cast("long")
+    val nWords = size(w).cast("long")
+    val stopArr = array(stopwords.map(lit): _*)
+    val stopwordRatio = stableRound(
+      size(filter(w, x => array_contains(stopArr, x))).cast("double")
+        / nWords, 6)
+    val punctRatio = stableRound(
+      length(regexp_replace(text, "[^.,;:!?]", "")).cast("double")
+        / nChars, 6)
+    stableRound(
+      least(nWords.cast("double") / 50.0, lit(1.0)) *
+        least(stopwordRatio * 5.0 + 0.5, lit(1.0)) *
+        (lit(1.0) - least(punctRatio * 5.0, lit(1.0)) * 0.5),
+      6)
+  }
+
+  /** [[qualityScoreCol]] as a per-document frame. */
   def qualityScore(docs: DataFrame, id: String, text: String): DataFrame =
-    qualityMetrics(docs, id, text).select(col("id"),
-      stableRound(
-        least(col("n_words").cast("double") / 50.0, lit(1.0)) *
-          least(col("stopword_ratio") * 5.0 + 0.5, lit(1.0)) *
-          (lit(1.0) - least(col("punct_ratio") * 5.0, lit(1.0)) * 0.5),
-        6).as("quality_score"))
+    docs.select(col(id).as("id"),
+      qualityScoreCol(col(text)).as("quality_score"))
 
   /** Language ID by stopword-profile voting: score each candidate language
     * by the fraction of tokens in its profile, pick the argmax
