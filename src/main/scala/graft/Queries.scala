@@ -2750,15 +2750,12 @@ object Queries {
     Spec("q_corpus_clean",
       (s, dir) => {
         val docs = t(s, dir).documents
-        val keepIds = TextAnalysis.gopherQuality(docs, "doc_id", "text")
-          .where(col("keep"))
-          .select(col("id").as("doc_id"))
-        val scoreIds = TextAnalysis.qualityScore(docs, "doc_id", "text")
-          .where(col("quality_score") >= 0.3)
-          .select(col("id").as("doc_id"))
-        val filtered = docs
-          .join(keepIds, Seq("doc_id"), "left_semi")
-          .join(scoreIds, Seq("doc_id"), "left_semi")
+        // both filters are pure column predicates — they run map-side on
+        // the scan; the only exchanges left are the dedup hash aggregate
+        // and the final stats group
+        val filtered = docs.where(
+          TextAnalysis.gopherKeepCol(col("text")) &&
+            TextAnalysis.qualityScoreCol(col("text")) >= 0.3)
         val canonical = filtered
           .groupBy(md5(col("text")).as("h"))
           .agg(min(col("doc_id")).as("doc_id"))

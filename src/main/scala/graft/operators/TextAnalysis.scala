@@ -115,6 +115,40 @@ object TextAnalysis {
     * rules instead of re-scanning. Map-only, codegen'd — one pass at any
     * scale. Every ratio is an exact-int division, so the signals (and the
     * threshold comparisons) are bit-identical cross-engine. */
+  /** [[gopherQuality]]'s keep verdict as a pure COLUMN, for pipelines
+    * that only need the boolean: filters map-side on the scan with no
+    * per-doc metric frame and no semi-join exchange. Identical
+    * expressions to the frame version (no intermediate rounding exists
+    * in either), so the verdicts are bit-equal. */
+  def gopherKeepCol(text: Column): Column = {
+    val words = tokens(text)
+    val lines = split(text, "\n")
+    val nWords = size(words).cast("long")
+    val nLines = size(lines).cast("long")
+    val stopArr = array(stopwords.map(lit): _*)
+    val meanWordLen = length(regexp_replace(text, "\\s+", ""))
+      .cast("double") / nWords
+    val ellipses = (length(text) -
+      length(regexp_replace(text, "\\.\\.\\.", ""))).cast("double") / 3
+    val hashes = length(regexp_replace(text, "[^#]", ""))
+    val symbolRatio = (ellipses + hashes) / nWords
+    val bulletRatio = size(filter(lines, l => l.rlike("^ *[-*]")))
+      .cast("double") / nLines
+    val ellipsisLineRatio = size(filter(lines, l => l.rlike("\\.\\.\\.$")))
+      .cast("double") / nLines
+    val alphaRatio = size(filter(words, w => w.rlike("[A-Za-z]")))
+      .cast("double") / nWords
+    val stopHits = size(filter(stopArr, sw => array_contains(words, sw)))
+      .cast("long")
+    nWords.between(50L, 100000L) &&
+      meanWordLen.between(3.0, 10.0) &&
+      symbolRatio < 0.1 &&
+      bulletRatio <= 0.9 &&
+      ellipsisLineRatio <= 0.3 &&
+      alphaRatio > 0.8 &&
+      stopHits >= 2L
+  }
+
   def gopherQuality(docs: DataFrame, id: String, text: String): DataFrame = {
     val t = col(text)
     val words = tokens(t)
