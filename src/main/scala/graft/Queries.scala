@@ -3937,6 +3937,18 @@ object Queries {
       },
       None),
 
+    // ------------------ packing-efficiency report (seqLen selection)
+    Spec("q_pack_efficiency",
+      (s, dir) => Packing.packingEfficiency(t(s, dir).documents,
+        "doc_id", "text", 512L, 64L),
+      Some(packSpanCte + """
+        SELECT COUNT(*) AS n_docs,
+          CAST(SUM(est_tokens) AS BIGINT) AS total_tokens,
+          MAX(seq_last) + 1 AS n_seqs,
+          floor(SUM(est_tokens) / ((MAX(seq_last) + 1) * 512.0)
+            * 1e6 + 0.5) / 1e6 AS fill_ratio
+        FROM sp""")),
+
     // -------------------- model-based quality filter (rule distillation)
     // Rows-only by necessity (an LBFGS fit is not ANSI-SQL-expressible);
     // the gate still REQUIREs held-out quality: the distilled scorer must

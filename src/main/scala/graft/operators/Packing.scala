@@ -117,4 +117,24 @@ object Packing {
         (least(col("tok_end"), (col("seq_id") + 1) * seqLen) -
           greatest(col("tok_start"), col("seq_id") * seqLen)).as("n_tok"))
   }
+
+  /** Packing-efficiency summary for a candidate `seqLen` — the one-row
+    * report that picks the sequence length before a packing run: total
+    * corpus tokens, how many training sequences the greedy
+    * concatenative layout produces, and the fill ratio (1 − padding
+    * waste; only the final partial sequence pads in this layout, but
+    * the report's shape also serves doc-boundary-respecting packers
+    * where waste is per-sequence). One aggregate over the span frame —
+    * adds nothing to the prefix sum's cost. */
+  def packingEfficiency(docs: DataFrame, id: String, text: String,
+                        seqLen: Long, blockWidth: Long = 1L << 20)
+      : DataFrame = {
+    import graft.functions.ColumnFns.stableRound
+    packSequences(docs, id, text, seqLen, blockWidth)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("est_tokens")).as("total_tokens"),
+        (max(col("seq_last")) + 1).as("n_seqs"),
+        stableRound(sum(col("est_tokens")).cast("double") /
+          ((max(col("seq_last")) + 1) * seqLen), 6).as("fill_ratio"))
+  }
 }
