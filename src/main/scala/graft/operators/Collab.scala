@@ -315,16 +315,21 @@ object Collab {
     *    i = u2, rn = 0: similarities are a pair listing, not a ranking);
     *  - `cf` — [[recommend]] semantics (top `k` per target user);
     *  - `hybrid` — [[hybridBlend]] semantics (α·assoc + (1−α)·cf).
-    * Caches are query-local by the engine's harness convention; the two
-    * count() barriers exist because Spark tasks racing an unmaterialized
-    * cache each recompute it (getOrCompute does not cross-task-wait). */
+    * The family is ONE lazy plan with NO cache barriers, the
+    * [[AssociationRules.rulesFamily]] design: each shared stage ends in
+    * an Exchange — the counts aggregate, the pair-dot aggregate inside
+    * the similarity join, the scored-candidate aggregate — and
+    * Catalyst's ReuseExchange computes each exactly once across all
+    * consumers inside a single job. Only rule-table-sized post-Exchange
+    * work (norm broadcast-joins, top-k windows) is duplicated by plan-
+    * subtree copies. An earlier cache()+count() version held three
+    * blocking materialization jobs before the final query could plan —
+    * measured ~25% of family wall-clock at sf0.1. */
   def cfFamily(counts0: DataFrame, rules: DataFrame, k: Int, alpha: Double,
                userFilter: Column => Column,
                simsLimit: Int = 1000): DataFrame = {
-    val counts = counts0.cache()
-    counts.count()
-    val sims = userSimilarities(counts).cache()
-    sims.count()
+    val counts = counts0
+    val sims = userSimilarities(counts)
     // rounding happens BEFORE the top-N, matching q_cf_user_sims (ties
     // on rounded cosine break on the unique ordered pair key)
     val simsFam = sims
@@ -332,8 +337,7 @@ object Collab {
         col("u2").as("i"), stableRound(col("cos"), 6).as("score"))
       .orderBy(col("score").desc, col("u"), col("i")).limit(simsLimit)
       .withColumn("rn", lit(0L))
-    val scored = scoreCandidates(counts, sims, userFilter(col("u1"))).cache()
-    scored.count()
+    val scored = scoreCandidates(counts, sims, userFilter(col("u1")))
     val recs = scored
       .withColumn("rn", row_number().over(
           Window.partitionBy(col("u"))
