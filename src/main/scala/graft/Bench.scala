@@ -36,18 +36,21 @@ object Bench {
   /** Queries whose DuckDB oracle takes > 0.5 s at sf0.1 — re-derived by
     * `python3 tools/ducktime.py /root/testdata/sf0.1 <oracle_sql.json>`
     * (min of 2 reps, 32-thread DuckDB; timings snapshot in
-    * `tools/duckdb_sf0.1_times.json`). On these the comparison measures
-    * plan quality; below the cutoff it measures Spark's per-job floor. */
+    * `tools/duckdb_sf0.1_times.json`, per-query MAX across measurement
+    * sessions — borderline queries flicker across DuckDB cache states,
+    * so membership is the union, a stable superset). On these the
+    * comparison measures plan quality; below the cutoff it measures
+    * Spark's per-job floor. */
   val SubstantialSubset: Set[String] = Set(
     "q_ann_ivf_flat", "q_ann_ivf_indexed", "q_cf_family",
     "q_cf_recommendations", "q_cf_user_sims", "q_corpus_clean",
     "q_corpus_dedup", "q_fpgrowth_pairs", "q_fpgrowth_rules",
     "q_gopher_quality", "q_hybrid_recommendations", "q_lang_id",
     "q_neardup_components", "q_neardup_components_star", "q_ngram_filter",
-    "q_quality_score", "q_rule_matches", "q_rules", "q_rules_family",
-    "q_select_topfrac", "q_simhash_pairs", "q_substr_dup_spans",
-    "q_substr_strip", "q_text_quality", "q_training_mix",
-    "q_training_mix_packed")
+    "q_ngram_ppl", "q_quality_score", "q_rule_matches", "q_rules",
+    "q_rules_family", "q_select_topfrac", "q_simhash_pairs",
+    "q_substr_dup_spans", "q_substr_strip", "q_text_quality",
+    "q_training_mix", "q_training_mix_packed")
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
