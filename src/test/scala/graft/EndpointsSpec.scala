@@ -10,6 +10,22 @@ class EndpointsSpec extends SparkSpec {
   private def li = spark.read.parquet(s"$dir/lineitem.parquet")
   private def orders = spark.read.parquet(s"$dir/orders.parquet")
 
+  test("events loader canonicalizes ts to TimestampType on driver data") {
+    // regression guard for the round-7 streaming break: a new driver
+    // data generation changed the parquet logical type of events.ts
+    // (NANOS-long → TIMESTAMP_NTZ) and every type-strict consumer
+    // (unix_micros in the stream backlog writer) failed at analysis.
+    // The loader seam must present ONE stable type whatever the
+    // generation wrote.
+    val ev = graft.sources.Tables(spark, dir).events
+    assert(ev.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    // the exact consumer that broke must analyze and produce real micros
+    val us = ev.select(unix_micros(col("ts")).as("us"))
+      .agg(min(col("us")), max(col("us"))).head()
+    assert(us.getLong(0) > 0L && us.getLong(1) >= us.getLong(0))
+  }
+
   test("EP-1 association rules with a period window") {
     val rules = Endpoints.associationRules(li, "l_orderkey", "l_partkey",
       periodDays = Some(365), col("l_shipdate"), 0.0, 0.0, 50)
