@@ -118,19 +118,25 @@ object Collab {
           .select(col("u"), col("i"), col("c"))
       case None => counts
     }
-    val a = base.select(col("u").as("u1"), col("i"), col("c").as("c1"))
-    val b = base.select(col("u").as("u2"), col("i"), col("c").as("c2"))
-    val dots = a.join(b, Seq("i"))
-      .where(col("u1") < col("u2"))
-      .groupBy(col("u1"), col("u2"))
-      .agg(sum(col("c1") * col("c2")).as("dot"))
     // norms over the SAME (possibly capped) vectors as the dot products —
     // mixing capped numerators with uncapped norms would yield a value
-    // that is the cosine of neither
+    // that is the cosine of neither. Norms attach to the SIDES of the
+    // self-join (user-grain, one extra shuffle of the slim count frame)
+    // rather than to the aggregated pair table afterward: the pair table
+    // is the largest frame in the query, and the post-agg form paid two
+    // full exchanges of it (one per norm join). They ride the pair
+    // aggregation as grouping keys — functionally determined by u1/u2,
+    // so the key cardinality is unchanged.
     val n = userNorms(base)
-    dots
-      .join(n.select(col("u").as("u1"), col("nrm").as("nrm1")), Seq("u1"))
-      .join(n.select(col("u").as("u2"), col("nrm").as("nrm2")), Seq("u2"))
+    val withN = base.join(n, Seq("u"))
+    val a = withN.select(col("u").as("u1"), col("i"), col("c").as("c1"),
+      col("nrm").as("nrm1"))
+    val b = withN.select(col("u").as("u2"), col("i"), col("c").as("c2"),
+      col("nrm").as("nrm2"))
+    a.join(b, Seq("i"))
+      .where(col("u1") < col("u2"))
+      .groupBy(col("u1"), col("u2"), col("nrm1"), col("nrm2"))
+      .agg(sum(col("c1") * col("c2")).as("dot"))
       .select(col("u1"), col("u2"),
         (col("dot") / (col("nrm1") * col("nrm2"))).as("cos"))
   }
