@@ -73,11 +73,11 @@ object Endpoints {
                             targetUsers: Column => Column = _ => lit(true))
       : DataFrame = {
     val counts = Collab.userItemCounts(tx, user, item)
-    val sims = Collab.userSimilarities(counts)
-    // the same user predicate restricts BOTH sources: recommend's sym view
-    // keys targets as u1; assocScores keys them as u — applying it to only
-    // one side would blend a filtered CF list against all-user assoc scores
-    val cf = Collab.scoreCandidates(counts, sims, targetUsers(col("u1")))
+    // the same user predicate restricts BOTH sources: the directed CF path
+    // keys targets as the self-join's left side; assocScores keys them as
+    // u — applying it to only one side would blend a filtered CF list
+    // against all-user assoc scores
+    val cf = Collab.scoreCandidatesDirect(counts, targetUsers)
     val rules = AssociationRules.rulesRaw(tx, basket, item,
       AssociationRules.Params(0.0, 0.0))
     val assoc = Collab.assocScores(

@@ -1084,14 +1084,13 @@ object Queries {
     // ---------------------------------------------------------- §2.14 recs
     Spec("q_cf_recommendations",
       (s, dir) => {
-        // deliberately un-cached: a cache barrier here costs a 600K-row
-        // materialization and buys nothing — the target filter pushes
-        // down into every recompute of this cheap aggregation (measured:
-        // cached and uncached are within run-to-run noise at sf0.1)
+        // directed path: the target predicate pre-filters the LEFT side
+        // of the item self-join ([[Collab.directedSimilarities]]), so the
+        // pair fan-out is target-adjacent only — never the full board
+        // that the sym-based form computed and then filtered
         val counts = Collab.userItemCounts(custItemTx(s, dir),
           "o_custkey", "l_partkey")
-        val sims = Collab.userSimilarities(counts)
-        Collab.recommend(counts, sims, 5, col("u1") % 50 === 0)
+        Collab.recommendDirect(counts, 5, u => u % 50 === 0)
           .orderBy(col("u"), col("rn"))
       },
       Some("""WITH """ + cfSimsSql + """,
@@ -1115,8 +1114,7 @@ object Queries {
       (s, dir) => {
         val counts = Collab.userItemCounts(custItemTx(s, dir),
           "o_custkey", "l_partkey")
-        val sims = Collab.userSimilarities(counts)
-        val cf = Collab.scoreCandidates(counts, sims, col("u1") % 50 === 0)
+        val cf = Collab.scoreCandidatesDirect(counts, u => u % 50 === 0)
         val rules = AssociationRules.rulesRaw(t(s, dir).lineitem,
           "l_orderkey", "l_partkey", rulesParams)
         val assoc = Collab.assocScores(
@@ -1274,7 +1272,7 @@ object Queries {
         val rules = AssociationRules.tripleRules(brandTx, "l_orderkey",
           "p_brand", AssociationRules.Params(minSupport = 0.002,
             minConfidence = 0.05, maxRules = 200))
-        Collab.matchingRules(sets, rules)
+        Collab.matchingRuleStats(sets, rules)
           .groupBy(col("u"))
           .agg(count(lit(1)).as("n_rules"),
             stableRound(sum(col("confidence") * col("lift")), 6)
@@ -2608,6 +2606,33 @@ object Queries {
       Some("""SELECT doc_id, 8000 + 1000 * (doc_id % 8) AS sample_rate,
           CAST(16 AS BIGINT) AS bits_per_sample,
           1 + doc_id % 2 AS channels, 128 + doc_id % 256 AS n_frames
+        FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""")),
+
+    // Video twin: minimal REAL ISO-BMFF containers (ftyp + moov with
+    // mvhd and per-track trak boxes) built from pure id arithmetic,
+    // decoded back through the pure-JDK box walk
+    // ([[Multimodal.Mp4Codec]]). The quad reads as
+    // (timescale, duration, n_tracks, duration_ms); only a real box
+    // parser can recover the values from the bytes, while the oracle
+    // predicts them from the id without decoding.
+    Spec("q_video_decode",
+      (s, dir) => Multimodal.decodePartitioned(
+        Multimodal.syntheticMp4Table(
+          t(s, dir).documents.select(col("doc_id"))
+            .where(col("doc_id") % 10 === 0), "doc_id"),
+        () => new Multimodal.Mp4Codec)
+        .select(col("id").as("doc_id"),
+          col("width").as("timescale"),
+          col("height").as("duration"),
+          col("channels").as("n_tracks"),
+          col("n_frames").as("duration_ms"))
+        .orderBy(col("doc_id")),
+      Some("""SELECT doc_id,
+          CAST(600 * (1 + doc_id % 4) AS BIGINT) AS timescale,
+          CAST(300 * (1 + doc_id % 50) AS BIGINT) AS duration,
+          CAST(1 + doc_id % 3 AS BIGINT) AS n_tracks,
+          CAST((300 * (1 + doc_id % 50) * 1000)
+            // (600 * (1 + doc_id % 4)) AS BIGINT) AS duration_ms
         FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""")),
 
     Spec("q_frame_samples",

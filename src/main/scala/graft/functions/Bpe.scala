@@ -102,6 +102,32 @@ object Bpe {
         pairs.map { case (a, b) => a + b }
     @transient lazy val tokenIds: Map[String, Int] =
       vocab.zipWithIndex.toMap
+    /** Per-instance, per-thread hot-word LRU (Zipf makes the pre-token
+      * stream massively repetitive — the standard tokenizer trick).
+      * Held INSIDE the instance so the cache lives and dies with its
+      * vocabulary: a shared cache keyed by `identityHashCode(merges)`
+      * can collide across instances (identity hashes are not unique)
+      * and silently return another vocabulary's tokenization. */
+    @transient private lazy val wordCache = new ThreadLocal[
+        java.util.LinkedHashMap[String, Vector[String]]] {
+      override def initialValue() =
+        new java.util.LinkedHashMap[String, Vector[String]](
+            1 << 12, 0.75f, true) {
+          override def removeEldestEntry(
+              e: java.util.Map.Entry[String, Vector[String]]): Boolean =
+            size() > 65536
+        }
+    }
+    /** [[applyMerges]] on one pre-token, memoized per thread. */
+    def cachedTokens(word: String): Vector[String] = {
+      val cache = wordCache.get()
+      var hit = cache.get(word)
+      if (hit == null) {
+        hit = applyMerges(toByteSymbols(word), this)
+        cache.put(word, hit)
+      }
+      hit
+    }
   }
 
   object Merges {
@@ -160,47 +186,15 @@ object Bpe {
   def encodeWord(word: String, merges: Merges): Vector[String] =
     applyMerges(toByteSymbols(word), merges)
 
-  /** Tokenize a text: pre-tokenize, BPE each pre-token. Zipf makes the
-    * pre-token stream massively repetitive, so a per-thread bounded LRU
-    * keyed by (merges identity, word) short-circuits the merge loop for
-    * hot words — the standard tokenizer-implementation trick. */
-  def encode(text: String, merges: Merges): Vector[String] = {
-    val cache = wordCache.get()
-    preTokenize(text).flatMap { w =>
-      val key = (System.identityHashCode(merges), w)
-      var hit = cache.get(key)
-      if (hit == null) {
-        hit = encodeWord(w, merges)
-        cache.put(key, hit)
-      }
-      hit
-    }
-  }
+  /** Tokenize a text: pre-tokenize, BPE each pre-token through the
+    * Merges instance's per-thread hot-word LRU ([[Merges.cachedTokens]]). */
+  def encode(text: String, merges: Merges): Vector[String] =
+    preTokenize(text).flatMap(merges.cachedTokens)
 
   def countTokens(text: String, merges: Merges): Long = {
-    val cache = wordCache.get()
     var n = 0L
-    preTokenize(text).foreach { w =>
-      val key = (System.identityHashCode(merges), w)
-      var hit = cache.get(key)
-      if (hit == null) {
-        hit = encodeWord(w, merges)
-        cache.put(key, hit)
-      }
-      n += hit.length
-    }
+    preTokenize(text).foreach(w => n += merges.cachedTokens(w).length)
     n
-  }
-
-  private val wordCache = new ThreadLocal[
-      java.util.LinkedHashMap[(Int, String), Vector[String]]] {
-    override def initialValue() =
-      new java.util.LinkedHashMap[(Int, String), Vector[String]](
-          1 << 12, 0.75f, true) {
-        override def removeEldestEntry(
-            e: java.util.Map.Entry[(Int, String), Vector[String]]): Boolean =
-          size() > 65536
-      }
   }
 
   /** Exact inverse of [[encode]]: token strings are byte-mapped chars, so

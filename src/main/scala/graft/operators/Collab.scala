@@ -93,30 +93,31 @@ object Collab {
         })
     }
 
-  /** One-directional (u1 < u2) nonzero cosine similarities via item
-    * self-join. `maxItemUsers` drops items shared by more than that many
-    * users (quadratic-blowup guard, ON by default at
-    * [[DefaultMaxItemUsers]]; `None` = exact mode, keep all). A BINDING
-    * cap is never silent: the query observes how many rows it dropped and
-    * a session listener logs a warning when that count is nonzero. */
-  def userSimilarities(counts: DataFrame,
-                       maxItemUsers: Option[Int] = Some(DefaultMaxItemUsers))
+  /** Shared prep for the similarity self-joins: cap-filtered (u, i, c)
+    * vectors with the per-user norm attached and single-user items pruned
+    * from the JOIN sides. Norms are computed over the full (capped)
+    * vectors BEFORE the iu ≥ 2 prune — an item only one user holds
+    * contributes to that user's denominator but can never produce a
+    * cross-user pair, so pruning it from the sides drops pure join
+    * fan-in at zero semantic cost. The iu frame is item-grain (catalog-
+    * sized), broadcastable by construction. */
+  private def simSides(counts: DataFrame, maxItemUsers: Option[Int])
       : DataFrame = {
     // deliberately un-cached: the counts aggregation is one cheap shuffle,
     // and a cache barrier here would cost more in materialization and lost
     // scan pipelining than the recompute (measured at sf0.1)
+    val iu = counts.groupBy(col("i")).agg(count(lit(1)).as("iu"))
+    val withIu = counts.join(broadcast(iu), Seq("i"))
     val base = maxItemUsers match {
       case Some(cap) =>
         capDropListener(counts.sparkSession)
-        val iu = counts.groupBy(col("i")).agg(count(lit(1)).as("iu"))
-        counts.join(broadcast(iu), Seq("i"))
+        withIu
           .observe(s"${CapMetricName}_${capMetricSeq.incrementAndGet()}",
             coalesce(sum(when(col("iu") > cap, lit(1L)).otherwise(lit(0L))),
               lit(0L)).as("dropped_rows"),
             coalesce(max(col("iu")), lit(0L)).as("max_item_users"))
           .where(col("iu") <= cap)
-          .select(col("u"), col("i"), col("c"))
-      case None => counts
+      case None => withIu
     }
     // norms over the SAME (possibly capped) vectors as the dot products —
     // mixing capped numerators with uncapped norms would yield a value
@@ -127,14 +128,56 @@ object Collab {
     // full exchanges of it (one per norm join). They ride the pair
     // aggregation as grouping keys — functionally determined by u1/u2,
     // so the key cardinality is unchanged.
-    val n = userNorms(base)
-    val withN = base.join(n, Seq("u"))
+    val n = userNorms(base.select(col("u"), col("i"), col("c")))
+    base.join(n, Seq("u"))
+      .where(col("iu") >= 2)
+      .select(col("u"), col("i"), col("c"), col("nrm"))
+  }
+
+  /** One-directional (u1 < u2) nonzero cosine similarities via item
+    * self-join. `maxItemUsers` drops items shared by more than that many
+    * users (quadratic-blowup guard, ON by default at
+    * [[DefaultMaxItemUsers]]; `None` = exact mode, keep all). A BINDING
+    * cap is never silent: the query observes how many rows it dropped and
+    * a session listener logs a warning when that count is nonzero. */
+  def userSimilarities(counts: DataFrame,
+                       maxItemUsers: Option[Int] = Some(DefaultMaxItemUsers))
+      : DataFrame = {
+    val withN = simSides(counts, maxItemUsers)
     val a = withN.select(col("u").as("u1"), col("i"), col("c").as("c1"),
       col("nrm").as("nrm1"))
     val b = withN.select(col("u").as("u2"), col("i"), col("c").as("c2"),
       col("nrm").as("nrm2"))
     a.join(b, Seq("i"))
       .where(col("u1") < col("u2"))
+      .groupBy(col("u1"), col("u2"), col("nrm1"), col("nrm2"))
+      .agg(sum(col("c1") * col("c2")).as("dot"))
+      .select(col("u1"), col("u2"),
+        (col("dot") / (col("nrm1") * col("nrm2"))).as("cos"))
+  }
+
+  /** Directed target-vs-all cosine similarities — the similarity frame a
+    * TARGETED recommendation query actually needs, computed without ever
+    * building the full pair table: the left side of the item join is
+    * pre-filtered to target users, so the join fan-out shrinks from
+    * Σᵢ kᵢ² to Σᵢ kᵢ·tᵢ (tᵢ = target holders of item i — with a 1-in-50
+    * target predicate, ~50× less work than [[userSimilarities]] +
+    * post-hoc filter). Values are bit-identical to the symmetrized full
+    * computation: the integer dot product is over the same shared items,
+    * and IEEE multiplication of the two norms is commutative. Returns
+    * (u1 = target, u2 = partner ≠ u1, cos) — already "both-direction"
+    * from the target's point of view. */
+  def directedSimilarities(counts: DataFrame, targetFilter: Column => Column,
+                           maxItemUsers: Option[Int] =
+                             Some(DefaultMaxItemUsers)): DataFrame = {
+    val withN = simSides(counts, maxItemUsers)
+    val a = withN.where(targetFilter(col("u")))
+      .select(col("u").as("u1"), col("i"), col("c").as("c1"),
+        col("nrm").as("nrm1"))
+    val b = withN.select(col("u").as("u2"), col("i"), col("c").as("c2"),
+      col("nrm").as("nrm2"))
+    a.join(b, Seq("i"))
+      .where(col("u1") =!= col("u2"))
       .groupBy(col("u1"), col("u2"), col("nrm1"), col("nrm2"))
       .agg(sum(col("c1") * col("c2")).as("dot"))
       .select(col("u1"), col("u2"),
@@ -187,13 +230,10 @@ object Collab {
     * sim × count. Use this directly when ALL candidates are needed (e.g.
     * as the CF side of [[hybridBlend]]) — it skips [[recommend]]'s
     * row_number window, a full per-user sort of the candidate set. */
-  def scoreCandidates(counts: DataFrame, sims: DataFrame,
-                      targetFilter: Column = lit(true)): DataFrame = {
-    // No caching: materializing sims would block the targetFilter predicate
-    // from pushing down into the pair join, and counts is one cheap shuffle
-    // to recompute (measured at sf0.1).
-    val sym = symmetricSimilarities(sims)
-      .where(col("cos") > 0 && targetFilter)
+  /** The scoring tail shared by the sym-based and directed paths: weight
+    * partners' item counts by similarity, sum per (target, item), drop
+    * already-purchased items. `sym` is (u1 = target, u2 = partner, cos). */
+  private def scoreFromSym(sym: DataFrame, counts: DataFrame): DataFrame =
     sym
       .join(counts.select(col("u").as("u2"), col("i"), col("c")), Seq("u2"))
       .groupBy(col("u1").as("u"), col("i"))
@@ -203,6 +243,37 @@ object Collab {
       // and it now touches the aggregated candidate grain, not the
       // (sim × item) pre-aggregation blow-up
       .join(counts.select(col("u"), col("i")), Seq("u", "i"), "left_anti")
+
+  private def topK(scored: DataFrame, k: Int): DataFrame =
+    scored.withColumn("rn", row_number().over(
+        Window.partitionBy(col("u"))
+          .orderBy(col("score").desc, col("i").asc))
+      .cast("long"))
+      .where(col("rn") <= k)
+
+  def scoreCandidates(counts: DataFrame, sims: DataFrame,
+                      targetFilter: Column = lit(true)): DataFrame = {
+    // No caching: materializing sims would block the targetFilter predicate
+    // from pushing down into the pair join, and counts is one cheap shuffle
+    // to recompute (measured at sf0.1).
+    val sym = symmetricSimilarities(sims)
+      .where(col("cos") > 0 && targetFilter)
+    scoreFromSym(sym, counts)
+  }
+
+  /** [[scoreCandidates]] without a precomputed full similarity frame:
+    * the similarities come from [[directedSimilarities]], so a query
+    * that only scores a TARGET subset never pays the full pair
+    * self-join. Use when the similarity frame is not shared with other
+    * consumers (the standalone recommendation queries); [[cfFamily]]
+    * keeps the sym-based path because its sims ARE shared. */
+  def scoreCandidatesDirect(counts: DataFrame,
+                            targetFilter: Column => Column,
+                            maxItemUsers: Option[Int] =
+                              Some(DefaultMaxItemUsers)): DataFrame = {
+    val sym = directedSimilarities(counts, targetFilter, maxItemUsers)
+      .where(col("cos") > 0)
+    scoreFromSym(sym, counts)
   }
 
   /** CF candidate scoring (`collab_filter.py:64-76`): [[scoreCandidates]]
@@ -210,12 +281,15 @@ object Collab {
     * recommendations (the reference scores one household per request). */
   def recommend(counts: DataFrame, sims: DataFrame, k: Int,
                 targetFilter: Column = lit(true)): DataFrame =
-    scoreCandidates(counts, sims, targetFilter)
-      .withColumn("rn", row_number().over(
-          Window.partitionBy(col("u"))
-            .orderBy(col("score").desc, col("i").asc))
-        .cast("long"))
-      .where(col("rn") <= k)
+    topK(scoreCandidates(counts, sims, targetFilter), k)
+
+  /** [[recommend]] over [[directedSimilarities]] — same result, but the
+    * pair computation is pre-filtered to the target users. */
+  def recommendDirect(counts: DataFrame, k: Int,
+                      targetFilter: Column => Column,
+                      maxItemUsers: Option[Int] =
+                        Some(DefaultMaxItemUsers)): DataFrame =
+    topK(scoreCandidatesDirect(counts, targetFilter, maxItemUsers), k)
 
   /** Association-rule candidate scores (`customers/views.py:84-126`): for
     * each user, rules whose antecedent is among the user's purchased items
@@ -254,6 +328,35 @@ object Collab {
     * leak and no second run of the mining pipeline. */
   def matchingRules(purchasedSets: DataFrame, rules: DataFrame,
                     maxRules: Int = 10000): DataFrame = {
+    val (fired, withId, proj) = firedRules(purchasedSets, rules, maxRules)
+    fired.join(purchasedSets, Seq("u"))
+      .join(broadcast(withId), Seq("rid"))
+      .select(purchasedSets.columns.map(col) ++
+        proj.schema.fieldNames.map(col): _*)
+  }
+
+  /** [[matchingRules]] WITHOUT re-attaching the purchase-set payload:
+    * returns (u, antecedent, consequent, confidence, lift) — one row per
+    * fired (user, rule). Consumers that only aggregate rule metrics per
+    * user (the q_rule_matches shape) should use this: the full variant's
+    * closing join back to `purchasedSets` exists only to carry the wide
+    * `items` arrays through, and is a full user-grain SortMergeJoin the
+    * aggregation then throws away. Here the rule attributes arrive by
+    * broadcast at the already-aggregated (user, rule) grain — no
+    * user-grain shuffle after the subset test. */
+  def matchingRuleStats(purchasedSets: DataFrame, rules: DataFrame,
+                        maxRules: Int = 10000): DataFrame = {
+    val (fired, withId, proj) = firedRules(purchasedSets, rules, maxRules)
+    fired.join(broadcast(withId), Seq("rid"))
+      .select(col("u") +: proj.schema.fieldNames.map(col): _*)
+  }
+
+  /** Common core of [[matchingRules]]/[[matchingRuleStats]]: the guarded
+    * driver-side rule materialization and the set-containment join,
+    * yielding the fired (u, rid) pairs plus the rid-keyed rule table. */
+  private def firedRules(purchasedSets: DataFrame, rules: DataFrame,
+                         maxRules: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
     val proj = rules.select(col("antecedent"), col("consequent"),
       col("confidence"), col("lift"))
     // limit(maxRules+1) bounds the collect even when the guard will fail
@@ -293,10 +396,7 @@ object Collab {
       .agg(count(lit(1)).as("n_hit"))
       .where(col("n_hit") === col("n_ants"))
       .select(col("u"), col("rid"))
-    fired.join(purchasedSets, Seq("u"))
-      .join(broadcast(withId), Seq("rid"))
-      .select(purchasedSets.columns.map(col) ++
-        proj.schema.fieldNames.map(col): _*)
+    (fired, withId, proj)
   }
 
   /** The whole CF family — top-`simsLimit` user similarities (§2.14

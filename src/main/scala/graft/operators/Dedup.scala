@@ -87,7 +87,12 @@ object Dedup {
                             bloom: org.apache.spark.util.sketch.BloomFilter)
       : DataFrame = {
     graft.plans.GraftExtensions.register(batch.sparkSession)
+    // null content (null digest) is dropped here AND in [[dedupIncremental]]
+    // — without the explicit filter the two paths diverge on nulls (a null
+    // probe fails both `!might` and `might`, while a null anti-join key
+    // never matches and survives); dropping matches SQL NOT IN semantics
     val b = batch.select(col(id), md5(col(content)).as("content_hash"))
+      .where(col("content_hash").isNotNull)
       .groupBy(col("content_hash"))
       .agg(min(col(id)).as(id))
     val might = graft.plans.BloomMightContain.column(col("content_hash"),
@@ -110,6 +115,7 @@ object Dedup {
   def dedupIncremental(batch: DataFrame, index: DataFrame, id: String,
                        content: String): DataFrame =
     batch.select(col(id), md5(col(content)).as("content_hash"))
+      .where(col("content_hash").isNotNull) // match the Bloom path on nulls
       .groupBy(col("content_hash"))
       .agg(min(col(id)).as(id))
       .join(index, Seq("content_hash"), "left_anti")
@@ -129,8 +135,14 @@ object Dedup {
   def dedupCorpus(docs: DataFrame, id: String, content: String,
                   shingleLen: Int = 3, minJaccard: Double = 0.5,
                   numHashes: Int = 16, bandSize: Int = 4): DataFrame = {
-    val keep = exactByContent(docs, id, content).select(col(id))
-    val survivors = docs.join(keep, Seq(id), "left_semi")
+    // first-occurrence window directly on the scan, NOT exactByContent +
+    // left_semi back on id: the agg+semi form pays a digest-grain exchange
+    // AND a full body-grain exchange for the join; the window keys the ONE
+    // unavoidable body-grain exchange by the digest itself and keeps
+    // rank 1 — same keep-min-id semantics, one exchange fewer
+    val w = Window.partitionBy(md5(col(content))).orderBy(col(id))
+    val survivors = docs.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
     val nearPairs = NearDup.minHashPortableUnsorted(survivors, id, content,
       shingleLen, minJaccard, numHashes, bandSize)
     survivors.select(col(id))

@@ -115,40 +115,6 @@ object TextAnalysis {
     * rules instead of re-scanning. Map-only, codegen'd — one pass at any
     * scale. Every ratio is an exact-int division, so the signals (and the
     * threshold comparisons) are bit-identical cross-engine. */
-  /** [[gopherQuality]]'s keep verdict as a pure COLUMN, for pipelines
-    * that only need the boolean: filters map-side on the scan with no
-    * per-doc metric frame and no semi-join exchange. Identical
-    * expressions to the frame version (no intermediate rounding exists
-    * in either), so the verdicts are bit-equal. */
-  def gopherKeepCol(text: Column): Column = {
-    val words = tokens(text)
-    val lines = split(text, "\n")
-    val nWords = size(words).cast("long")
-    val nLines = size(lines).cast("long")
-    val stopArr = array(stopwords.map(lit): _*)
-    val meanWordLen = length(regexp_replace(text, "\\s+", ""))
-      .cast("double") / nWords
-    val ellipses = (length(text) -
-      length(regexp_replace(text, "\\.\\.\\.", ""))).cast("double") / 3
-    val hashes = length(regexp_replace(text, "[^#]", ""))
-    val symbolRatio = (ellipses + hashes) / nWords
-    val bulletRatio = size(filter(lines, l => l.rlike("^ *[-*]")))
-      .cast("double") / nLines
-    val ellipsisLineRatio = size(filter(lines, l => l.rlike("\\.\\.\\.$")))
-      .cast("double") / nLines
-    val alphaRatio = size(filter(words, w => w.rlike("[A-Za-z]")))
-      .cast("double") / nWords
-    val stopHits = size(filter(stopArr, sw => array_contains(words, sw)))
-      .cast("long")
-    nWords.between(50L, 100000L) &&
-      meanWordLen.between(3.0, 10.0) &&
-      symbolRatio < 0.1 &&
-      bulletRatio <= 0.9 &&
-      ellipsisLineRatio <= 0.3 &&
-      alphaRatio > 0.8 &&
-      stopHits >= 2L
-  }
-
   def gopherQuality(docs: DataFrame, id: String, text: String): DataFrame = {
     val t = col(text)
     val words = tokens(t)
@@ -187,6 +153,40 @@ object TextAnalysis {
           col("ellipsis_line_ratio") <= 0.3 &&
           col("alpha_word_ratio") > 0.8 &&
           col("n_stop_hits") >= 2L)
+  }
+
+  /** [[gopherQuality]]'s keep verdict as a pure COLUMN, for pipelines
+    * that only need the boolean: filters map-side on the scan with no
+    * per-doc metric frame and no semi-join exchange. Identical
+    * expressions to the frame version (no intermediate rounding exists
+    * in either), so the verdicts are bit-equal. */
+  def gopherKeepCol(text: Column): Column = {
+    val words = tokens(text)
+    val lines = split(text, "\n")
+    val nWords = size(words).cast("long")
+    val nLines = size(lines).cast("long")
+    val stopArr = array(stopwords.map(lit): _*)
+    val meanWordLen = length(regexp_replace(text, "\\s+", ""))
+      .cast("double") / nWords
+    val ellipses = (length(text) -
+      length(regexp_replace(text, "\\.\\.\\.", ""))).cast("double") / 3
+    val hashes = length(regexp_replace(text, "[^#]", ""))
+    val symbolRatio = (ellipses + hashes) / nWords
+    val bulletRatio = size(filter(lines, l => l.rlike("^ *[-*]")))
+      .cast("double") / nLines
+    val ellipsisLineRatio = size(filter(lines, l => l.rlike("\\.\\.\\.$")))
+      .cast("double") / nLines
+    val alphaRatio = size(filter(words, w => w.rlike("[A-Za-z]")))
+      .cast("double") / nWords
+    val stopHits = size(filter(stopArr, sw => array_contains(words, sw)))
+      .cast("long")
+    nWords.between(50L, 100000L) &&
+      meanWordLen.between(3.0, 10.0) &&
+      symbolRatio < 0.1 &&
+      bulletRatio <= 0.9 &&
+      ellipsisLineRatio <= 0.3 &&
+      alphaRatio > 0.8 &&
+      stopHits >= 2L
   }
 
   /** Gopher-style repetition metrics (Rae et al. 2021, §A1.1's
@@ -236,6 +236,19 @@ object TextAnalysis {
     * before exporting a corpus. Map-only; the scrubbed text is carried as
     * (length, sha256) here so gates stay compact — production would keep
     * the scrubbed column itself. */
+  def piiScrub(docs: DataFrame, id: String, text: String,
+               emailPat: String = EmailPattern,
+               phonePat: String = PhonePattern): DataFrame = {
+    val t = col(text)
+    val scrubbed = regexp_replace(regexp_replace(t, emailPat, "[EMAIL]"),
+      phonePat, "[PHONE]")
+    docs.select(col(id).as("id"),
+      regexp_count(t, lit(emailPat)).cast("long").as("n_emails"),
+      regexp_count(t, lit(phonePat)).cast("long").as("n_phones"),
+      length(scrubbed).cast("long").as("n_chars_scrubbed"),
+      sha2(scrubbed, 256).as("scrubbed_sha256"))
+  }
+
   /** Per-source EXACT length percentiles (linear interpolation, the
     * `quantile_cont` definition) — the profiling pass that sets
     * length-filter thresholds per source before corpus cleaning (every
@@ -267,19 +280,6 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"),
         ps.map(p => approx_percentile(length, lit(p), lit(accuracy))
           .cast("double").as(s"p${(p * 100).round}")): _*)
-
-  def piiScrub(docs: DataFrame, id: String, text: String,
-               emailPat: String = EmailPattern,
-               phonePat: String = PhonePattern): DataFrame = {
-    val t = col(text)
-    val scrubbed = regexp_replace(regexp_replace(t, emailPat, "[EMAIL]"),
-      phonePat, "[PHONE]")
-    docs.select(col(id).as("id"),
-      regexp_count(t, lit(emailPat)).cast("long").as("n_emails"),
-      regexp_count(t, lit(phonePat)).cast("long").as("n_phones"),
-      length(scrubbed).cast("long").as("n_chars_scrubbed"),
-      sha2(scrubbed, 256).as("scrubbed_sha256"))
-  }
 
   /** Document fingerprints: full-content MD5 plus the minimum shingle MD5
     * (a 1-hash MinHash — the rolling-hash fingerprint class). Both are

@@ -407,6 +407,30 @@ class LlmOpsSpec extends SparkSpec {
     assert(decoded(5000L) === ((8000L, 16L, 1L, 264L)))
   }
 
+  test("multimodal: Mp4Codec reads timescale/duration/tracks from real " +
+      "ISO-BMFF boxes, stub-falls-back on garbage and truncation") {
+    val codec = new Multimodal.Mp4Codec
+    val stub = new Multimodal.StubCodec
+    // distributed path over the generated MP4 fixture table: dims are
+    // id arithmetic (600·(1+id%4) timescale, 300·(1+id%50) duration,
+    // 1+id%3 tracks, floor-ms)
+    val ids = Seq(10L, 107L, 5000L).toDF("doc_id")
+    val fixtures = Multimodal.syntheticMp4Table(ids, "doc_id")
+    val decoded = Multimodal.decodePartitioned(fixtures,
+      () => new Multimodal.Mp4Codec)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(decoded(10L) === ((1800L, 3300L, 2L, 1833L)))
+    assert(decoded(107L) === ((2400L, 2400L, 3L, 1000L)))
+    assert(decoded(5000L) === ((600L, 300L, 3L, 500L)))
+    // non-MP4 bytes and a mid-box truncation both fall back to the stub
+    val garbage = "definitely not a video".getBytes("UTF-8")
+    assert(codec.decode(garbage) === stub.decode(garbage))
+    val whole = fixtures.where($"id" === 10L).head().getAs[Array[Byte]](1)
+    val cut = whole.take(whole.length - 40)
+    assert(codec.decode(cut) === stub.decode(cut))
+  }
+
   test("CF: cosine similarity and recommendation on a hand-checked case") {
     // users 1,2 share item A; user 2 also bought B -> recommend B to 1
     val tx = Seq((1L, 10L), (1L, 10L), (2L, 10L), (2L, 11L), (3L, 12L))
@@ -422,6 +446,51 @@ class LlmOpsSpec extends SparkSpec {
       && r.getAs[Long]("i") == 11L))
     // user 3 shares nothing -> no recs
     assert(!recs.exists(r => r.getAs[Long]("u") == 3L))
+  }
+
+  test("CF: directed target similarities equal the symmetrized full frame " +
+      "and recommendDirect equals recommend") {
+    val tx = Seq((1L, 10L), (1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L),
+      (2L, 12L), (3L, 12L), (3L, 11L), (4L, 13L), (50L, 10L), (50L, 12L))
+      .toDF("u0", "i0")
+    val counts = Collab.userItemCounts(tx, "u0", "i0")
+    val tf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      u => u % 2 === 0
+    val full = Collab.symmetricSimilarities(Collab.userSimilarities(counts))
+      .where($"u1" % 2 === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    val direct = Collab.directedSimilarities(counts, tf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(direct.keySet == full.keySet)
+    // bit-identical, not approximately equal: same integer dot product,
+    // commutative IEEE norm multiplication
+    assert(full.forall { case (k, v) => direct(k) == v })
+    val viaSym = Collab.recommend(counts,
+        Collab.userSimilarities(counts), 3, $"u1" % 2 === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Double]("score"), r.getAs[Long]("rn"))).toMap
+    val viaDirect = Collab.recommendDirect(counts, 3, tf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getAs[Double]("score"), r.getAs[Long]("rn"))).toMap
+    assert(viaSym == viaDirect)
+  }
+
+  test("CF: matchingRuleStats equals matchingRules minus the payload") {
+    val sets = Seq((1L, Seq("A", "B")), (2L, Seq("A")), (3L, Seq("B", "C")))
+      .toDF("u", "items")
+    val rules = Seq(
+      (Seq("A"), Seq("C"), 0.5, 1.2),
+      (Seq("A", "B"), Seq("D"), 0.4, 1.1),
+      (Seq("C"), Seq("E"), 0.3, 1.0)
+    ).toDF("antecedent", "consequent", "confidence", "lift")
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select($"u", $"consequent", $"confidence", $"lift")
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1).head,
+        r.getDouble(2), r.getDouble(3))).toSet
+    assert(key(Collab.matchingRuleStats(sets, rules)) ==
+      key(Collab.matchingRules(sets, rules)))
   }
 
   test("CF: DIMSUM at threshold 0 equals the exact long-form cosine") {
