@@ -183,32 +183,34 @@ object Dedup {
     def sumCol(name: String) = coalesce(
       sum(col("component").cast("decimal(38,0)")),
       lit(0).cast("decimal(38,0)")).as(name)
-    // TWO rounds per job, with a fused fixpoint probe: per-node labels
+    // THREE rounds per job, with a fused fixpoint probe: per-node labels
     // are monotonically non-increasing (min over a set containing the
     // old label), so the exact label sum is equal across a round iff NO
-    // node changed — and sum(l1) == sum(l2) proves l1 was already a
-    // fixpoint, making l2 (= l1) the answer. Both sums ride ONE action:
-    // l1's aggregate exchange is shared between l2's subtree and l1's
-    // sum via ReuseExchange, and the action lazily materializes l2's
-    // checkpoint. Near-duplicate graphs are unions of quasi-cliques
-    // (diameter 1–3), so the whole fixpoint usually lands in one or two
-    // jobs where the one-round-per-job loop paid 3–5 — per-job
-    // scheduling floor is the dominant cost of this loop at any scale
-    // below millions of edges. DECIMAL(38,0), not BIGINT: at 10B+ docs
-    // a long sum of ids overflows. The odd-diameter case wastes one
-    // no-op round inside the final job — post-Exchange map work, not a
-    // shuffle.
+    // node changed — and sum(l2) == sum(l3) proves l2 was already a
+    // fixpoint, making l3 (= l2) the answer. Both sums ride ONE action:
+    // each round's aggregate exchange is shared between the next round's
+    // subtree and its own sum via ReuseExchange, and the action lazily
+    // materializes l3's checkpoint. Near-duplicate graphs are unions of
+    // quasi-cliques (diameter 1–3), so the whole fixpoint lands in ONE
+    // job for diameter ≤ 2 (where two-rounds-per-job paid a second job
+    // to confirm, and one-round-per-job paid 3–5) — per-job scheduling
+    // floor is the dominant cost of this loop at any scale below
+    // millions of edges, while the over-provisioned rounds are
+    // post-Exchange map+agg work bounded by the label frame, not the
+    // edge frame. DECIMAL(38,0), not BIGINT: at 10B+ docs a long sum of
+    // ids overflows.
     var labels = nodes.select(col("id"), col("id").as("component"))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       val l1 = round(labels)
-      val l2 = round(l1).localCheckpoint(false)
-      val sums = l2.agg(sumCol("s2"))
-        .crossJoin(l1.agg(sumCol("s1"))).head()
+      val l2 = round(l1)
+      val l3 = round(l2).localCheckpoint(false)
+      val sums = l3.agg(sumCol("s3"))
+        .crossJoin(l2.agg(sumCol("s2"))).head()
       converged = sums.getDecimal(0).compareTo(sums.getDecimal(1)) == 0
-      labels = l2
-      iter += 2
+      labels = l3
+      iter += 3
     }
     // the cap is a runaway guard, not a semantics knob: exiting through it
     // means labels are NOT a fixpoint — i.e. wrong components — so fail
@@ -255,15 +257,8 @@ object Dedup {
           lit(0).cast("decimal(38,0)")).as("s")).head()
       (r.getLong(0), r.getDecimal(1))
     }
-    // LAZY checkpoints, probe as the materializing action — same one-job-
-    // per-round economics as [[connectedComponents]]; emptiness falls out
-    // of the probe's count for free
-    var cur = canon(edges.select(col("id_a").as("src"),
-      col("id_b").as("dst"))).localCheckpoint(false)
-    var p = probe(cur)
-    var iter = 0
-    var done = p._1 == 0L
-    while (!done && iter < maxIter) {
+    // One large-star + small-star alternation over a canonical edge set.
+    def alternate(cur: DataFrame): DataFrame = {
       // LARGE-STAR — over the symmetric view: for node u with neighbours
       // N(u), every v ∈ N(u) with v > u is re-pointed at
       // m = min(N(u) ∪ {u})
@@ -275,8 +270,8 @@ object Dedup {
         .select(col("v").as("src"), least(col("mv"), col("u")).as("dst"))
       // no mid-round checkpoint: canon ends in a distinct (an Exchange),
       // so the two small-star consumers share it via ReuseExchange inside
-      // the round's single job; lineage stays bounded because `cur` is a
-      // checkpointed scan
+      // the job; lineage stays bounded because `cur` is at most two
+      // alternations above a checkpointed scan
       val afterLarge = canon(largeStar)
       // SMALL-STAR — canonical edges already key each edge by its larger
       // endpoint (src > dst): for node u = src with smaller neighbours
@@ -288,12 +283,32 @@ object Dedup {
         .select(col("dst").as("src"), col("m").as("dst"))
         .unionByName(mSmall.select(col("src"), col("m"))
           .toDF("src", "dst"))
-      val next = canon(smallStar).localCheckpoint(false)
-      val np = probe(next)
-      done = np == p
-      p = np
-      cur = next
-      iter += 1
+      canon(smallStar)
+    }
+    // TWO alternations per job with a fused probe (the
+    // [[connectedComponents]] trick): edges rewrite monotonically toward
+    // smaller dst, so probe(a1) == probe(a2) proves a1 was already the
+    // fixpoint, making a2 (= a1) the answer — both probes ride ONE
+    // action, and star contraction's 1–2-extra-round burn-in means the
+    // paired job halves the job count on typical near-dup graphs.
+    var cur = canon(edges.select(col("id_a").as("src"),
+      col("id_b").as("dst"))).localCheckpoint(false)
+    var iter = 0
+    var done = probe(cur)._1 == 0L
+    while (!done && iter < maxIter) {
+      val a1 = alternate(cur)
+      val a2 = alternate(a1).localCheckpoint(false)
+      val r = a2.agg(count(lit(1)).as("n2"),
+          coalesce(sum((col("src") * 3 + col("dst"))
+            .cast("decimal(38,0)")), lit(0).cast("decimal(38,0)")).as("s2"))
+        .crossJoin(a1.agg(count(lit(1)).as("n1"),
+          coalesce(sum((col("src") * 3 + col("dst"))
+            .cast("decimal(38,0)")), lit(0).cast("decimal(38,0)")).as("s1")))
+        .head()
+      done = r.getLong(0) == r.getLong(2) &&
+        r.getDecimal(1).compareTo(r.getDecimal(3)) == 0
+      cur = a2
+      iter += 2
     }
     if (!done) throw new IllegalStateException(
       s"connectedComponentsStar: edge set still changing after $maxIter " +
