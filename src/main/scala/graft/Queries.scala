@@ -1074,6 +1074,10 @@ object Queries {
     // ---------------------------------------------------------- §2.14 sims
     Spec("q_cf_user_sims",
       (s, dir) => Collab.userSimilarities(
+        // NOT cached (unlike the directed queries below): both self-join
+        // sides are structurally identical here, so ReuseExchange already
+        // shares the one heavy exchange — a cache barrier on the slim
+        // frame measured SLOWER (5.6 s vs 3.9 s warm at sf0.1)
         Collab.userItemCounts(custItemTx(s, dir), "o_custkey", "l_partkey"))
         .select(col("u1"), col("u2"), stableRound(col("cos"), 6).as("cos"))
         .orderBy(col("cos").desc, col("u1"), col("u2")).limit(1000),
@@ -1087,7 +1091,11 @@ object Queries {
         // directed path: the target predicate pre-filters the LEFT side
         // of the item self-join ([[Collab.directedSimilarities]]), so the
         // pair fan-out is target-adjacent only — never the full board
-        // that the sym-based form computed and then filtered
+        // that the sym-based form computed and then filtered. counts is
+        // deliberately NOT cached: it is one cheap shuffle to recompute,
+        // and a cache barrier benched consistently SLOWER here (8.0 s vs
+        // 6.45 s single-query min-of-2) — materialization blocks scan
+        // pipelining and AQE through the InMemoryRelation
         val counts = Collab.userItemCounts(custItemTx(s, dir),
           "o_custkey", "l_partkey")
         Collab.recommendDirect(counts, 5, u => u % 50 === 0)

@@ -101,24 +101,38 @@ object Collab {
     * cross-user pair, so pruning it from the sides drops pure join
     * fan-in at zero semantic cost. The iu frame is item-grain (catalog-
     * sized), broadcastable by construction. */
+  /** Cap-filtered (u, i, c, iu) vectors — map-only over `counts` (the iu
+    * frame is item-grain, broadcastable by construction, and the cap
+    * observe rides IT, not the row-grain joined frame: Σ iu over capped
+    * items counts exactly the (u, i) rows the filter drops, and a
+    * CollectMetrics node on the big frame measured ~1.3 s per consumer
+    * at sf0.1 — it splits the codegen span and re-executes once per
+    * join side). */
+  private def cappedBase(counts: DataFrame, maxItemUsers: Option[Int])
+      : DataFrame = {
+    val iu = counts.groupBy(col("i")).agg(count(lit(1)).as("iu"))
+    val iuObs = maxItemUsers match {
+      case Some(cap) =>
+        capDropListener(counts.sparkSession)
+        iu.observe(s"${CapMetricName}_${capMetricSeq.incrementAndGet()}",
+          coalesce(sum(when(col("iu") > cap, col("iu")).otherwise(lit(0L))),
+            lit(0L)).as("dropped_rows"),
+          coalesce(max(col("iu")), lit(0L)).as("max_item_users"))
+      case None => iu
+    }
+    val withIu = counts.join(broadcast(iuObs), Seq("i"))
+    maxItemUsers match {
+      case Some(cap) => withIu.where(col("iu") <= cap)
+      case None => withIu
+    }
+  }
+
   private def simSides(counts: DataFrame, maxItemUsers: Option[Int])
       : DataFrame = {
     // deliberately un-cached: the counts aggregation is one cheap shuffle,
     // and a cache barrier here would cost more in materialization and lost
     // scan pipelining than the recompute (measured at sf0.1)
-    val iu = counts.groupBy(col("i")).agg(count(lit(1)).as("iu"))
-    val withIu = counts.join(broadcast(iu), Seq("i"))
-    val base = maxItemUsers match {
-      case Some(cap) =>
-        capDropListener(counts.sparkSession)
-        withIu
-          .observe(s"${CapMetricName}_${capMetricSeq.incrementAndGet()}",
-            coalesce(sum(when(col("iu") > cap, lit(1L)).otherwise(lit(0L))),
-              lit(0L)).as("dropped_rows"),
-            coalesce(max(col("iu")), lit(0L)).as("max_item_users"))
-          .where(col("iu") <= cap)
-      case None => withIu
-    }
+    val base = cappedBase(counts, maxItemUsers)
     // norms over the SAME (possibly capped) vectors as the dot products —
     // mixing capped numerators with uncapped norms would yield a value
     // that is the cosine of neither. Norms attach to the SIDES of the
@@ -170,16 +184,40 @@ object Collab {
   def directedSimilarities(counts: DataFrame, targetFilter: Column => Column,
                            maxItemUsers: Option[Int] =
                              Some(DefaultMaxItemUsers)): DataFrame = {
-    val withN = simSides(counts, maxItemUsers)
-    val a = withN.where(targetFilter(col("u")))
-      .select(col("u").as("u1"), col("i"), col("c").as("c1"),
-        col("nrm").as("nrm1"))
-    val b = withN.select(col("u").as("u2"), col("i"), col("c").as("c2"),
-      col("nrm").as("nrm2"))
-    a.join(b, Seq("i"))
+    // Unlike [[userSimilarities]], norms attach AFTER the pair
+    // aggregation here: the sides-with-norms shape pays the norm
+    // SortMergeJoin's two base-grain exchanges once PER side (the target
+    // filter makes the sides structurally different, so ReuseExchange
+    // cannot share them — measured as the four dominant stages of the
+    // directed plan at sf0.1), while the directed pair table is small by
+    // construction (targets × co-purchasers), so both norm joins ride it
+    // as broadcasts. The base sides themselves are map-only over counts.
+    val base = cappedBase(counts, maxItemUsers).where(col("iu") >= 2)
+    // the filtered target side is broadcast: a targeted query's side is
+    // ≪ the corpus by construction (that is the point of the directed
+    // path), and without the hint Catalyst cannot see the filter's
+    // selectivity, plans a SortMergeJoin, and shuffles the FULL partner
+    // side — the exchange the directed path exists to avoid
+    val a = broadcast(base.where(targetFilter(col("u")))
+      .select(col("u").as("u1"), col("i"), col("c").as("c1")))
+    val b = base.select(col("u").as("u2"), col("i"), col("c").as("c2"))
+    val dots = a.join(b, Seq("i"))
       .where(col("u1") =!= col("u2"))
-      .groupBy(col("u1"), col("u2"), col("nrm1"), col("nrm2"))
+      .groupBy(col("u1"), col("u2"))
       .agg(sum(col("c1") * col("c2")).as("dot"))
+    // norms over the SAME (possibly capped) vectors as the dot products,
+    // computed BEFORE the iu ≥ 2 prune (a single-holder item contributes
+    // to its user's denominator but can never produce a pair)
+    val n = userNorms(cappedBase(counts, maxItemUsers)
+      .select(col("u"), col("i"), col("c")))
+    // u1 norms are target-only (same predicate), so the broadcast is
+    // bounded by the same contract as side `a`; the u2 (partner) norms
+    // join is left to AQE — locally it converts to broadcast, at scale
+    // it is one exchange of the small pair frame, never of the base
+    dots
+      .join(broadcast(n.where(targetFilter(col("u")))
+        .select(col("u").as("u1"), col("nrm").as("nrm1"))), Seq("u1"))
+      .join(n.select(col("u").as("u2"), col("nrm").as("nrm2")), Seq("u2"))
       .select(col("u1"), col("u2"),
         (col("dot") / (col("nrm1") * col("nrm2"))).as("cos"))
   }
@@ -271,6 +309,14 @@ object Collab {
                             targetFilter: Column => Column,
                             maxItemUsers: Option[Int] =
                               Some(DefaultMaxItemUsers)): DataFrame = {
+    // The scoring tail reuses the generic scoreFromSym shape. An
+    // exchange-free variant was measured and REJECTED at sf0.1:
+    // repartitioning the pair table by target + broadcasting the partner
+    // vectors + a broadcast anti of the targets' purchases removes every
+    // scored-stream exchange on paper, but benched 7.5 s vs 6.45 s for
+    // this shape -- AQE's coalesced SMJ + partial agg beat the forced
+    // single-wave aggregation, whose partial+final pair double-hashes
+    // the full 15.6 M-row stream co-located.
     val sym = directedSimilarities(counts, targetFilter, maxItemUsers)
       .where(col("cos") > 0)
     scoreFromSym(sym, counts)
