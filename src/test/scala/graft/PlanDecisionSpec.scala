@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.catalyst.expressions.Md5
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
+import org.apache.spark.sql.functions._
+
+/** Pins the round-9 MEASURED plan decisions so a refactor cannot silently
+  * re-introduce a shape that benched slower (each assertion cites the
+  * sf0.1 comparison that decided it — see SCALE.md and the operator
+  * scaladoc for the numbers):
+  *
+  *  - exact corpus dedup is a digest aggregate + keep-id broadcast semi
+  *    join, NOT a first-occurrence window keyed by md5(content): the
+  *    window form shuffles and sorts full bodies and re-executes per
+  *    consumer (q_corpus_dedup 8.7 s vs 3–4 s, q_training_mix 18.5 s vs
+  *    8–10 s);
+  *  - the directed CF pair join broadcasts the target-filtered side —
+  *    a SortMergeJoin there would exchange the full partner side, the
+  *    cost the directed path exists to avoid.
+  */
+class PlanDecisionSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def collect[T](plan: SparkPlan)(pf: PartialFunction[SparkPlan, T])
+      : Seq[T] = {
+    val out = scala.collection.mutable.Buffer.empty[T]
+    plan.foreach(p => if (pf.isDefinedAt(p)) out += pf(p))
+    out.toSeq
+  }
+
+  private def digestWindows(plan: SparkPlan): Seq[WindowExec] =
+    collect(plan) {
+      case w: WindowExec
+          if w.partitionSpec.exists(_.exists(_.isInstanceOf[Md5])) => w
+    }
+
+  test("dedupCorpus: no md5-keyed window; keep set returns as a semi join") {
+    val docs = sources.Tables(spark, dir).documents
+    val plan = operators.Dedup.dedupCorpus(docs, "doc_id", "text", 3, 0.05,
+      16, 4).queryExecution.sparkPlan
+    assert(digestWindows(plan).isEmpty,
+      "exact dedup regressed to a first-occurrence window over " +
+        "md5(content) — benched 2.8x slower than aggregate + semi join")
+    // the initial (pre-AQE) plan may stage the semi as SMJ at toy scale;
+    // AQE converts it to broadcast at runtime — the pin here is the
+    // JOIN-based shape itself, vs the rejected window form
+    val semis = collect(plan) {
+      case j: BroadcastHashJoinExec if j.joinType.sql.contains("SEMI") => j
+      case j: SortMergeJoinExec if j.joinType.sql.contains("SEMI") => j
+    }
+    assert(semis.nonEmpty,
+      "expected the keep-id set to return as a semi join")
+  }
+
+  test("curation pipeline: exact-dedup stage has no md5-keyed window") {
+    val docs = sources.Tables(spark, dir).documents
+    val bench = docs.limit(10).select(col("doc_id"), col("text"))
+    val out = operators.CurationPipeline.prepare(docs, bench, "doc_id",
+      "text", "source")
+    assert(digestWindows(out.queryExecution.sparkPlan).isEmpty,
+      "curation stage 2 regressed to the digest-window dedup form")
+  }
+
+  test("directed CF: the pair join on item broadcasts the target side") {
+    val tb = sources.Tables(spark, dir)
+    val tx = tb.lineitem
+      .select(col("l_orderkey").as("o_orderkey"), col("l_partkey"))
+      .join(tb.orders.select(col("o_orderkey"), col("o_custkey")),
+        Seq("o_orderkey"))
+    val counts = operators.Collab.userItemCounts(tx, "o_custkey",
+      "l_partkey")
+    val plan = operators.Collab
+      .directedSimilarities(counts, u => u % 50 === 0)
+      .queryExecution.sparkPlan
+    val smjOnItem = collect(plan) {
+      case j: SortMergeJoinExec
+          if j.leftKeys.exists(_.references.exists(_.name == "i")) => j
+    }
+    assert(smjOnItem.isEmpty,
+      "the directed pair join planned a SortMergeJoin on the item key — " +
+        "the full partner side would be exchanged; the target side must " +
+        "broadcast")
+  }
+}

@@ -58,7 +58,12 @@ class PlanShapeSpec extends SparkSpec {
   Queries.specs.filterNot(sp => materializingGates(sp.name)).foreach { sp =>
     test(s"${sp.name}: physical plan is CartesianProduct-free") {
       val df = sp.fn(spark, dir)
-      val plan = df.queryExecution.executedPlan
+      // sparkPlan, NOT executedPlan: with AQE on (Spark 4 default) the
+      // executed plan is a single AdaptiveSparkPlanExec LEAF — foreach
+      // sees one node and every assertion here passes vacuously (round-9
+      // finding; a deliberate crossJoin sailed through). sparkPlan is the
+      // planner's full physical tree before adaptive wrapping.
+      val plan = df.queryExecution.sparkPlan
       val n = cartesians(plan)
       if (allPairsByDesign(sp.name))
         assert(n >= 0) // documented oracle baseline — presence tolerated
