@@ -3537,6 +3537,10 @@ object Queries {
     // pipeline survivors' existing token estimates; the oracle replays
     // the whole curation mirror then the naive global cumsum.
     Spec("q_training_mix_packed",
+      // NOT cached: the pack stage's three readers of the mix output
+      // share the pipeline's final exchange via ReuseExchange (identical
+      // subtrees), so an explicit cache only adds an eager
+      // materialization barrier — measured 14.7 s vs 12.6 s
       (s, dir) => Packing.packSequencesFromCounts(trainingMixDf(s, dir),
         "doc_id", "est_tokens", 512L, 64L)
         .select(col("id").as("doc_id"), col("est_tokens"),
