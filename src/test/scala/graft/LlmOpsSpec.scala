@@ -431,6 +431,31 @@ class LlmOpsSpec extends SparkSpec {
     assert(codec.decode(cut) === stub.decode(cut))
   }
 
+  test("multimodal: Mp4Codec box walk survives every truncation and " +
+      "single-byte corruption of a real fixture") {
+    // the walker's failure contract: ANY malformed ISO-BMFF input must
+    // terminate promptly with either a sane decode or the stub fallback —
+    // never a thrown error, a hang, or a negative/garbage dimension.
+    // Exhaustive over one fixture: all prefixes (mid-box truncations at
+    // every byte) and all single-byte corruptions (hits every size
+    // field, box tag, version byte, and time field at least once).
+    val codec = new Multimodal.Mp4Codec
+    val ids = Seq(10L).toDF("doc_id")
+    val whole = Multimodal.syntheticMp4Table(ids, "doc_id")
+      .head().getAs[Array[Byte]](1)
+    def sane(id: Long, blob: Array[Byte]): Unit = {
+      val (a, b, c, d) = codec.decode(blob)
+      assert(a >= 0 && b >= 0 && c >= 0 && d >= 0,
+        s"negative dimension for $id: ($a,$b,$c,$d)")
+    }
+    (0 until whole.length).foreach(n => sane(n.toLong, whole.take(n)))
+    (0 until whole.length).foreach { i =>
+      val mut = whole.clone()
+      mut(i) = (mut(i) ^ 0xff).toByte
+      sane(i.toLong, mut)
+    }
+  }
+
   test("CF: cosine similarity and recommendation on a hand-checked case") {
     // users 1,2 share item A; user 2 also bought B -> recommend B to 1
     val tx = Seq((1L, 10L), (1L, 10L), (2L, 10L), (2L, 11L), (3L, 12L))
