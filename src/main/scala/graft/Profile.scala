@@ -1,15 +1,76 @@
 package graft
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart,
+  SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 
+import scala.collection.mutable
+
 /** Times a single registered query (optionally printing its formatted
-  * plan) — the per-query drill-down companion to [[Bench]].
+  * plan) — the per-query drill-down companion to [[Bench]] — and prints a
+  * STAGE LEDGER: one row per completed Spark stage with wall seconds,
+  * task count, shuffle read/write rows and bytes, and input bytes, plus
+  * the job count. The ledger is how a >2×-of-oracle query gets its
+  * seconds attributed: either to a removable plan cost (a stage that
+  * shuffles too much / shouldn't exist) or to the ~0.3–0.5 s per-job
+  * scheduling floor × job count (irreducible in local mode, vanishes at
+  * cluster scale).
   *
-  * Usage: `runMain graft.Profile <query_name> [sfDir]`; set
-  * `GRAFT_EXPLAIN=1` to dump the formatted physical plan, `GRAFT_REPS=n`
-  * to run it n times (warm-cache timings).
+  * Usage: `runMain graft.Profile <query_name> [sfDir]`; env knobs:
+  *  - `GRAFT_EXPLAIN=1` dumps the formatted physical plan
+  *  - `GRAFT_REPS=n` runs n times (warm-cache timings; ledger printed
+  *    for the LAST rep only, the JIT-warm one)
+  *  - `GRAFT_CLEARCACHE=1` clears the catalog cache between reps
   */
 object Profile {
+
+  private final case class StageRow(jobId: Int, stageId: Int, name: String,
+      wallSec: Double, tasks: Int, shufReadRows: Long, shufReadMB: Double,
+      shufWriteRows: Long, shufWriteMB: Double, inputMB: Double)
+
+  /** Listener accumulating the per-stage ledger; reset per rep. */
+  private final class Ledger extends SparkListener {
+    val rows = mutable.ArrayBuffer.empty[StageRow]
+    val stageToJob = mutable.Map.empty[Int, Int]
+    var jobs = 0
+    override def onJobStart(js: SparkListenerJobStart): Unit = synchronized {
+      jobs += 1
+      js.stageIds.foreach(sid => stageToJob(sid) = js.jobId)
+    }
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+      synchronized {
+        val si = sc.stageInfo
+        val m = si.taskMetrics
+        val wall = (for {s <- si.submissionTime; e <- si.completionTime}
+          yield (e - s) / 1e3).getOrElse(0.0)
+        rows += StageRow(
+          stageToJob.getOrElse(si.stageId, -1), si.stageId,
+          si.name.takeWhile(_ != '\n').take(60),
+          wall, si.numTasks,
+          m.shuffleReadMetrics.recordsRead,
+          m.shuffleReadMetrics.totalBytesRead / 1048576.0,
+          m.shuffleWriteMetrics.recordsWritten,
+          m.shuffleWriteMetrics.bytesWritten / 1048576.0,
+          m.inputMetrics.bytesRead / 1048576.0)
+      }
+    def clear(): Unit = synchronized { rows.clear(); stageToJob.clear(); jobs = 0 }
+    def print(): Unit = synchronized {
+      println(f"[ledger] ${"job"}%4s ${"stage"}%5s ${"wall_s"}%7s " +
+        f"${"tasks"}%5s ${"shR_rows"}%10s ${"shR_MB"}%8s ${"shW_rows"}%10s " +
+        f"${"shW_MB"}%8s ${"in_MB"}%8s  name")
+      rows.sortBy(r => (r.jobId, r.stageId)).foreach { r =>
+        println(f"[ledger] ${r.jobId}%4d ${r.stageId}%5d ${r.wallSec}%7.2f " +
+          f"${r.tasks}%5d ${r.shufReadRows}%10d ${r.shufReadMB}%8.1f " +
+          f"${r.shufWriteRows}%10d ${r.shufWriteMB}%8.1f " +
+          f"${r.inputMB}%8.1f  ${r.name}")
+      }
+      val stageSum = rows.map(_.wallSec).sum
+      println(f"[ledger] jobs=$jobs stages=${rows.size} " +
+        f"stage_wall_sum=$stageSum%.2f s (stages overlap; sum > query wall " +
+        "is normal, sum ≪ wall means driver/scheduling floor dominates)")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
@@ -21,15 +82,26 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val ledger = new Ledger
+    spark.sparkContext.addSparkListener(ledger)
     val fn = SparkEntry.queries(name)
     (1 to reps).foreach { i =>
       if (sys.env.contains("GRAFT_CLEARCACHE")) spark.catalog.clearCache()
+      ledger.clear()
       val t0 = System.nanoTime()
       val df = fn(spark, sfDir)
       if (sys.env.contains("GRAFT_EXPLAIN") && i == 1) df.explain("formatted")
       val n = df.count()
       val dt = (System.nanoTime() - t0) / 1e9
-      println(f"[profile] $name rep $i: $n rows in $dt%.2f s")
+      println(f"[profile] $name rep $i: $n rows in $dt%.2f s " +
+        f"(${ledger.jobs} jobs)")
+      if (i == reps) {
+        // listener events drain asynchronously — settle before printing
+        // (the bus-drain API is private[spark]; a short sleep suffices
+        // for a diagnostic tool)
+        Thread.sleep(1000)
+        ledger.print()
+      }
     }
     spark.stop()
   }

@@ -1074,11 +1074,14 @@ object Queries {
     // ---------------------------------------------------------- §2.14 sims
     Spec("q_cf_user_sims",
       (s, dir) => Collab.userSimilarities(
-        // NOT cached (unlike the directed queries below): both self-join
-        // sides are structurally identical here, so ReuseExchange already
-        // shares the one heavy exchange — a cache barrier on the slim
-        // frame measured SLOWER (5.6 s vs 3.9 s warm at sf0.1)
-        Collab.userItemCounts(custItemTx(s, dir), "o_custkey", "l_partkey"))
+        // localCheckpoint(lazy), not cache(): an InMemoryRelation barrier
+        // measured SLOWER (5.6 s vs 3.9 s warm at sf0.1 — it blocks AQE +
+        // exchange reuse), but the r10 ledger showed even the shared-
+        // sides plan re-running the counts aggregation twice (sides vs
+        // norms, ~0.6 s + 2 job floors); the lazy checkpoint materializes
+        // once inside the first consumer's job
+        Collab.userItemCounts(custItemTx(s, dir), "o_custkey", "l_partkey")
+          .localCheckpoint(false))
         .select(col("u1"), col("u2"), stableRound(col("cos"), 6).as("cos"))
         .orderBy(col("cos").desc, col("u1"), col("u2")).limit(1000),
       Some("""WITH """ + cfSimsSql + """
@@ -1092,12 +1095,27 @@ object Queries {
         // of the item self-join ([[Collab.directedSimilarities]]), so the
         // pair fan-out is target-adjacent only — never the full board
         // that the sym-based form computed and then filtered. counts is
-        // deliberately NOT cached: it is one cheap shuffle to recompute,
-        // and a cache barrier benched consistently SLOWER here (8.0 s vs
-        // 6.45 s single-query min-of-2) — materialization blocks scan
-        // pipelining and AQE through the InMemoryRelation
-        val counts = Collab.userItemCounts(custItemTx(s, dir),
-          "o_custkey", "l_partkey")
+        // localCheckpoint(lazy)-materialized, NOT cache()d: the plan
+        // consumes it five times (sides, norms, scoring, anti) and a
+        // cache barrier benched SLOWER (8.0 s vs 6.45 s — InMemoryRelation
+        // blocks AQE + exchange reuse), while the r10 stage ledger showed
+        // the un-materialized form re-running the counts aggregation 3×
+        // (~2.5 s of the 8.9 s warm wall). The lazy checkpoint
+        // materializes inside the first consumer's job, every later
+        // consumer reads executor-local blocks, and AQE plans against its
+        // exact size. The explicit-N repartition BY THE GROUP KEYS rides
+        // in place of the aggregation's own exchange (ClusteredDistribution
+        // satisfied → no second shuffle; same bytes, since the partial
+        // aggregate does not reduce this stream) and pins the checkpoint
+        // at full parallelism — AQE would otherwise coalesce the 6 MB
+        // exchange to ~6 partitions and serialize the 12 M-row scoring
+        // probe that streams over it (measured 8.6 s at 6-way vs ~1.5 s
+        // at 32-way).
+        val counts = Collab.userItemCounts(
+          custItemTx(s, dir).repartition(
+            s.sparkContext.defaultParallelism,
+            col("o_custkey"), col("l_partkey")),
+          "o_custkey", "l_partkey").localCheckpoint(false)
         Collab.recommendDirect(counts, 5, u => u % 50 === 0)
           .orderBy(col("u"), col("rn"))
       },
@@ -1120,8 +1138,12 @@ object Queries {
     // ---------------------------------------------------------- hybrid blend
     Spec("q_hybrid_recommendations",
       (s, dir) => {
-        val counts = Collab.userItemCounts(custItemTx(s, dir),
-          "o_custkey", "l_partkey")
+        // same counts materialization rationale as q_cf_recommendations
+        val counts = Collab.userItemCounts(
+          custItemTx(s, dir).repartition(
+            s.sparkContext.defaultParallelism,
+            col("o_custkey"), col("l_partkey")),
+          "o_custkey", "l_partkey").localCheckpoint(false)
         val cf = Collab.scoreCandidatesDirect(counts, u => u % 50 === 0)
         val rules = AssociationRules.rulesRaw(t(s, dir).lineitem,
           "l_orderkey", "l_partkey", rulesParams)
@@ -1270,9 +1292,18 @@ object Queries {
             .select(col("p_partkey").as("l_partkey"), col("p_brand"))),
             Seq("l_partkey"))
           .where(col("p_brand").isNotNull)
+        // the explicit-N repartition BY USER rides in place of the
+        // collect_set aggregate's own exchange (ClusteredDistribution
+        // satisfied) and pins the whole fire tail at full parallelism:
+        // hash(u) also satisfies the (u, rid) hit-count and final per-u
+        // aggregations inside matchingRuleStats, so the explode → rule
+        // join → subset test runs exchange-free — the r10 ledger showed
+        // AQE coalescing the 1.5 MB sets exchange to ONE partition and
+        // running the entire fire pipeline single-threaded for 2.4 s.
         val sets = brandTx
           .join(t(s, dir).orders.select(col("o_orderkey").as("l_orderkey"),
             col("o_custkey")), Seq("l_orderkey"))
+          .repartition(s.sparkContext.defaultParallelism, col("o_custkey"))
           .groupBy(col("o_custkey").as("u"))
           .agg(sort_array(collect_set(col("p_brand"))).as("items"))
         // triple supports top out near 0.6% on this data (brand triples in

@@ -332,10 +332,22 @@ object AssociationRules {
     * distinct items, so the stream stays linear-ish. */
   def tripleRules(tx: DataFrame, basket: String, item: String,
                   params: Params = Params()): DataFrame = {
-    // same one-lazy-plan, one-heavy-shuffle shape as [[rulesRaw]]: the
-    // total-basket count is a 1-row broadcast and the per-item counts an
-    // array explode, both derived from the shared basket-grain aggregate
+    // same one-lazy-plan, one-heavy-shuffle shape as [[rulesRaw]] — plus
+    // a pinned spread of the basket-grain arrays: the triple/pair
+    // explosions are the CPU center of this miner (maxBasketSize³/6 per
+    // basket) and the basket aggregate feeds FOUR consumers (pairs,
+    // triples, item counts, total). AQE's input-size coalescing ran them
+    // ~5-wide over the 6 MB exchange on a 32-core box (r10 stage ledger:
+    // 8 s of expansion task time serialized into 3.5 s wall), and each
+    // consumer replayed the collect_set aggregate. The explicit-N
+    // round-robin repartition pins full parallelism and the lazy
+    // localCheckpoint materializes the (small, basket-grain) array frame
+    // once for all four. At scale the extra exchange is basket-grain —
+    // strictly smaller than the tx stream already shuffled by the agg.
     val perBasket = perBasketItems(tx, basket, item)
+      .repartition(math.max(
+        tx.sparkSession.sparkContext.defaultParallelism, 2))
+      .localCheckpoint(false)
     val tot1 = perBasket.select(count(lit(1)).as("total_baskets"))
     val baskets = perBasket
       .where(size(col("items")).between(2, params.maxBasketSize))

@@ -180,7 +180,15 @@ object Collab {
     * computation: the integer dot product is over the same shared items,
     * and IEEE multiplication of the two norms is commutative. Returns
     * (u1 = target, u2 = partner ≠ u1, cos) — already "both-direction"
-    * from the target's point of view. */
+    * from the target's point of view.
+    *
+    * CONTRACT: `targetFilter` must be SELECTIVE — the target-filtered
+    * side of the item join and the target norms are force-broadcast
+    * (that is the point of the directed path), so a non-selective
+    * predicate (always-true, "all users") would broadcast a corpus-grain
+    * frame and can OOM the driver at scale. For whole-board
+    * similarities use [[userSimilarities]], whose SortMergeJoin shape
+    * degrades gracefully. */
   def directedSimilarities(counts: DataFrame, targetFilter: Column => Column,
                            maxItemUsers: Option[Int] =
                              Some(DefaultMaxItemUsers)): DataFrame = {
@@ -192,12 +200,21 @@ object Collab {
     // directed plan at sf0.1), while the directed pair table is small by
     // construction (targets × co-purchasers), so both norm joins ride it
     // as broadcasts. The base sides themselves are map-only over counts.
-    val base = cappedBase(counts, maxItemUsers).where(col("iu") >= 2)
+    //
+    // ONE cappedBase call serves both the dot-product sides (iu ≥ 2
+    // prune applied here) and the norm input (unpruned): a second call
+    // would mint a second numbered observe node, making the two
+    // iu-aggregate subtrees canonically distinct — which blocked
+    // ReuseExchange from sharing the counts and iu exchanges and logged
+    // the cap warning twice per query (round-9 advice, measured as one
+    // extra ~1.1 s counts materialization at sf0.1).
+    val capped = cappedBase(counts, maxItemUsers)
+    val base = capped.where(col("iu") >= 2)
     // the filtered target side is broadcast: a targeted query's side is
-    // ≪ the corpus by construction (that is the point of the directed
-    // path), and without the hint Catalyst cannot see the filter's
-    // selectivity, plans a SortMergeJoin, and shuffles the FULL partner
-    // side — the exchange the directed path exists to avoid
+    // ≪ the corpus by construction (see the CONTRACT above), and without
+    // the hint Catalyst cannot see the filter's selectivity, plans a
+    // SortMergeJoin, and shuffles the FULL partner side — the exchange
+    // the directed path exists to avoid
     val a = broadcast(base.where(targetFilter(col("u")))
       .select(col("u").as("u1"), col("i"), col("c").as("c1")))
     val b = base.select(col("u").as("u2"), col("i"), col("c").as("c2"))
@@ -208,8 +225,7 @@ object Collab {
     // norms over the SAME (possibly capped) vectors as the dot products,
     // computed BEFORE the iu ≥ 2 prune (a single-holder item contributes
     // to its user's denominator but can never produce a pair)
-    val n = userNorms(cappedBase(counts, maxItemUsers)
-      .select(col("u"), col("i"), col("c")))
+    val n = userNorms(capped.select(col("u"), col("i"), col("c")))
     // u1 norms are target-only (same predicate), so the broadcast is
     // bounded by the same contract as side `a`; the u2 (partner) norms
     // join is left to AQE — locally it converts to broadcast, at scale
@@ -304,22 +320,45 @@ object Collab {
     * that only scores a TARGET subset never pays the full pair
     * self-join. Use when the similarity frame is not shared with other
     * consumers (the standalone recommendation queries); [[cfFamily]]
-    * keeps the sym-based path because its sims ARE shared. */
+    * keeps the sym-based path because its sims ARE shared.
+    * `targetFilter` must be selective — see
+    * [[directedSimilarities]]' broadcast CONTRACT. */
   def scoreCandidatesDirect(counts: DataFrame,
                             targetFilter: Column => Column,
                             maxItemUsers: Option[Int] =
                               Some(DefaultMaxItemUsers)): DataFrame = {
-    // The scoring tail reuses the generic scoreFromSym shape. An
-    // exchange-free variant was measured and REJECTED at sf0.1:
-    // repartitioning the pair table by target + broadcasting the partner
-    // vectors + a broadcast anti of the targets' purchases removes every
-    // scored-stream exchange on paper, but benched 7.5 s vs 6.45 s for
-    // this shape -- AQE's coalesced SMJ + partial agg beat the forced
-    // single-wave aggregation, whose partial+final pair double-hashes
-    // the full 15.6 M-row stream co-located.
+    // The scoring join keeps [[scoreFromSym]]'s SMJ-on-u2 shape — two
+    // broadcast variants were measured and REJECTED at sf0.1: (a)
+    // repartition pair table by target + broadcast the full partner
+    // VECTORS + forced single-wave agg (7.5 s vs 6.45 s; broadcasting
+    // corpus-grain counts is the wrong side at any scale), and (b)
+    // streaming counts through a broadcast of the directed sym frame
+    // (r10: 3.7 s in the probe stage alone at 32-way vs 2.5 s for the
+    // SMJ — the map-side partial aggregation dedups WORSE when the
+    // stream is not co-located by u2, so the scoring exchange grew from
+    // 12.9 M to 14.6 M rows while the probe paid a 350 K-row multi-match
+    // hash relation per task). What IS changed from the generic tail:
+    // the already-purchased anti-join builds from the TARGETS' purchases
+    // only (same predicate, pushed manually — Catalyst cannot infer that
+    // scored.u is target-only), so it broadcasts instead of
+    // re-exchanging the candidate frame.
     val sym = directedSimilarities(counts, targetFilter, maxItemUsers)
       .where(col("cos") > 0)
-    scoreFromSym(sym, counts)
+    // explicit-N repartitions pin the scoring join's parallelism: the
+    // join + partial-agg stage is the query's CPU center (13 M output
+    // rows), and AQE's input-size-based coalescing (~10 MB of exchange
+    // input) would run it ~10-wide on a 32-core box (measured 2.2 s vs
+    // ~0.9 s pinned). The repartitions satisfy the join's own
+    // distribution requirement, so they replace — not add to — the
+    // ENSURE_REQUIREMENTS exchanges.
+    val p = counts.sparkSession.sparkContext.defaultParallelism
+    sym.repartition(p, col("u2"))
+      .join(counts.select(col("u").as("u2"), col("i"), col("c"))
+        .repartition(p, col("u2")), Seq("u2"))
+      .groupBy(col("u1").as("u"), col("i"))
+      .agg(stableRound(sum(col("cos") * col("c")), 6).as("score"))
+      .join(broadcast(counts.select(col("u"), col("i"))
+        .where(targetFilter(col("u")))), Seq("u", "i"), "left_anti")
   }
 
   /** CF candidate scoring (`collab_filter.py:64-76`): [[scoreCandidates]]

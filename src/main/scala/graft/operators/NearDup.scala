@@ -50,7 +50,15 @@ object NearDup {
     * jaccard ≥ `minJaccard`, top `limit` by similarity. */
   def jaccardPairs(docs: DataFrame, id: String, text: String, w: Int = 3,
                    minJaccard: Double = 0.0, limit: Int = 200): DataFrame = {
-    val sh = shingles(docs, id, text, w).cache()
+    // same ingest-repartition rationale as [[minHashPortableUnsorted]]:
+    // spread the CPU-heavy shingling off the (often single-split) scan,
+    // co-locate the per-id distinct and size aggregates, and let the
+    // structurally identical self-join sides share one exchange instead
+    // of hiding behind an InMemoryRelation
+    val spread = docs.select(col(id), col(text)).repartition(
+      math.max(docs.sparkSession.sparkContext.defaultParallelism, 2),
+      col(id))
+    val sh = shingles(spread, id, text, w)
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val inter = sh.toDF("id_a", "s")
       .join(sh.toDF("id_b", "s"), Seq("s"))
@@ -115,7 +123,28 @@ object NearDup {
     // mins, no corpus-wide distinct shuffle); only colliding docs pay
     // for distinct shingle sets, in the verify stage below
     graft.plans.GraftExtensions.register(docs.sparkSession)
-    val raw = rawShingles(docs, id, text, w).cache()
+    // ONE explicit-N doc-grain repartition BY THE ID does three jobs at
+    // once (r10 stage ledger, q_corpus_dedup 6.5 s → ~2 s):
+    //  1. parallelism — a small batch often arrives as ONE parquet split
+    //    (tokenize+shingle+hash then ran single-threaded: ~20 one-task
+    //    stages of ~1 s each at sf0.1); the pinned N resists AQE's
+    //    input-size coalescing, which would re-serialize the CPU-heavy
+    //    shingle work;
+    //  2. co-location — hash(id) satisfies every downstream per-id
+    //    clustering (the minhash MIN aggregate, the per-doc shingle
+    //    DISTINCT, the size counts), so none of them shuffles again:
+    //    the shingle stream, the widest frame in the query, is never
+    //    exchanged at all;
+    //  3. sharing — the former rawShingles.cache() wrapped an AQE plan
+    //    in an InMemoryRelation, which broke exchange reuse ABOVE it
+    //    (the sf0.1 plan held 50 parquet scans); the plain exchange is
+    //    canonically shareable.
+    // At 100 TB this is one linear shuffle of the (id, text) batch —
+    // bounded by input size, like any ingest repartition.
+    val spread = docs.select(col(id), col(text)).repartition(
+      math.max(docs.sparkSession.sparkContext.defaultParallelism, 2),
+      col(id))
+    val raw = rawShingles(spread, id, text, w)
     val hp = raw.select(col("id"), expr(shingleHash).as("hp"))
     val mins = hp.groupBy(col("id")).agg(
       min((col("hp") * MinHashA.head + MinHashB.head) % MinHashP)
@@ -131,19 +160,30 @@ object NearDup {
               col(s"mh${t * bandSize + x}")): _*).as("key"))
       }: _*)).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.key"))
+    // the candidate pair set is REUSED three times below (both union
+    // arms of candIds and the verify semi-join); it is tiny by
+    // construction (only banded collisions), so a lazy localCheckpoint
+    // pins one materialization instead of three replays of the band
+    // self-join — and unlike cache() it cannot block exchange reuse in
+    // the surrounding plan
     val cand = banded.toDF("id_a", "band", "key")
       .join(banded.toDF("id_b", "band", "key"), Seq("band", "key"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
+      .localCheckpoint(false)
     // exact-Jaccard verify over candidate docs only — distinct shingle
     // sets and sizes are computed ONLY for colliding docs, so both the
     // distinct shuffle and the broadcasts below scale with the candidate
-    // set, not the corpus
+    // set, not the corpus. Like cand, the candidate shingle sets serve
+    // three consumers (sizes + both intersection sides): checkpoint once.
+    // Note the per-doc distinct is exchange-FREE — hash(id) from the
+    // ingest repartition already clusters (id, shingle).
     val candIds = cand.select(col("id_a").as("id"))
       .unionByName(cand.select(col("id_b").as("id"))).distinct()
     val shC = raw.join(broadcast(candIds), Seq("id"), "left_semi")
       .distinct()
+      .localCheckpoint(false)
     val sizes = shC.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val inter = shC.toDF("id_a", "s")
       .join(shC.toDF("id_b", "s"), Seq("s"))
@@ -170,8 +210,14 @@ object NearDup {
                         seed: Long = 42L): DataFrame = {
     // binary HashingTF collapses duplicate shingles to the same index
     // set, so the raw (map-only) shingle stream gives the identical
-    // sparse vector without a corpus-wide distinct shuffle
-    val sh = rawShingles(docs, id, text, w)
+    // sparse vector without a corpus-wide distinct shuffle; the ingest
+    // repartition spreads the shingle CPU and feeds the per-id
+    // collect_list without a second exchange (same rationale as
+    // [[minHashPortableUnsorted]])
+    val spread = docs.select(col(id), col(text)).repartition(
+      math.max(docs.sparkSession.sparkContext.defaultParallelism, 2),
+      col(id))
+    val sh = rawShingles(spread, id, text, w)
       .groupBy(col("id")).agg(collect_list(col("s")).as("sh"))
     val tf = new HashingTF().setInputCol("sh").setOutputCol("features")
       .setNumFeatures(1 << 18).setBinary(true)

@@ -502,6 +502,32 @@ class LlmOpsSpec extends SparkSpec {
     assert(viaSym == viaDirect)
   }
 
+  test("CF: a binding hot-item cap reports its drops via the observe " +
+      "metric") {
+    // item 10 is held by 4 users (> cap 2) and must be dropped with its
+    // 4 (user, item) rows counted; item 11 (2 holders) stays. The
+    // metric rides the query itself (Dataset.observe), so the values
+    // surface in queryExecution.observedMetrics after one action —
+    // round-9 advice: the cap/observe safety path had no test pinning
+    // its semantics (dropped_rows = Σ iu over capped items).
+    val tx = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 10L),
+      (1L, 11L), (2L, 11L)).toDF("u0", "i0")
+    val counts = Collab.userItemCounts(tx, "u0", "i0")
+    val capped = Collab.userSimilarities(counts, Some(2))
+    capped.collect()
+    val metrics = capped.queryExecution.observedMetrics
+      .filter { case (name, _) => name.startsWith(Collab.CapMetricName) }
+    assert(metrics.size == 1,
+      s"expected exactly one cap observation, got ${metrics.keys}")
+    val row = metrics.values.head
+    assert(row.getAs[Long]("dropped_rows") == 4L)
+    assert(row.getAs[Long]("max_item_users") == 4L)
+    // and the similarities really exclude the capped item: only the
+    // item-11 pair (1,2) survives
+    val pairs = capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("CF: matchingRuleStats equals matchingRules minus the payload") {
     val sets = Seq((1L, Seq("A", "B")), (2L, Seq("A")), (3L, Seq("B", "C")))
       .toDF("u", "items")

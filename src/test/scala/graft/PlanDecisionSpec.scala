@@ -31,19 +31,56 @@ class PlanDecisionSpec extends SparkSpec {
     out.toSeq
   }
 
+  /** WindowExecs partitioned by a digest of document content. The
+    * analyzer extracts `md5(text)` into a projected `_w0` attribute, so
+    * the partitionSpec itself never contains an Md5 node (the round-9
+    * detector matched on that and was vacuous — round-9 advice); the
+    * real signature is an Alias(Md5) in the window's CHILD subtree whose
+    * exprId one of the partitionSpec attributes references. The direct
+    * match is kept for completeness. */
   private def digestWindows(plan: SparkPlan): Seq[WindowExec] =
     collect(plan) {
-      case w: WindowExec
-          if w.partitionSpec.exists(_.exists(_.isInstanceOf[Md5])) => w
+      case w: WindowExec if {
+        val partIds = w.partitionSpec.flatMap(_.references.toSeq)
+          .map(_.exprId).toSet
+        var aliasedMd5 = false
+        w.child.foreach { p =>
+          p.expressions.foreach(_.foreach {
+            case a: org.apache.spark.sql.catalyst.expressions.Alias
+                if partIds.contains(a.exprId) &&
+                  a.child.exists(_.isInstanceOf[Md5]) =>
+              aliasedMd5 = true
+            case _ => ()
+          })
+        }
+        aliasedMd5 || w.partitionSpec.exists(_.exists(_.isInstanceOf[Md5]))
+      } => w
     }
+
+  test("digestWindows detector catches the rejected window form") {
+    // the positive control that keeps the two regression assertions
+    // below non-vacuous: build the md5-keyed first-occurrence window the
+    // round-8 advice proposed (and measurement rejected) and require the
+    // detector to SEE it
+    val docs = sources.Tables(spark, dir).documents
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    val rejected = docs.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+    assert(digestWindows(rejected.queryExecution.sparkPlan).nonEmpty,
+      "detector failed to flag an actual md5-keyed window — it is vacuous")
+  }
 
   test("dedupCorpus: no md5-keyed window; keep set returns as a semi join") {
     val docs = sources.Tables(spark, dir).documents
     val plan = operators.Dedup.dedupCorpus(docs, "doc_id", "text", 3, 0.05,
       16, 4).queryExecution.sparkPlan
-    assert(digestWindows(plan).isEmpty,
-      "exact dedup regressed to a first-occurrence window over " +
-        "md5(content) — benched 2.8x slower than aggregate + semi join")
+    // the agg+semi shape has NO window of any kind — assert the stronger
+    // property (round-9 advice: the targeted detector alone passed even
+    // against the rejected form before it was fixed)
+    assert(collect(plan) { case w: WindowExec => w }.isEmpty,
+      "dedupCorpus grew a Window operator — the rejected first-occurrence " +
+        "window form benched 2.8x slower than aggregate + semi join")
     // the initial (pre-AQE) plan may stage the semi as SMJ at toy scale;
     // AQE converts it to broadcast at runtime — the pin here is the
     // JOIN-based shape itself, vs the rejected window form
