@@ -65,6 +65,18 @@ object Bench {
   lazy val SubstantialSubset: Set[String] =
     DuckTimes.filter(_._2 > 0.5).keySet
 
+  /** Queries that TRAIN a model inside the timed run (GBT sweep, LBFGS
+    * fits, k-means index builds). Their 3–30 s of iterative compute is
+    * the board's largest single-query exposure to ambient load, and
+    * min-of-2 cannot reject a spike that lands on the same query in both
+    * passes (driver round-9 capture: q_churn_model_bands 27.5 s where
+    * two idle captures agreed on 10.9–13.0 s). They get one extra timed
+    * sample — cheap relative to their cost, and the min tightens from
+    * 2 to 3 draws. */
+  val TrainingQueries: Set[String] = Set("q_churn_model_bands",
+    "q_model_metrics", "q_model_store", "q_quality_classifier",
+    "q_ann_ivf", "q_ann_ivf_indexed")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
@@ -161,8 +173,13 @@ object Bench {
     val sentinel = passes.map(p =>
       f"[${p.probeStart}%.3f,${p.probeMid}%.3f,${p.probeEnd}%.3f]")
       .mkString("[", ",", "]")
+    // one extra timed sample for the model-training queries (see
+    // [[TrainingQueries]]) — min over reps+1 draws
+    val trainExtra =
+      runPass(specs.filter { case (n, _) => TrainingQueries(n) }, sfDir)
     val results = specs.map { case (name, _) =>
-      name -> passes.map(_.times(name)).min
+      val base = passes.map(_.times(name)).min
+      name -> math.min(base, trainExtra.getOrElse(name, base))
     }.toMap
 
     def fmt(v: Double): String =

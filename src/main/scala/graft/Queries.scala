@@ -56,6 +56,36 @@ object Queries {
         """ + m("l_extendedprice") + """ / COUNT(*) AS avg_sales
         FROM lineitem""")),
 
+    // ------------------------------------------------ A1 at-scale variant
+    // HLL++ distinct counts with an in-query ±2% REQUIRE against the
+    // exact aggregation computed in the SAME plan (shared scan). No SQL
+    // oracle by necessity — DuckDB's approx_count_distinct is a
+    // different sketch — but the gate is not rows-only either: the
+    // tolerance check runs before the frame returns, so a sketch
+    // regression fails loudly. rsd 0.01 keeps the expected error an
+    // order of magnitude inside the 2% gate.
+    Spec("q_table_stats_approx",
+      (s, dir) => {
+        val approx = BasketAnalytics.tableStatsApprox(t(s, dir).lineitem,
+          "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice")
+        val exact = BasketAnalytics.tableStats(t(s, dir).lineitem,
+          "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice")
+          .select(col("n_baskets").as("x_baskets"),
+            col("n_items").as("x_items"),
+            col("n_customers").as("x_customers"))
+        val joined = approx.crossJoin(exact)
+        val r = joined.head()
+        Seq("baskets", "items", "customers").foreach { k =>
+          val a = r.getAs[Long](s"n_$k").toDouble
+          val e = r.getAs[Long](s"x_$k").toDouble
+          require(math.abs(a - e) / e <= 0.02,
+            s"q_table_stats_approx: approx n_$k=$a vs exact $e drifted " +
+              "past the 2% tolerance — HLL sketch regression")
+        }
+        joined.select(approx.columns.map(col): _*)
+      },
+      None),
+
     // ---------------------------------------------------------- A2+T1
     Spec("q_basket_totals_top100",
       (s, dir) => BasketAnalytics.topK(
@@ -745,6 +775,39 @@ object Queries {
         t(s, dir).customer, "c_custkey").agg(count(lit(1)).as("n")),
       Some("""SELECT COUNT(*) AS n FROM events e WHERE NOT EXISTS
         (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)""")),
+
+    // ------------------------------------------------- skew-salted join
+    // The 100 TB skew fallback, end-to-end on a DELIBERATELY skewed key:
+    // ~90% of lineitem rows collapse onto k = 0 (the shape AQE's runtime
+    // skew split cannot fix when the join feeds a same-keyed aggregation,
+    // [[Joins.saltedJoin]] scaladoc). The salt spreads the hot key over
+    // 8 shuffle partitions; the oracle is the plain join — identical
+    // results prove the salt is a pure execution-plan rewrite. All sums
+    // are exact BIGINTs.
+    Spec("q_skew_join",
+      (s, dir) => {
+        val big = t(s, dir).lineitem.select(
+          when(col("l_partkey") % 10 < 9, lit(0L))
+            .otherwise(col("l_partkey") % 1000).as("k"),
+          col("l_linenumber").cast("long").as("q"))
+        // merge hint: keep the join a real SHUFFLE join (the salted
+        // exchange is the thing under test) — the ~100-row replicated
+        // dim would otherwise broadcast and bypass the skew entirely
+        val small = big.select(col("k")).distinct()
+          .select(col("k"), (col("k") * 7 + 1).as("w")).hint("merge")
+        Joins.saltedJoin(big, small, Seq("k"), 8)
+          .groupBy(col("k"))
+          .agg(count(lit(1)).as("n"), sum(col("q") * col("w")).as("wsum"))
+          .orderBy(col("k"))
+      },
+      Some("""WITH big AS (SELECT CASE WHEN l_partkey % 10 < 9 THEN 0
+            ELSE l_partkey % 1000 END AS k,
+            CAST(l_linenumber AS BIGINT) AS q FROM lineitem),
+          sw AS (SELECT k, k * 7 + 1 AS w
+            FROM (SELECT DISTINCT k FROM big))
+        SELECT big.k, COUNT(*) AS n, CAST(SUM(q * w) AS BIGINT) AS wsum
+        FROM big JOIN sw ON sw.k = big.k
+        GROUP BY big.k ORDER BY big.k""")),
 
     // ---------------------------------------------------------- J7 EXISTS both
     Spec("q_exists_both_types",

@@ -32,6 +32,28 @@ object BasketAnalytics {
       (totalSales / count(lit(1))).as("avg_sales"))
   }
 
+  /** [[tableStats]] with HyperLogLog++ distinct counts — the documented
+    * 100 TB swap-in (see the object scaladoc): `approx_count_distinct`
+    * keeps the whole-table stats a single map-side-partial pass whose
+    * per-partition state is a fixed-size sketch (vs an exact distinct's
+    * per-key hash state), at a relative error bounded by `rsd`. Counts
+    * and money sums stay exact. The q_table_stats_approx gate REQUIREs
+    * every approx distinct within ±2% of the exact gate's value on the
+    * same data, making the swap-in claim a tested property rather than
+    * a scaladoc promise. */
+  def tableStatsApprox(tx: DataFrame, basket: String, item: String,
+                       customer: String, sales: String,
+                       rsd: Double = 0.01): DataFrame = {
+    val totalSales = moneySum(col(sales))
+    tx.agg(
+      count(lit(1)).as("n_rows"),
+      approx_count_distinct(col(basket), rsd).as("n_baskets"),
+      approx_count_distinct(col(item), rsd).as("n_items"),
+      approx_count_distinct(col(customer), rsd).as("n_customers"),
+      totalSales.as("total_sales"),
+      (totalSales / count(lit(1))).as("avg_sales"))
+  }
+
   /** A2 + T1 — per-basket totals, top-k by value (`views.py:890-903`).
     * Group key is the basket id, so the single shuffle partitions by the
     * natural key; ties broken by basket id for deterministic top-k. */
