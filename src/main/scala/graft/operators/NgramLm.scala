@@ -122,11 +122,15 @@ object NgramLm {
   def keepBelowPooledCe(raw: DataFrame, target: DataFrame, id: String,
                         text: String, numBuckets: Int = 4096,
                         slack: Double = 1.0): DataFrame = {
-    // intentional query-local cache (the LSH/IVF discipline — runners
-    // clearCache() per query): the cut aggregate and the filtered output
-    // both consume the scored frame, and without the cache the whole
-    // corpus-side LM scoring subplan executes twice
-    val scored = perplexity(raw, target, id, text, numBuckets).cache()
+    // one materialization of the doc-grain scored frame serves both the
+    // cut aggregate and the filtered output — without it the whole
+    // corpus-side LM scoring subplan executes twice. localCheckpoint
+    // (lazy), not cache(): the checkpoint rides the cut aggregate's own
+    // job (no separate materialization action) and does not wrap the
+    // plan in an InMemoryRelation, which blocks exchange reuse and AQE
+    // sizing (r10 ledger discipline; measured equal-or-better here)
+    val scored = perplexity(raw, target, id, text, numBuckets)
+      .localCheckpoint(false)
     val ce = -(col("lp_micro").cast("double") / 1e6) / col("n_trans")
     val cut = scored.agg(
       (-(sum(col("lp_micro")).cast("double") / 1e6) /
