@@ -66,6 +66,17 @@ object Queries {
     // order of magnitude inside the 2% gate.
     Spec("q_table_stats_approx",
       (s, dir) => {
+        // TWO separate agg subtrees crossJoined, deliberately: folding
+        // the HLL aggs into the exact aggregation looks like "one scan,
+        // one Expand" but the multi-distinct rewrite keys the partial
+        // aggregate by (gid, distinct-key) — HUNDREDS OF THOUSANDS of
+        // partial groups — and every group then carries three ~13 KB
+        // HLL register buffers (measured 13-32 s at sf0.1 vs ~3 s for
+        // this shape). Separate subtrees keep the HLL side at ONE group.
+        // (a pinned repartition spread of the scan was measured WORSE
+        // here — 5.1 s vs 2.6 s: the extra exchange + 32-way HLL buffer
+        // merge costs more than the 3-wide interpreted update pass it
+        // parallelizes; the gate's cost is the HLL price, accepted)
         val approx = BasketAnalytics.tableStatsApprox(t(s, dir).lineitem,
           "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice")
         val exact = BasketAnalytics.tableStats(t(s, dir).lineitem,

@@ -101,6 +101,61 @@ class PlanDecisionSpec extends SparkSpec {
       "curation stage 2 regressed to the digest-window dedup form")
   }
 
+  test("shingle pipelines: pinned ingest repartition, no InMemoryRelation") {
+    // r10 measured decisions (SCALE.md round-10 ledger): the shingle
+    // pipelines read a pinned explicit-N repartition by id (spreads the
+    // single-split scan, co-locates every per-id aggregate) and must NOT
+    // hide frames behind cache() — the InMemoryRelation wrapper broke
+    // exchange reuse above it and left 50 parquet scans in the sf0.1
+    // dedupCorpus plan. The pin runs against jaccardPairs because its
+    // plan is fully visible: minHashPortableUnsorted's spread sits
+    // upstream of lazy localCheckpoints, whose RDD lineage is opaque to
+    // the outer queryExecution (both share the same ingest-spread code
+    // path, NearDup.scala).
+    val docs = sources.Tables(spark, dir).documents
+    val df = operators.NearDup.jaccardPairs(docs, "doc_id", "text", 3,
+      0.0, 50)
+    assert(!df.queryExecution.optimizedPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.columnar
+        .InMemoryRelation]),
+      "shingle pipeline regressed to a cache(): InMemoryRelation blocks " +
+        "exchange reuse above it (r10: 50-scan plan, single-threaded " +
+        "shingling)")
+    val pinnedRepartition = df.queryExecution.sparkPlan.exists {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.shuffleOrigin ==
+          org.apache.spark.sql.execution.exchange.REPARTITION_BY_NUM
+      case _ => false
+    }
+    assert(pinnedRepartition,
+      "the explicit-N ingest repartition is gone — AQE will coalesce " +
+        "the small exchange and serialize the CPU-heavy shingle work")
+  }
+
+  test("directed CF scoring: the purchased anti-join broadcasts") {
+    // r10: the anti-join builds from the TARGETS' purchases only (the
+    // predicate is pushed manually), so it must plan as a broadcast —
+    // a SortMergeJoin LeftAnti here re-exchanges the candidate frame
+    val tb = sources.Tables(spark, dir)
+    val tx = tb.lineitem
+      .select(col("l_orderkey").as("o_orderkey"), col("l_partkey"))
+      .join(tb.orders.select(col("o_orderkey"), col("o_custkey")),
+        Seq("o_orderkey"))
+    val counts = operators.Collab.userItemCounts(tx, "o_custkey",
+      "l_partkey")
+    val plan = operators.Collab
+      .scoreCandidatesDirect(counts, u => u % 50 === 0)
+      .queryExecution.sparkPlan
+    val antis = collect(plan) {
+      case j: BroadcastHashJoinExec if j.joinType.sql.contains("ANTI") => j
+      case j: SortMergeJoinExec if j.joinType.sql.contains("ANTI") => j
+    }
+    assert(antis.nonEmpty, "expected an anti-join in the scoring tail")
+    assert(antis.forall(_.isInstanceOf[BroadcastHashJoinExec]),
+      "the purchased anti-join planned as a SortMergeJoin — the " +
+        "target-filtered build side must broadcast")
+  }
+
   test("directed CF: the pair join on item broadcasts the target side") {
     val tb = sources.Tables(spark, dir)
     val tx = tb.lineitem
