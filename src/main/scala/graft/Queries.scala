@@ -1191,9 +1191,11 @@ object Queries {
         // satisfied → no second shuffle; same bytes, since the partial
         // aggregate does not reduce this stream) and pins the checkpoint
         // at full parallelism — AQE would otherwise coalesce the 6 MB
-        // exchange to ~6 partitions and serialize the 12 M-row scoring
-        // probe that streams over it (measured 8.6 s at 6-way vs ~1.5 s
-        // at 32-way).
+        // exchange to ~6 partitions, and every map-side consumer of the
+        // checkpoint (norm/iu aggregates, join sides) would inherit that
+        // 6-way width (a rejected broadcast-probe variant measured the
+        // worst case: 8.6 s at 6-way vs ~1.5 s at 32-way for the same
+        // work — Collab.scoreCandidatesDirect scaladoc).
         val counts = Collab.userItemCounts(
           custItemTx(s, dir).repartition(
             s.sparkContext.defaultParallelism,
