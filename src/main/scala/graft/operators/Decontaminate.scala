@@ -57,8 +57,13 @@ object Decontaminate {
   def wordGramHashes(docs: DataFrame, id: String, text: String,
                      w: Int, dedup: Boolean = true): DataFrame = {
     GraftExtensions.register(docs.sparkSession)
-    val g = NearDup.rawShingles(docs, id, text, w)
-      .select(col("id"), call_function("md5_prefix60", col("s")).as("h"))
+    // fused native shingle+hash ([[graft.plans.WordShingleHashes]]):
+    // same values as rawShingles → md5_prefix60, without materializing
+    // a 13-word gram STRING per position (13-grams re-copy each word
+    // ~13×; the digest streams the token bytes instead)
+    val g = docs.select(col(id).as("id"),
+      explode(call_function("word_shingle_hashes", col(text), lit(w)))
+        .as("h"))
     if (dedup) g.distinct() else g
   }
 

@@ -86,12 +86,12 @@ object NearDup {
   val MinHashB: IndexedSeq[Long] =
     (0 until 16).map(j => (1779033703L * (j + 1)) % MinHashP)
 
-  /** Portable 60-bit shingle hash: the first 15 hex digits of md5, an
-    * identical value in any engine with md5 (unlike xxhash64/murmur).
-    * Computed by the native [[graft.plans.Md5Prefix60]] expression —
-    * bit-equal to the `conv(substr(md5(s), 1, 15), 16, 10)` SQL form the
-    * oracles keep, minus the per-shingle hex-string round-trip. */
-  private val shingleHash = s"md5_prefix60(s) % ${MinHashP}L"
+  // Portable 60-bit shingle hash: the first 15 hex digits of md5, an
+  // identical value in any engine with md5 (unlike xxhash64/murmur).
+  // Computed by the native [[graft.plans.WordShingleHashes]] expression
+  // (shingling fused with hashing) — bit-equal to the
+  // `conv(substr(md5(s), 1, 15), 16, 10)` SQL form the oracles keep,
+  // minus the per-shingle hex-string round-trip.
 
   /** MinHash + banded LSH with a PORTABLE hash family (md5-derived shingle
     * hashes, universal-hash minima, integer band keys) — same algorithm as
@@ -144,8 +144,16 @@ object NearDup {
     val spread = docs.select(col(id), col(text)).repartition(
       math.max(docs.sparkSession.sparkContext.defaultParallelism, 2),
       col(id))
-    val raw = rawShingles(spread, id, text, w)
-    val hp = raw.select(col("id"), expr(shingleHash).as("hp"))
+    // signature stage reads the FUSED native shingle-hash expression
+    // ([[graft.plans.WordShingleHashes]]): one split per document and a
+    // tight digest loop, where the rawShingles HOF chain paid an
+    // interpreted lambda + concat per shingle — and the shingle STRINGS
+    // never materialize here at all (only colliding docs build them, in
+    // the verify stage below)
+    val hp = spread.select(col(id).as("id"),
+      explode(call_function("word_shingle_hashes", col(text), lit(w)))
+        .as("h60"))
+      .select(col("id"), (col("h60") % MinHashP).as("hp"))
     val mins = hp.groupBy(col("id")).agg(
       min((col("hp") * MinHashA.head + MinHashB.head) % MinHashP)
         .as("mh0"),
@@ -181,7 +189,13 @@ object NearDup {
     // ingest repartition already clusters (id, shingle).
     val candIds = cand.select(col("id_a").as("id"))
       .unionByName(cand.select(col("id_b").as("id"))).distinct()
-    val shC = raw.join(broadcast(candIds), Seq("id"), "left_semi")
+    // shingle STRINGS are built here only, and only for colliding DOCS:
+    // the semi-join filters the doc frame BEFORE the explode, so the
+    // tokenize+concat work is candidate-bounded, not corpus-bounded
+    val shC = rawShingles(
+        spread.join(broadcast(candIds.select(col("id").as(id))),
+          Seq(id), "left_semi"),
+        id, text, w)
       .distinct()
       .localCheckpoint(false)
     val sizes = shC.groupBy(col("id")).agg(count(lit(1)).as("sz"))

@@ -41,9 +41,14 @@ object NgramLm {
   def tokenBuckets(docs: DataFrame, id: String, text: String,
                    numBuckets: Int): DataFrame = {
     graft.plans.GraftExtensions.register(docs.sparkSession)
+    // w = 1 shingles = per-word hashes, via the fused native expression
+    // (one split + tight digest loop per document instead of an
+    // interpreted md5 lambda per token); the remaining HOF lambda is a
+    // single integer mod
     docs.select(col(id).as("id"),
-      transform(split(trim(col(text)), "\\s+"),
-        w => call_function("md5_prefix60", w) % numBuckets).as("bs"))
+      transform(
+        call_function("word_shingle_hashes", col(text), lit(1)),
+        h => h % numBuckets).as("bs"))
   }
 
   /** One row per ADJACENT token pair `(id, b1, b2)` — still map-only:

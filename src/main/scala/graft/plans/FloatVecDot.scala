@@ -262,6 +262,49 @@ object GraftHash {
     while (j < 8) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
     v
   }
+
+  private val wsPattern = java.util.regex.Pattern.compile("\\s+")
+
+  /** Kernel of [[WordShingleHashes]]: md5Prefix60 of every w-word
+    * shingle of `text`. Tokenization replicates the SQL chain exactly:
+    * `trim` strips 0x20 SPACES only (UTF8String.trim — Spark's default
+    * StringTrim), and the `\s+` split keeps leading/trailing empty
+    * tokens the way Spark's `split(str, regex)` (limit −1) does. Words
+    * join with a single ' ' including empty tokens — concat_ws
+    * semantics. Token bytes are encoded once; each shingle is one
+    * digest over (w bytes arrays + w−1 separators). */
+  def wordShingleHashes(text: org.apache.spark.unsafe.types.UTF8String,
+                        w: Int): Array[Long] = {
+    require(w >= 1, s"word_shingle_hashes: w must be >= 1, got $w")
+    val toks = wsPattern.split(text.trim().toString, -1)
+    val n = toks.length
+    if (n < w) return Array.emptyLongArray
+    val tb = new Array[Array[Byte]](n)
+    var t = 0
+    while (t < n) {
+      tb(t) = toks(t).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      t += 1
+    }
+    val md = digest.get()
+    val out = new Array[Long](n - w + 1)
+    var i = 0
+    while (i <= n - w) {
+      md.reset()
+      var j = 0
+      while (j < w) {
+        if (j > 0) md.update(' '.toByte)
+        md.update(tb(i + j))
+        j += 1
+      }
+      val d = md.digest()
+      var v = 0L
+      var k = 0
+      while (k < 8) { v = (v << 8) | (d(k) & 0xffL); k += 1 }
+      out(i) = v >>> 4
+      i += 1
+    }
+    out
+  }
 }
 
 /** Native 64-bit PORTABLE SimHash over a token array: each token's full
@@ -443,6 +486,51 @@ object BloomMightContain {
   }
 }
 
+/** Native `word_shingle_hashes(text, w) -> ARRAY<BIGINT>`: the 60-bit
+  * md5-prefix hash of every overlapping w-word shingle of `text`, in one
+  * pass — the fused form of
+  * `transform(sequence(1, size(words) − w + 1), i ->
+  *    md5_prefix60(concat_ws(' ', element_at(words, i), …)))`
+  * over `words = split(trim(text), '\\s+')`. The HOF chain evaluates an
+  * interpreted lambda per shingle (closure dispatch + a materialized
+  * words array + per-shingle concat allocations) — the CPU center of
+  * the minhash/decontamination pipelines once their scans were spread
+  * (r10 ledger). Here the split happens once per document, token bytes
+  * are UTF-8-encoded once and fed to a ThreadLocal MD5 digest per
+  * shingle window. Bit-equality with the HOF chain (same tokenization
+  * incl. Spark `trim`'s space-only semantics and `split`'s kept empty
+  * tokens, same ' ' joint, same digest) is pinned by an InvariantsCheck
+  * property, so the DuckDB oracles are untouched. Documents with fewer
+  * than w tokens yield an empty array (the explode drops them, matching
+  * the old `size(words) >= w` gate); w = 1 degenerates to per-word
+  * hashes (the n-gram LM tokenizer path). CodegenFallback: the per-ROW
+  * work is a tight loop over all shingles, so the interpreted dispatch
+  * is amortized per document, not per shingle. */
+case class WordShingleHashes(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"word_shingle_hashes expects (STRING, INT), got " +
+          s"(${other._1.sql}, ${other._2.sql})")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "word_shingle_hashes"
+
+  override def nullSafeEval(text: Any, w: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      GraftHash.wordShingleHashes(
+        text.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        w.asInstanceOf[Int]))
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Registers graft's native expressions. Two paths:
   *  - `spark.sql.extensions=graft.plans.GraftExtensions` at session build
   *    (the canonical `SparkSessionExtensions` route), or
@@ -485,7 +573,12 @@ object GraftExtensions {
       new ExpressionInfo(classOf[BloomMightContain].getName,
         "bloom_might_contain"),
       (children: Seq[Expression]) =>
-        BloomMightContain(children.head, children(1))))
+        BloomMightContain(children.head, children(1))),
+    (new FunctionIdentifier("word_shingle_hashes"),
+      new ExpressionInfo(classOf[WordShingleHashes].getName,
+        "word_shingle_hashes"),
+      (children: Seq[Expression]) =>
+        WordShingleHashes(children.head, children(1))))
 
   def register(spark: SparkSession): Unit =
     registrations.foreach { case (id, info, builder) =>

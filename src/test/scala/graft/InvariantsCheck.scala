@@ -376,6 +376,32 @@ object InvariantsCheck extends Properties("graft.invariants") {
       rows.forall(r => r.getLong(1) == r.getLong(2) && r.getLong(1) >= 0)
     }
 
+  property("word_shingle_hashes is bit-equal to the split+md5 HOF chain " +
+      "it fused (incl. unicode, tabs, empty tokens)") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.listOf(Gen.oneOf(
+        Gen.oneOf("word", "a", "bb", "é語", ""),
+        Gen.oneOf(" ", "  ", "\t", "\n")))
+        .map(_.mkString(" "))),
+      Gen.choose(1, 4)) { (strs, w) =>
+      graft.plans.GraftExtensions.register(spark)
+      // the exact pre-fusion chain from rawShingles + md5_prefix60
+      val splitExpr = "split(trim(s), '\\\\s+')"
+      val parts = (0 until w)
+        .map(j => s"element_at($splitExpr, i + $j)").mkString(", ")
+      val rows = strs.distinct.toDF("s")
+        .select(col("s"),
+          expr(s"word_shingle_hashes(s, $w)").as("native"),
+          expr(s"""CASE WHEN size($splitExpr) >= $w THEN
+              transform(sequence(1, size($splitExpr) - ${w - 1}),
+                i -> md5_prefix60(concat_ws(' ', $parts)))
+            ELSE CAST(array() AS ARRAY<BIGINT>) END""").as("chain"))
+        .collect()
+      rows.forall { r =>
+        r.getSeq[Long](1) == r.getSeq[Long](2)
+      }
+    }
+
   property("moneySum is invariant under row order and partitioning") =
     forAll(Gen.nonEmptyListOf(Gen.choose(-100000, 100000))) { cents =>
       val vals = cents.map(_ / 100.0)
