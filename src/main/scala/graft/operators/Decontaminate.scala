@@ -42,11 +42,15 @@ object Decontaminate {
   def gramHashes(docs: DataFrame, id: String, text: String,
                  k: Int, dedup: Boolean = true): DataFrame = {
     GraftExtensions.register(docs.sparkSession)
-    val g = docs.where(length(col(text)) >= k)
-      .select(col(id).as("id"), explode(expr(
-        s"transform(sequence(1, length($text) - ${k - 1}), " +
-          s"i -> substring($text, i, $k))")).as("g"))
-      .select(col("id"), call_function("md5_prefix60", col("g")).as("h"))
+    // fused native gram+hash ([[graft.plans.CharGramHashes]]): same
+    // values as transform(sequence, i -> substring) → md5_prefix60,
+    // without the interpreted substring lambda and the k-char copy per
+    // position (a 30-gram re-copies every char ~30×; the digest reads
+    // byte slices of the original buffer). Short docs yield an empty
+    // array — the explode drops them like the length(text) >= k gate.
+    val g = docs.select(col(id).as("id"),
+      explode(call_function("char_gram_hashes", col(text), lit(k)))
+        .as("h"))
     if (dedup) g.distinct() else g
   }
 

@@ -305,6 +305,41 @@ object GraftHash {
     }
     out
   }
+
+  /** Kernel of [[CharGramHashes]]: md5Prefix60 of every k-char gram.
+    * Walks the UTF-8 buffer once to index character start offsets, then
+    * digests byte slices in place. */
+  def charGramHashes(text: org.apache.spark.unsafe.types.UTF8String,
+                     k: Int): Array[Long] = {
+    require(k >= 1, s"char_gram_hashes: k must be >= 1, got $k")
+    val bytes = text.getBytes
+    // character start offsets (n+1 entries; last = bytes.length)
+    var n = 0
+    var off = 0
+    val starts = new Array[Int](bytes.length + 1)
+    while (off < bytes.length) {
+      starts(n) = off
+      off += org.apache.spark.unsafe.types.UTF8String
+        .numBytesForFirstByte(bytes(off))
+      n += 1
+    }
+    starts(n) = bytes.length
+    if (n < k) return Array.emptyLongArray
+    val md = digest.get()
+    val out = new Array[Long](n - k + 1)
+    var i = 0
+    while (i <= n - k) {
+      md.reset()
+      md.update(bytes, starts(i), starts(i + k) - starts(i))
+      val d = md.digest()
+      var v = 0L
+      var j = 0
+      while (j < 8) { v = (v << 8) | (d(j) & 0xffL); j += 1 }
+      out(i) = v >>> 4
+      i += 1
+    }
+    out
+  }
 }
 
 /** Native 64-bit PORTABLE SimHash over a token array: each token's full
@@ -531,6 +566,45 @@ case class WordShingleHashes(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native `char_gram_hashes(text, k) -> ARRAY<BIGINT>`: the 60-bit
+  * md5-prefix of every overlapping k-CHARACTER gram of `text` — the
+  * fused form of
+  * `md5_prefix60(substring(text, i, k))` over
+  * `transform(sequence(1, length(text) − k + 1), …)` + explode, the
+  * decontamination unit ([[graft.operators.Decontaminate.gramHashes]]).
+  * The HOF chain pays an interpreted substring lambda and a k-char
+  * string copy per position (a 30-gram re-copies every char ~30×); here
+  * the UTF-8 byte offsets of each character are computed once and every
+  * gram digests a byte SLICE of the original buffer — zero per-gram
+  * allocation. Character semantics (not bytes) match SQL
+  * `length`/`substring`; texts shorter than k chars yield an empty
+  * array, matching the `length(text) >= k` gate. Bit-equality is pinned
+  * by an InvariantsCheck property; oracles unchanged. */
+case class CharGramHashes(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"char_gram_hashes expects (STRING, INT), got " +
+          s"(${other._1.sql}, ${other._2.sql})")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "char_gram_hashes"
+
+  override def nullSafeEval(text: Any, k: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      GraftHash.charGramHashes(
+        text.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        k.asInstanceOf[Int]))
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Registers graft's native expressions. Two paths:
   *  - `spark.sql.extensions=graft.plans.GraftExtensions` at session build
   *    (the canonical `SparkSessionExtensions` route), or
@@ -578,7 +652,12 @@ object GraftExtensions {
       new ExpressionInfo(classOf[WordShingleHashes].getName,
         "word_shingle_hashes"),
       (children: Seq[Expression]) =>
-        WordShingleHashes(children.head, children(1))))
+        WordShingleHashes(children.head, children(1))),
+    (new FunctionIdentifier("char_gram_hashes"),
+      new ExpressionInfo(classOf[CharGramHashes].getName,
+        "char_gram_hashes"),
+      (children: Seq[Expression]) =>
+        CharGramHashes(children.head, children(1))))
 
   def register(spark: SparkSession): Unit =
     registrations.foreach { case (id, info, builder) =>

@@ -402,6 +402,24 @@ object InvariantsCheck extends Properties("graft.invariants") {
       }
     }
 
+  property("char_gram_hashes is bit-equal to the substring+md5 HOF " +
+      "chain it fused (incl. multi-byte chars)") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.listOf(Gen.oneOf('a', 'b', 'é', '語', ' ',
+        '0')).map(_.mkString)),
+      Gen.choose(1, 5)) { (strs, k) =>
+      graft.plans.GraftExtensions.register(spark)
+      val rows = strs.distinct.toDF("s")
+        .select(col("s"),
+          expr(s"char_gram_hashes(s, $k)").as("native"),
+          expr(s"""CASE WHEN length(s) >= $k THEN
+              transform(sequence(1, length(s) - ${k - 1}),
+                i -> md5_prefix60(substring(s, i, $k)))
+            ELSE CAST(array() AS ARRAY<BIGINT>) END""").as("chain"))
+        .collect()
+      rows.forall(r => r.getSeq[Long](1) == r.getSeq[Long](2))
+    }
+
   property("moneySum is invariant under row order and partitioning") =
     forAll(Gen.nonEmptyListOf(Gen.choose(-100000, 100000))) { cents =>
       val vals = cents.map(_ / 100.0)
