@@ -380,7 +380,9 @@ object InvariantsCheck extends Properties("graft.invariants") {
       "it fused (incl. unicode, tabs, empty tokens)") =
     forAll(
       Gen.nonEmptyListOf(Gen.listOf(Gen.oneOf(
-        Gen.oneOf("word", "a", "bb", "é語", ""),
+        //   (NBSP) is NOT \s — it must survive inside tokens;
+        // 🙂 is a surrogate pair (4-byte UTF-8)
+        Gen.oneOf("word", "a", "bb", "é語", "", "a\u00A0b", "\ud83d\ude42x"),
         Gen.oneOf(" ", "  ", "\t", "\n")))
         .map(_.mkString(" "))),
       Gen.choose(1, 4)) { (strs, w) =>
@@ -405,8 +407,10 @@ object InvariantsCheck extends Properties("graft.invariants") {
   property("char_gram_hashes is bit-equal to the substring+md5 HOF " +
       "chain it fused (incl. multi-byte chars)") =
     forAll(
-      Gen.nonEmptyListOf(Gen.listOf(Gen.oneOf('a', 'b', 'é', '語', ' ',
-        '0')).map(_.mkString)),
+      Gen.nonEmptyListOf(Gen.listOf(Gen.oneOf(
+        Gen.oneOf[String]("a", "b", "é", "語", " ", "0", "\u00A0"),
+        // surrogate pair: SQL length counts it as ONE char (code point)
+        Gen.const("\ud83d\ude42"))).map(_.mkString)),
       Gen.choose(1, 5)) { (strs, k) =>
       graft.plans.GraftExtensions.register(spark)
       val rows = strs.distinct.toDF("s")
