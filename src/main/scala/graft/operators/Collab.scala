@@ -351,6 +351,11 @@ object Collab {
     // ~0.9 s pinned). The repartitions satisfy the join's own
     // distribution requirement, so they replace — not add to — the
     // ENSURE_REQUIREMENTS exchanges.
+    // (moving the purchased anti-join BEFORE the aggregation was tried
+    // and reverted: group-complete removal commutes semantically, but
+    // the planner placed the anti after the (u1, i) exchange anyway —
+    // the pre-aggregation exchange carried the identical 14.6 M rows —
+    // so the rewrite bought nothing and lost the pinned broadcast shape)
     val p = counts.sparkSession.sparkContext.defaultParallelism
     sym.repartition(p, col("u2"))
       .join(counts.select(col("u").as("u2"), col("i"), col("c"))
