@@ -21,6 +21,9 @@ import scala.collection.mutable
   *  - `GRAFT_REPS=n` runs n times (warm-cache timings; ledger printed
   *    for the LAST rep only, the JIT-warm one)
   *  - `GRAFT_CLEARCACHE=1` clears the catalog cache between reps
+  *  - `GRAFT_CONF=k=v,k=v` extra runtime SQL confs (A/B a config
+  *    hypothesis — e.g. `spark.sql.adaptive.enabled=false` — without
+  *    touching the query registration)
   */
 object Profile {
 
@@ -54,6 +57,7 @@ object Profile {
           m.inputMetrics.bytesRead / 1048576.0)
       }
     def clear(): Unit = synchronized { rows.clear(); stageToJob.clear(); jobs = 0 }
+    def size: Int = synchronized { rows.size }
     def print(): Unit = synchronized {
       println(f"[ledger] ${"job"}%4s ${"stage"}%5s ${"wall_s"}%7s " +
         f"${"tasks"}%5s ${"shR_rows"}%10s ${"shR_MB"}%8s ${"shW_rows"}%10s " +
@@ -82,6 +86,11 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    sys.env.get("GRAFT_CONF").foreach(_.split(",").filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      })
     val ledger = new Ledger
     spark.sparkContext.addSparkListener(ledger)
     val fn = SparkEntry.queries(name)
@@ -96,10 +105,22 @@ object Profile {
       println(f"[profile] $name rep $i: $n rows in $dt%.2f s " +
         f"(${ledger.jobs} jobs)")
       if (i == reps) {
-        // listener events drain asynchronously — settle before printing
-        // (the bus-drain API is private[spark]; a short sleep suffices
-        // for a diagnostic tool)
-        Thread.sleep(1000)
+        // listener events drain asynchronously — poll until the ledger
+        // stops growing (the bus-drain API is private[spark]; a single
+        // fixed sleep could truncate the final stages of the profiled
+        // rep on a loaded bus — exactly the straggler-diagnosis case
+        // this tool exists for), with a bounded total wait
+        val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+        var last = -1
+        var cur = ledger.size
+        while ((cur != last || cur == 0) && System.nanoTime() < deadline) {
+          Thread.sleep(200)
+          last = cur
+          cur = ledger.size
+        }
+        if (System.nanoTime() >= deadline)
+          println("[ledger] WARNING: listener bus did not settle within " +
+            "10 s — ledger below may be missing trailing stages")
         ledger.print()
       }
     }

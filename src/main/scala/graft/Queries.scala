@@ -1164,7 +1164,7 @@ object Queries {
         // norms, ~0.6 s + 2 job floors); the lazy checkpoint materializes
         // once inside the first consumer's job
         Collab.userItemCounts(custItemTx(s, dir), "o_custkey", "l_partkey")
-          .localCheckpoint(false))
+          .localCheckpoint(true))
         .select(col("u1"), col("u2"), stableRound(col("cos"), 6).as("cos"))
         .orderBy(col("cos").desc, col("u1"), col("u2")).limit(1000),
       Some("""WITH """ + cfSimsSql + """
@@ -1200,7 +1200,7 @@ object Queries {
           custItemTx(s, dir).repartition(
             s.sparkContext.defaultParallelism,
             col("o_custkey"), col("l_partkey")),
-          "o_custkey", "l_partkey").localCheckpoint(false)
+          "o_custkey", "l_partkey").localCheckpoint(true)
         Collab.recommendDirect(counts, 5, u => u % 50 === 0)
           .orderBy(col("u"), col("rn"))
       },
