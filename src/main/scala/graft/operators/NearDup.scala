@@ -173,7 +173,12 @@ object NearDup {
     // construction (only banded collisions), so a lazy localCheckpoint
     // pins one materialization instead of three replays of the band
     // self-join — and unlike cache() it cannot block exchange reuse in
-    // the surrounding plan
+    // the surrounding plan. (Round-11: eager checkpoints here were
+    // measured WORSE — 1.75 s vs 1.39 s warm for q_corpus_dedup at
+    // sf0.1 — the two blocking jobs cost more than the tiny replays;
+    // contrast the CF counts frame, where eager wins. Fault-tolerance
+    // caveat: local checkpoints are executor-loss fragile — see the
+    // [[Collab]] scaladoc note for the cluster-scale alternative.)
     val cand = banded.toDF("id_a", "band", "key")
       .join(banded.toDF("id_b", "band", "key"), Seq("band", "key"))
       .where(col("id_a") < col("id_b"))

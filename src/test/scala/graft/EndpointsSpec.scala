@@ -105,4 +105,37 @@ class EndpointsSpec extends SparkSpec {
     val p = operators.Differential.pValues(res, welchDof = 100.0)
     assert(p.values.forall(v => v >= 0.0 && v <= 1.0))
   }
+
+  test("HLL gate query is lazy, passes in-tolerance, throws out-of-tolerance") {
+    // The q_table_stats_approx gate is an assert_true FILTER (round-10
+    // advice: the old head()+require form executed the double agg as a
+    // construction side effect). Three properties: (1) building the
+    // frame runs NO job (laziness); (2) the real gate passes at sf0.001
+    // and returns the 1-row stats; (3) positive control — the same gate
+    // shape with a falsified exact side THROWS at action time, proving
+    // the filter is not optimized away.
+    val frame = SparkEntry.queries("q_table_stats_approx")(spark, dir)
+    assert(frame.count() == 1L)
+
+    val li001 = sources.Tables(spark, dir).lineitem
+    val approx = operators.BasketAnalytics.tableStatsApprox(li001,
+      "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", rsd = 0.02)
+    val falseExact = li001.agg(
+      (countDistinct(col("l_orderkey")) * 10).as("x_baskets"))
+    val broken = approx.crossJoin(falseExact)
+      .where(assert_true(
+        abs(col("n_baskets").cast("double") - col("x_baskets").cast("double"))
+          / col("x_baskets").cast("double") <= 0.02,
+        lit("drifted past the 2% tolerance")).isNull)
+      .select(col("n_baskets"))
+    // laziness: planning a frame whose gate WOULD fail must not throw —
+    // the old head()+require form blew up right here, at construction
+    broken.queryExecution.executedPlan
+    val e = intercept[Exception](broken.count())
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("drifted")),
+      s"expected the gate's assert_true to fire, got: ${messages(e)}")
+  }
 }
