@@ -220,4 +220,60 @@ class SinksAndMlSpec extends SparkSpec {
       assert(acc > 0.9, s"$name accuracy=$acc")
     }
   }
+
+  test("ALS scale path: shape contract + recall overlap vs neighborhood CF") {
+    // the documented 100 TB alternative to the neighborhood model
+    // (Collab.recommendAls scaladoc): a different algorithm by design,
+    // so no oracle — the gate is (a) the recommend() output contract and
+    // (b) seeded recall overlap with the neighborhood top-k well above
+    // the ~k/|items| chance floor on real testdata
+    val dir = "/root/testdata/sf0.001"
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_orderkey").as("o_orderkey"), col("l_partkey"))
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val counts = operators.Collab.userItemCounts(
+      li.join(orders, Seq("o_orderkey")), "o_custkey", "l_partkey")
+      .localCheckpoint(true)
+    val k = 5
+    val filt = (u: org.apache.spark.sql.Column) => u % 10 === 0
+    val als = operators.Collab.recommendAls(counts, k, rank = 16,
+      maxIter = 10, seed = 42L, targetFilter = filt)
+    val rows = als.collect()
+    assert(rows.nonEmpty)
+    // contract: rn dense 1..k per user, scores non-increasing along rn,
+    // nothing already purchased
+    val byUser = rows.groupBy(_.getAs[Long]("u"))
+    byUser.foreach { case (u, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rn"))
+      assert(sorted.map(_.getAs[Long]("rn")).toSeq ==
+        (1L to sorted.length).toSeq, s"user $u rn not dense")
+      val scores = sorted.map(_.getAs[Double]("score")).toSeq
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"user $u scores not ranked")
+      assert(sorted.length <= k)
+    }
+    val purchased = counts.where(filt(col("u")))
+      .select(col("u"), col("i")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.forall(r =>
+      !purchased((r.getAs[Long]("u"), r.getAs[Long]("i")))),
+      "ALS recommended an already-purchased item")
+    // recall overlap vs the oracle-gated neighborhood top-k
+    val neigh = operators.Collab.recommendDirect(counts, k, filt).collect()
+      .map(r => (r.getAs[Long]("u"), r.getAs[Long]("i"))).toSet
+    val alsSet = rows.map(r => (r.getAs[Long]("u"), r.getAs[Long]("i"))).toSet
+    val overlap = alsSet.intersect(neigh).size.toDouble /
+      math.max(1, neigh.size)
+    val nItems = counts.select(col("i")).distinct().count()
+    val chance = k.toDouble / nItems
+    // the sf0.001 purchase matrix is SYNTHETIC (near-uniform TPC-H
+    // draws), so both models largely rank noise and agreement tops out
+    // low — seeded ALS measures 0.120 here (4.8x the 0.025 chance
+    // floor); the gate at 3x catches "learned nothing" without pinning
+    // the noise ceiling
+    assert(overlap > 3 * chance,
+      f"ALS/neighborhood top-$k overlap $overlap%.3f is not above 3x " +
+        f"the $chance%.4f chance floor — factorization learned nothing")
+  }
 }
