@@ -1239,11 +1239,12 @@ object Queries {
     Spec("q_hybrid_recommendations",
       (s, dir) => {
         // same counts materialization rationale as q_cf_recommendations
+        // (EAGER: the lazy form races concurrent broadcast futures)
         val counts = Collab.userItemCounts(
           custItemTx(s, dir).repartition(
             s.sparkContext.defaultParallelism,
             col("o_custkey"), col("l_partkey")),
-          "o_custkey", "l_partkey").localCheckpoint(false)
+          "o_custkey", "l_partkey").localCheckpoint(true)
         val cf = Collab.scoreCandidatesDirect(counts, u => u % 50 === 0)
         val rules = AssociationRules.rulesRaw(t(s, dir).lineitem,
           "l_orderkey", "l_partkey", rulesParams)
@@ -1310,7 +1311,14 @@ object Queries {
     // replays each family from shared CTEs.
     Spec("q_cf_family",
       (s, dir) => Collab.cfFamily(
-        Collab.userItemCounts(custItemTx(s, dir), "o_custkey", "l_partkey"),
+        // pinned-width ingest (rides the counts aggregation's own
+        // exchange) — cfFamily eager-checkpoints this frame, see its
+        // scaladoc
+        Collab.userItemCounts(
+          custItemTx(s, dir).repartition(
+            s.sparkContext.defaultParallelism,
+            col("o_custkey"), col("l_partkey")),
+          "o_custkey", "l_partkey"),
         AssociationRules.rulesRaw(t(s, dir).lineitem,
           "l_orderkey", "l_partkey", rulesParams),
         5, 0.6, u => u % 50 === 0),

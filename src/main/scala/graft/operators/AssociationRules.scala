@@ -51,6 +51,17 @@ object AssociationRules {
                              item: String): DataFrame =
     tx.select(col(basket).as("basket"), col(item).as("item"))
       .where(col(item).isNotNull)
+      // the explicit-N repartition BY BASKET rides in place of the
+      // collect_set aggregate's own exchange (ClusteredDistribution
+      // satisfied — same shuffle, same bytes) and pins the pair/triple
+      // EXPLOSION downstream at full parallelism: the basket exchange is
+      // a few MB, so AQE's input-size coalescing ran the mining tail
+      // 3-4-wide on a 32-core box (r11 ledger on the hybrid query:
+      // 1.22 s + 1.28 s mining stages at 4 and 3 tasks; the same defect
+      // the r10 ledger found in q_rule_matches' fire tail)
+      .repartition(
+        math.max(tx.sparkSession.sparkContext.defaultParallelism, 2),
+        col("basket"))
       .groupBy(col("basket"))
       .agg(array_sort(collect_set(col("item"))).as("items"))
 

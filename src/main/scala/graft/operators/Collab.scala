@@ -167,7 +167,17 @@ object Collab {
   def userSimilarities(counts: DataFrame,
                        maxItemUsers: Option[Int] = Some(DefaultMaxItemUsers))
       : DataFrame = {
-    val withN = simSides(counts, maxItemUsers)
+    // the explicit-N repartition BY ITEM rides in place of the self-join
+    // sides' own ENSURE_REQUIREMENTS exchanges (hash(i) satisfies both)
+    // and pins the pair join — the query's CPU center, emitting the
+    // k²-per-item pair stream — at full parallelism: AQE's
+    // input-size-based coalescing saw ~15 MB of exchange input and ran
+    // the join 13-wide on a 32-core box (r11 ledger, 0.71 s vs 0.35 s
+    // pinned). Both sides are the same subtree, so ReuseExchange still
+    // computes the exchange once.
+    val withN = simSides(counts, maxItemUsers).repartition(
+      math.max(counts.sparkSession.sparkContext.defaultParallelism, 2),
+      col("i"))
     val a = withN.select(col("u").as("u1"), col("i"), col("c").as("c1"),
       col("nrm").as("nrm1"))
     val b = withN.select(col("u").as("u2"), col("i"), col("c").as("c2"),
@@ -589,20 +599,31 @@ object Collab {
     *    i = u2, rn = 0: similarities are a pair listing, not a ranking);
     *  - `cf` — [[recommend]] semantics (top `k` per target user);
     *  - `hybrid` — [[hybridBlend]] semantics (α·assoc + (1−α)·cf).
-    * The family is ONE lazy plan with NO cache barriers, the
-    * [[AssociationRules.rulesFamily]] design: each shared stage ends in
-    * an Exchange — the counts aggregate, the pair-dot aggregate inside
-    * the similarity join, the scored-candidate aggregate — and
-    * Catalyst's ReuseExchange computes each exactly once across all
-    * consumers inside a single job. Only rule-table-sized post-Exchange
-    * work (norm broadcast-joins, top-k windows) is duplicated by plan-
-    * subtree copies. An earlier cache()+count() version held three
-    * blocking materialization jobs before the final query could plan —
-    * measured ~25% of family wall-clock at sf0.1. */
+    * Sharing strategy (revised round 11): the EXCHANGES are still shared
+    * by Catalyst's ReuseExchange (the pair-dot aggregate, the
+    * scored-candidate aggregate), but the two frames with 3+ consumers —
+    * the user-item counts and the scored candidates — are materialized
+    * with an EAGER localCheckpoint. The previous no-barrier form relied
+    * on ReuseExchange alone, which shares the exchange BYTES but not the
+    * post-exchange work: every consumer re-ran the final aggregation
+    * over the 14.6 M-row scoring exchange (~0.9 s each × 3 consumers)
+    * and the counts aggregation subtree was re-planned into every
+    * broadcast future (the lazy-checkpoint race documented in SCALE.md
+    * round 11). Measured at sf0.1: 13.1 s no-barrier vs 10.9 s with the
+    * two eager checkpoints. (The old cache()+count() form remains worse
+    * still — InMemoryRelation blocks AQE and exchange reuse.)
+    * localCheckpoint caveat: executor-loss fragile, see the class
+    * scaladoc. */
   def cfFamily(counts0: DataFrame, rules: DataFrame, k: Int, alpha: Double,
                userFilter: Column => Column,
                simsLimit: Int = 1000): DataFrame = {
-    val counts = counts0
+    // eager materialization: consumed by the similarity sides, norms,
+    // iu, the scoring join, the purchased anti-join and the assoc side.
+    // Callers should pin the aggregation width upstream (repartition by
+    // the group keys BEFORE the counts groupBy, riding its exchange —
+    // see the q_cf_family registration) so the checkpoint lands at full
+    // parallelism.
+    val counts = counts0.localCheckpoint(true)
     val sims = userSimilarities(counts)
     // rounding happens BEFORE the top-N, matching q_cf_user_sims (ties
     // on rounded cosine break on the unique ordered pair key)
@@ -611,7 +632,11 @@ object Collab {
         col("u2").as("i"), stableRound(col("cos"), 6).as("score"))
       .orderBy(col("score").desc, col("u"), col("i")).limit(simsLimit)
       .withColumn("rn", lit(0L))
+    // three consumers (top-k recs, the blend's cn, the blend's per-user
+    // max): materialize once instead of re-running the final aggregation
+    // over the 14.6 M-row scoring exchange per consumer
     val scored = scoreCandidates(counts, sims, userFilter(col("u1")))
+      .localCheckpoint(true)
     val recs = scored
       .withColumn("rn", row_number().over(
           Window.partitionBy(col("u"))
@@ -634,14 +659,30 @@ object Collab {
     * request, so its "max" is per-request = per-user), then
     * `hybrid = α·assoc + (1−α)·cf`. Inputs are (u, i, score) frames;
     * either side may be missing a candidate (treated as 0 via full outer
-    * join). */
+    * join).
+    *
+    * The per-user max is an AGGREGATE + broadcast join, not a
+    * `max().over(Window.partitionBy(u))` (round-11 ledger): the CF side
+    * arrives at the (u, i) candidate grain — 5.35 M rows at sf0.1,
+    * already hash(u, i)-partitioned from the scoring aggregation — and
+    * the window form exchanged that full stream TWICE (by u for the
+    * window, back to (u, i) for the blend join: 79.6 + 69.8 MB, ~1.4 s),
+    * while the aggregate's map-side partials reduce it to |users| rows
+    * before any exchange and the normalized stream keeps its (u, i)
+    * partitioning for the blend join. CONTRACT (same as
+    * [[directedSimilarities]]): the per-user max frame is broadcast, so
+    * the caller's candidate set must be TARGET-filtered — both
+    * registered consumers (cfFamily, the hybrid query) filter to
+    * targets; for an all-users blend drop the broadcast hints and let
+    * AQE pick the join. */
   def hybridBlend(assoc: DataFrame, cf: DataFrame, alpha: Double,
                   k: Int): DataFrame = {
-    val w = Window.partitionBy(col("u"))
-    val an = assoc.select(col("u"), col("i"),
-      (col("score") / max(col("score")).over(w)).as("a_score"))
-    val cn = cf.select(col("u"), col("i"),
-      (col("score") / max(col("score")).over(w)).as("c_score"))
+    val anMax = assoc.groupBy(col("u")).agg(max(col("score")).as("__amax"))
+    val cnMax = cf.groupBy(col("u")).agg(max(col("score")).as("__cmax"))
+    val an = assoc.join(broadcast(anMax), Seq("u"))
+      .select(col("u"), col("i"), (col("score") / col("__amax")).as("a_score"))
+    val cn = cf.join(broadcast(cnMax), Seq("u"))
+      .select(col("u"), col("i"), (col("score") / col("__cmax")).as("c_score"))
     an.join(cn, Seq("u", "i"), "full_outer")
       .select(col("u"), col("i"),
         stableRound(lit(alpha) * coalesce(col("a_score"), lit(0.0)) +
