@@ -599,21 +599,22 @@ object Collab {
     *    i = u2, rn = 0: similarities are a pair listing, not a ranking);
     *  - `cf` — [[recommend]] semantics (top `k` per target user);
     *  - `hybrid` — [[hybridBlend]] semantics (α·assoc + (1−α)·cf).
-    * Sharing strategy (revised round 11): the EXCHANGES are still shared
-    * by Catalyst's ReuseExchange (the pair-dot aggregate, the
-    * scored-candidate aggregate), but the two frames with 3+ consumers —
-    * the user-item counts and the scored candidates — are materialized
-    * with an EAGER localCheckpoint. The previous no-barrier form relied
-    * on ReuseExchange alone, which shares the exchange BYTES but not the
-    * post-exchange work: every consumer re-ran the final aggregation
-    * over the 14.6 M-row scoring exchange (~0.9 s each × 3 consumers)
-    * and the counts aggregation subtree was re-planned into every
-    * broadcast future (the lazy-checkpoint race documented in SCALE.md
-    * round 11). Measured at sf0.1: 13.1 s no-barrier vs 10.9 s with the
-    * two eager checkpoints. (The old cache()+count() form remains worse
-    * still — InMemoryRelation blocks AQE and exchange reuse.)
-    * localCheckpoint caveat: executor-loss fragile, see the class
-    * scaladoc. */
+    * Sharing strategy (revised round 11): the user-item counts — the
+    * frame with the most consumers (sim sides, norms, iu, scoring,
+    * anti, assoc) and the one whose aggregation subtree gets re-planned
+    * into every concurrent broadcast future (the lazy-checkpoint race,
+    * SCALE.md round 11) — is materialized with an EAGER localCheckpoint;
+    * everything else stays ONE lazy plan shared through Catalyst's
+    * ReuseExchange (the pair-dot aggregate, the scored-candidate
+    * aggregate). An eager checkpoint of the scored candidates was
+    * measured and REJECTED (min 13.3 s vs 11.9 s without, sf0.1):
+    * ReuseExchange only shares exchange BYTES, so the blend's three
+    * consumers do re-run the final aggregation over the 14.6 M-row
+    * scoring exchange — but blocking on a 5.35 M-row block write costs
+    * more than those re-aggregations. (The old cache()+count() form
+    * remains worse still — InMemoryRelation blocks AQE and exchange
+    * reuse.) localCheckpoint caveat: executor-loss fragile, see the
+    * class scaladoc. */
   def cfFamily(counts0: DataFrame, rules: DataFrame, k: Int, alpha: Double,
                userFilter: Column => Column,
                simsLimit: Int = 1000): DataFrame = {
@@ -636,7 +637,6 @@ object Collab {
     // max): materialize once instead of re-running the final aggregation
     // over the 14.6 M-row scoring exchange per consumer
     val scored = scoreCandidates(counts, sims, userFilter(col("u1")))
-      .localCheckpoint(true)
     val recs = scored
       .withColumn("rn", row_number().over(
           Window.partitionBy(col("u"))
