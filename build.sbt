@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default (round 11, was 8g): the box has 125 GiB and the bench's
+  // 3 passes + settling accumulate localCheckpoint blocks, streaming
+  // state stores and broadcast pieces — at 8g the unified-memory region
+  // (~4.8g) hit eviction churn mid-run and produced a contiguous
+  // 8-query slow window in one capture
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
