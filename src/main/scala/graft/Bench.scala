@@ -146,7 +146,17 @@ object Bench {
     // idle box), and DuckDB's min-of-5 baseline sits at full steady
     // state from draw 2 — min-of-2 systematically overstated Spark
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // local[32]: all cores, matching graft.Profile and the DuckDB
+    // baseline (duckdb defaults to every core). Round-11 A/B on the
+    // 18-query heavy subset: local[4] costs +13.9 s comparable
+    // (q_cf_family 21.0 s vs 13.4 s, q_hybrid_recommendations 12.2 vs
+    // 9.2, q_cf_user_sims 5.1 vs 3.0) while the ~118 tiny queries pay
+    // only +0.01-0.03 s each in extra task-launch overhead — the
+    // CPU-heavy CF/ML family dominates. The old "4" default predated
+    // the heavy queries and silently handicapped every driver capture
+    // (the driver sets no env), which is where the round-10 phantom
+    // driver-vs-builder gaps came from.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -3059,7 +3059,7 @@ object Queries {
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   private def streamBacklog(s: SparkSession, dir: String,
-                            nFiles: Int = 8): String = {
+                            nFiles: Int = 4): String = {
     // hash suffix: the character sanitization alone is lossy (two dirs
     // differing only in non-alphanumerics would collide and the
     // write-once guard would serve the first dir's data to the second)
@@ -3084,7 +3084,12 @@ object Queries {
     Seq(
 
       // ------------------------------------------------ streaming A17/A18
-      // Tumbling 1-day event-time windows, drained in 4 micro-batches.
+      // Tumbling 1-day event-time windows, drained in 2 micro-batches
+      // (round-11: 2 batches prove the same cross-batch state semantics
+      // as 4 at half the per-trigger planning/state-commit cost — each
+      // AvailableNow trigger pays one store open+snapshot+commit per
+      // state partition plus a full micro-batch plan; the quartet of
+      // streaming gates was 6.2 s of an 0.06 s-oracle board slice).
       // Complete output mode makes the final table the full aggregation
       // regardless of watermark progress, so it must equal the batch
       // GROUP BY day — which is exactly the oracle.
@@ -3095,7 +3100,7 @@ object Queries {
             Streams.eventStreamMicros(s, src, maxFilesPerTrigger = Some(2)),
             "3650 days", "1 day", "1 day")
           Streams.runToTable(win, "graft_stream_windows",
-              OutputMode.Complete(), statePartitions = Some(8))
+              OutputMode.Complete(), statePartitions = Some(4))
             .select(col("window.start").cast("date").as("day"),
               col("event_type"), col("n"), col("total_value"))
             .orderBy(col("day"), col("event_type"))
@@ -3115,7 +3120,7 @@ object Queries {
             Streams.eventStreamMicros(s, src, maxFilesPerTrigger = Some(2)),
             Seq("user_id", "event_type"))
           Streams.runToTable(dd, "graft_stream_dedup", OutputMode.Append(),
-              statePartitions = Some(8))
+              statePartitions = Some(4))
             .groupBy(col("event_type"))
             .agg(count(lit(1)).as("n_users"))
             .orderBy(col("event_type"))
@@ -3131,18 +3136,18 @@ object Queries {
       Spec("q_stream_join",
         (s, dir) => {
           val src = streamBacklog(s, dir)
-          // 2 micro-batches (4 files/trigger): still a real incremental
-          // drain with cross-batch join state, at half the per-trigger
-          // scheduling cost of the other gates — this gate runs TWO file
-          // sources, so triggers are twice as expensive here
+          // 2 micro-batches (2 files/trigger over the 4-file backlog):
+          // still a real incremental drain with cross-batch join state,
+          // at the minimum trigger count that exercises it — this gate
+          // runs TWO file sources, so triggers are twice as expensive
           def ev = Streams.eventStreamMicros(s, src,
-            maxFilesPerTrigger = Some(4))
+            maxFilesPerTrigger = Some(2))
           val j = Streams.intervalJoin(
             ev.where(col("event_type") === "view"),
             ev.where(col("event_type") === "click"),
             "user_id", "3650 days", beforeSec = 0L, afterSec = 1800L)
           Streams.runToTable(j, "graft_stream_join", OutputMode.Append(),
-              statePartitions = Some(8))
+              statePartitions = Some(4))
             .groupBy(col("k"))
             .agg(count(lit(1)).as("n_matches"),
               moneySum(col("r_value")).as("click_value"))
@@ -3173,7 +3178,7 @@ object Queries {
               col("value")).as[Streams.Event]
           val sess = Streams.sessionize(ev, "3650 days", gapSec = 3600L)
           Streams.runToTable(sess.toDF(), "graft_stream_sessions",
-              OutputMode.Append(), statePartitions = Some(8))
+              OutputMode.Append(), statePartitions = Some(4))
             .select(col("user_id"),
               unix_micros(col("start_ts")).as("start_us"),
               unix_micros(col("end_ts")).as("end_us"),

@@ -39,8 +39,12 @@ object Heuristics {
                          sales: String, qty: String, day: Column,
                          windows: Seq[(String, Int)], limit: Int): DataFrame = {
     val d = day.cast("date")
-    val starts = windows.map(_._1)
-      .zip(Trends.windowStarts(tx, day, windows.map(_._2)))
+    // lazy max-day ([[Trends.withMaxDay]]): windows live only inside
+    // conditional aggregates — nothing to push down, so the probe rides
+    // the plan as a concurrent broadcast future instead of a serial
+    // full-scan job before plan build
+    val (txm, loOf) = Trends.withMaxDay(tx, day)
+    val starts = windows.map { case (nm, n) => nm -> loOf(n) }
     val dec = org.apache.spark.sql.types.DecimalType(18, 2)
     val lvl1WindowAggs = starts.map { case (nm, lo) =>
       sum(when(d >= lo, col(sales)).otherwise(lit(0.0)).cast(dec))
@@ -48,10 +52,11 @@ object Heuristics {
     }
     val lvl1Aggs = Seq(
       max(d).as("__last_d"),
+      max(col("__md")).as("__md"),
       count(lit(1)).as("__n"),
       sum(col(sales).cast(dec)).as("__sv"),
       sum(col(qty)).as("__q")) ++ lvl1WindowAggs
-    val lvl1 = tx.groupBy(col(item), col(customer))
+    val lvl1 = txm.groupBy(col(item), col(customer))
       .agg(lvl1Aggs.head, lvl1Aggs.tail: _*)
     // isNotNull guards: COUNT(DISTINCT customer) never counts NULL, so
     // the null-customer group (one level-1 row) must not either — while
@@ -173,8 +178,9 @@ object Heuristics {
                             horizon: String = "3m"): DataFrame = {
     val d = day.cast("date")
     val windows = Seq("1m" -> 30, "3m" -> 90, "6m" -> 180, "12m" -> 365)
-    val starts = windows.map(_._1)
-      .zip(Trends.windowStarts(tx, day, windows.map(_._2)))
+    // lazy max-day probe — same rationale as [[productWindowStats]]
+    val (txm, loOf) = Trends.withMaxDay(tx, day)
+    val starts = windows.map { case (nm, n) => nm -> loOf(n) }
     // same two-level shape as [[productWindowStats]]: the five DISTINCT
     // customer counts become plain counts over the (category, customer)
     // grain (distinct-in-window ⟺ latest day reaches the window start),
@@ -182,6 +188,7 @@ object Heuristics {
     val dec = org.apache.spark.sql.types.DecimalType(18, 2)
     val lvl1Aggs = Seq(
       max(d).as("__last_d"),
+      max(col("__md")).as("__md"),
       count(lit(1)).as("__n"),
       sum(col(sales).cast(dec)).as("__sv")) ++
       starts.flatMap { case (nm, lo) =>
@@ -190,7 +197,7 @@ object Heuristics {
             .as(s"__sv_$nm"),
           sum(when(d >= lo, 1L).otherwise(0L)).as(s"__tx_$nm"))
       }
-    val lvl1 = tx.groupBy(col(cat), col(customer))
+    val lvl1 = txm.groupBy(col(cat), col(customer))
       .agg(lvl1Aggs.head, lvl1Aggs.tail: _*)
     val windowAggs = starts.flatMap { case (nm, lo) =>
       Seq(

@@ -34,6 +34,31 @@ object Trends {
         date_sub(lit(maxDay), n - 1)
     }
 
+  /** Lazily attach the frame's max day as a constant `__md` column via a
+    * one-row broadcast cross-join (BroadcastNestedLoopJoin — never a
+    * CartesianProduct), returning the joined frame and a window-start
+    * builder (n → lower-bound Column referencing `__md`). For operators
+    * whose trailing windows live only inside conditional AGGREGATES
+    * (no row filter) there is nothing to push down, so an eager
+    * [[windowStart]] probe's only effect is a full serial scan job
+    * before the real plan starts (~0.3 s × every draw of every
+    * windowed-stats query at sf0.1); the lazy form runs the probe as a
+    * broadcast future CONCURRENT with the main scan. Operators that
+    * FILTER by the window ([[lastNDays]], [[periodComparison]]) keep
+    * the eager literal probe deliberately: a literal bound reaches the
+    * parquet scan as a PushedFilter — and prunes date partitions at
+    * deployment scale — which is worth one cheap probe job. */
+  def withMaxDay(df: DataFrame, dayCol: Column)
+      : (DataFrame, Int => Column) =
+    axisType(df, dayCol) match {
+      case _: NumericType =>
+        val md = broadcast(df.agg(max(dayCol).as("__md")))
+        (df.crossJoin(md), n => col("__md") - (n - 1))
+      case _ =>
+        val md = broadcast(df.agg(max(dayCol.cast("date")).as("__md")))
+        (df.crossJoin(md), n => date_sub(col("__md"), n - 1))
+    }
+
   /** Window-start literals for SEVERAL windows from ONE max-day probe —
     * use this (not repeated [[windowStart]] calls) when a query needs
     * multiple trailing windows: each probe is a full-column scan job. */
@@ -136,21 +161,27 @@ object Trends {
   def multiWindowStats(df: DataFrame, key: Column, dayCol: Column,
                        sales: Column, actor: Column,
                        windows: Seq[(String, Int)]): DataFrame = {
-    val starts = windows.map(_._1)
-      .zip(windowStarts(df, dayCol, windows.map(_._2)))
+    // lazy max-day ([[withMaxDay]]): the windows appear only inside
+    // conditional aggregates, so there is no filter to push down and the
+    // probe can ride the plan as a concurrent broadcast future. Level 1
+    // carries `__md` (constant within the frame) so level 2's window
+    // bounds resolve against its own input.
+    val (dfm, loOf) = withMaxDay(df, dayCol)
+    val starts = windows.map { case (nm, n) => nm -> loOf(n) }
     val d = axisType(df, dayCol) match {
       case _: NumericType => dayCol
       case _ => dayCol.cast("date")
     }
     val dec = org.apache.spark.sql.types.DecimalType(18, 2)
-    val lvl1Aggs = Seq(max(d).as("__last_d")) ++
+    val lvl1Aggs = Seq(max(d).as("__last_d"),
+      max(col("__md")).as("__md")) ++
       starts.flatMap { case (nm, lo) =>
         Seq(
           sum(when(d >= lo, sales).otherwise(lit(0.0)).cast(dec))
             .as(s"__sv_$nm"),
           sum(when(d >= lo, 1L).otherwise(0L)).as(s"__tx_$nm"))
       }
-    val lvl1 = df.groupBy(key, actor).agg(lvl1Aggs.head, lvl1Aggs.tail: _*)
+    val lvl1 = dfm.groupBy(key, actor).agg(lvl1Aggs.head, lvl1Aggs.tail: _*)
     val aggs = starts.flatMap { case (nm, lo) =>
       Seq(
         sum(col(s"__sv_$nm")).cast("double").as(s"sales_$nm"),

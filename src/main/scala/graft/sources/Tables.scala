@@ -19,8 +19,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * DataFrames.
   */
 final case class Tables(spark: SparkSession, dir: String) {
-  def table(name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def table(name: String): DataFrame = Tables.cached(spark, s"$dir/$name.parquet")
 
   // TPC-H-ish star schema
   def region: DataFrame = table("region")
@@ -59,6 +58,28 @@ final case class Tables(spark: SparkSession, dir: String) {
 }
 
 object Tables {
+  /** Per-(session, path) DataFrame cache. Every `spark.read.parquet`
+    * call runs a schema-inference job (one footer read — ~0.02–0.1 s
+    * even warm), and a typical registered query loads 2–4 tables, often
+    * the same one twice — at 150 bench queries × several draws that is
+    * seconds of pure footer re-reads per pass (the stage ledgers show
+    * 2–4 `parquet at Tables.scala` jobs leading every query). The
+    * loader serves these dirs only, and they are immutable test data
+    * (the 100 TB deployment swaps this seam for catalog tables, which
+    * carry their own metastore schema — same effect). The cached frame
+    * is a lazy PLAN (no data is pinned); plans are session-bound, so
+    * the key includes the session. Entries for stopped sessions are
+    * dropped by the WeakHashMap once the session is unreachable. */
+  private val cache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
+
+  private def cached(spark: SparkSession, path: String): DataFrame =
+    cache.computeIfAbsent(spark,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+      .computeIfAbsent(path, p => spark.read.parquet(p))
+
   /** S9 — JDBC source seam (the reference's tables live in SQL Server,
     * `Website/market/market/settings.py:79-92`). Partitioned read so the
     * scan parallelizes across executors; parquet remains the primary
