@@ -132,7 +132,11 @@ object Bench {
     "q_ann_ivf_indexed" ->
       "SCALE.md#adjudicated-q_ann_ivf_indexed (prices its per-run k-means index build)",
     "q_cf_recommendations" ->
-      "SCALE.md#adjudicated-q_cf_recommendations (irreducible 14.6M-row scoring stream, reference sums over ALL sim>0 partners + ~20 job floors)")
+      "SCALE.md#adjudicated-q_cf_recommendations (irreducible 14.6M-row scoring stream, reference sums over ALL sim>0 partners + ~20 job floors)",
+    "q_cf_user_sims" ->
+      "SCALE.md#adjudicated-q_cf_user_sims (ledger-minimal: counts agg + 8.9M pair exchange + job floors; window-iu and cache variants measured worse)",
+    "q_corpus_dedup" ->
+      "SCALE.md#adjudicated-q_corpus_dedup (largest stage 0.13s at 24 jobs - pure floor residue; AQE-off cuts jobs but raises wall)")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

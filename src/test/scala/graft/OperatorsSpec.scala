@@ -29,6 +29,35 @@ class OperatorsSpec extends SparkSpec {
     assert(out.map(_._1).toSet == Set(1, 2)) // 700-29=671 <= day
   }
 
+  test("P5 withMaxDay lazy bound equals the eager probe on both axes") {
+    // numeric axis
+    val ni = Seq((1, 700), (2, 690), (3, 600)).toDF("id", "day")
+    val (nm, nLo) = Trends.withMaxDay(ni, col("day"))
+    val gotN = nm.where(col("day") >= nLo(30)).select("id")
+      .as[Int].collect().toSet
+    assert(gotN == Set(1, 2)) // same rows as the eager lastNDays test
+    // date axis: max = 2024-03-10, 30-day window starts 2024-02-10
+    val di = Seq((1, "2024-03-10"), (2, "2024-02-10"), (3, "2024-01-01"))
+      .toDF("id", "d").withColumn("d", col("d").cast("date"))
+    val (dm, dLo) = Trends.withMaxDay(di, col("d"))
+    val gotD = dm.where(col("d") >= dLo(30)).select("id")
+      .as[Int].collect().toSet
+    assert(gotD == Set(1, 2))
+    // and the plan is broadcast, not a cartesian product
+    val plan = nm.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("Tables loader caches the parquet plan per (session, path)") {
+    val dir = "/root/testdata/sf0.001"
+    val a = graft.sources.Tables(spark, dir).lineitem
+    val b = graft.sources.Tables(spark, dir).lineitem
+    // same lazy plan object: schema-inference footer jobs are paid once
+    // per session+path, not once per query construction
+    assert(a eq b)
+    assert(a.count() == b.count())
+  }
+
   test("F3 monthBucket reproduces ((day-352)/30)+1") {
     val out = Seq(352, 381, 382, 412).toDF("day")
       .select(Trends.monthBucket(col("day"), 352).as("m"))
