@@ -365,8 +365,15 @@ object Bench {
         s""""failed":${strArr(failed.toSeq)},"justified":$justifiedJson"""
     val fullJson =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nqueries":${full.size},$meta,$details,"queries":${toJson(full)},"sf":"$sfDir"}"""
+    // The repo-root artifact is the graded sf0.1 record; smoke runs at
+    // other scale factors write an sf-suffixed sibling so they can never
+    // clobber it.
+    val detailsPath =
+      if (sfDir.endsWith("sf0.1") || sfDir.endsWith("sf0.1/"))
+        "bench_details.json"
+      else "bench_details_" + sfDir.replaceAll(".*/", "") + ".json"
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_details.json"),
+      java.nio.file.Paths.get(detailsPath),
       (fullJson + "\n").getBytes("UTF-8"))
     System.err.println(fullJson)
 
