@@ -56,7 +56,20 @@ object Heuristics {
       count(lit(1)).as("__n"),
       sum(col(sales).cast(dec)).as("__sv"),
       sum(col(qty)).as("__q")) ++ lvl1WindowAggs
-    val lvl1 = txm.groupBy(col(item), col(customer))
+    // Pinned-width exchange riding in place of the aggregate's own
+    // (ClusteredDistribution on a (item, customer) superset key — same
+    // shuffle, same bytes): the single-row-group tx scan is a ≤3-task
+    // stage, and without the pin the CPU-heavy level-1 hash aggregate
+    // (4 conditional decimal window sums over ~600 K near-distinct
+    // pairs) ran inside it 3-wide on a 32-core box — the r11 ledger
+    // showed it as a lone 1.13 s stage. Explicit numPartitions keeps
+    // AQE's input-size coalescing (a ~12 MB exchange) from undoing the
+    // width; at cluster scale defaultParallelism scales with executors.
+    val lvl1 = txm
+      .repartition(
+        math.max(tx.sparkSession.sparkContext.defaultParallelism, 2),
+        col(item), col(customer))
+      .groupBy(col(item), col(customer))
       .agg(lvl1Aggs.head, lvl1Aggs.tail: _*)
     // isNotNull guards: COUNT(DISTINCT customer) never counts NULL, so
     // the null-customer group (one level-1 row) must not either — while
@@ -197,7 +210,13 @@ object Heuristics {
             .as(s"__sv_$nm"),
           sum(when(d >= lo, 1L).otherwise(0L)).as(s"__tx_$nm"))
       }
-    val lvl1 = txm.groupBy(col(cat), col(customer))
+    // same pinned-width exchange as [[productWindowStats]] — the lvl1
+    // hash aggregate otherwise runs inside the ≤3-task scan stage
+    val lvl1 = txm
+      .repartition(
+        math.max(tx.sparkSession.sparkContext.defaultParallelism, 2),
+        col(cat), col(customer))
+      .groupBy(col(cat), col(customer))
       .agg(lvl1Aggs.head, lvl1Aggs.tail: _*)
     val windowAggs = starts.flatMap { case (nm, lo) =>
       Seq(
