@@ -28,10 +28,24 @@ object Terms {
   private def lnMicro(c: org.apache.spark.sql.Column) =
     floor(log(c) * 1e6 + 0.5).cast("long")
 
+  /** Pinned shuffle width: single-row-group corpus files scan 1-wide,
+    * and the vocab-grain exchanges here are ~1–2 MB, which AQE's
+    * input-size coalescing would run 1-wide too — the r11 ledger showed
+    * every q_tfidf_topk stage at exactly 1 task. Explicit numPartitions
+    * keeps the CPU stages (tokenize, hash-agg, windows) at full width;
+    * scales with executors on a cluster. */
+  private def width(df: DataFrame): Int =
+    math.max(df.sparkSession.sparkContext.defaultParallelism, 2)
+
   /** (id, term, tf): per-document term counts over a single-space word
-    * split (one (id, term)-keyed shuffle, map-side combined). */
+    * split (one (id, term)-keyed shuffle, map-side combined). The
+    * pre-explode repartition spreads the tokenize + partial-combine off
+    * the 1-task scan; the aggregate keeps its own exchange so hot terms
+    * still map-side combine (dropping that for a pinned keyed shuffle
+    * would ship the raw word stream — wrong under term skew at scale). */
   def termCounts(docs: DataFrame, id: String, text: String): DataFrame =
-    docs.select(col(id).as("id"),
+    docs.repartition(width(docs))
+      .select(col(id).as("id"),
         explode(split(col(text), " ")).as("term"))
       .where(col("term") =!= "")
       .groupBy(col("id"), col("term"))
@@ -46,10 +60,15 @@ object Terms {
   def tfIdfTopK(docs: DataFrame, id: String, text: String,
                 k: Int): DataFrame = {
     val tc = termCounts(docs, id, text)
-    val df_ = tc.groupBy(col("term"))
-      .agg(count(lit(1)).as("df"))
+    // df as a count-over-term window on the single termCounts pass:
+    // the former `tc.groupBy(term).agg ⋈ tc` shape column-pruned the
+    // two tc subtrees differently, so ReuseExchange missed and the
+    // corpus was tokenized TWICE (r11 ledger: twin 116 K-row 1-task
+    // exchanges). One pass + one vocab-grain shuffle replaces both.
     val n = docs.select(count(lit(1)).as("n_docs"))
-    val scored = tc.join(df_, Seq("term"))
+    val scored = tc
+      .withColumn("df",
+        count(lit(1)).over(Window.partitionBy(col("term"))))
       .crossJoin(broadcast(n))
       .withColumn("idf_micro", lit(1000000L) +
         lnMicro((col("n_docs") + 1).cast("double") / (col("df") + 1)))
@@ -78,6 +97,9 @@ object Terms {
     * the caller. */
   def sourceDivergence(docs: DataFrame, id: String, text: String,
                        source: String): DataFrame = {
+    // NO pre-explode spread here (unlike [[termCounts]]): bySrcTerm
+    // fans out to three consumers, and an added ingest exchange was
+    // measured to replay per consumer — 0.4 s → 1.8 s warm, 14 jobs
     val words = docs.select(col(id).as("id"), col(source).as("src"),
         explode(split(col(text), " ")).as("term"))
       .where(col("term") =!= "")
