@@ -2067,7 +2067,45 @@ object Queries {
         SELECT ref.household, ref.alpha, ref.rules_version, ref.payload,
           COALESCE(dec.recalculate, false) AS recalculated
         FROM ref LEFT JOIN dec ON dec.household = ref.household
-        ORDER BY ref.household"""))
+        ORDER BY ref.household""")),
+
+    // ------------------------------------------------ as-of join (stretch)
+    // Nearest-at-or-before attribution: each click joined to the same
+    // user's most recent purchase within 7 days (ts ties → greatest
+    // event_id; no purchase in tolerance → null match, click kept).
+    // ONE union + ONE key exchange + a running window — no range
+    // explosion; see [[graft.operators.AsofJoin]] for the plan shape and
+    // the 100 TB hot-key variant. The oracle states the same semantics
+    // as a per-row LATERAL top-1 — the plans differ (|L|·|R| candidate
+    // scan vs linear merge), the rows must not.
+    Spec("q_asof_join",
+      (s, dir) => {
+        val ev = t(s, dir).events.select(col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_id"),
+          col("event_type"), col("value"))
+        val clicks = ev.where(col("event_type") === "click")
+          .select(col("user_id"), col("ts_us"), col("event_id"))
+        val purchases = ev.where(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts_us"), col("event_id"),
+            col("ts_us").as("m_ts_us"), col("event_id").as("m_event_id"),
+            col("value").as("m_value"))
+        graft.operators.AsofJoin.asofJoin(clicks, purchases,
+            Seq("user_id"), "ts_us", "ts_us", "event_id",
+            Seq("m_ts_us", "m_event_id", "m_value"),
+            tolerance = Some(lit(7L * 86400L * 1000000L)))
+          .orderBy(col("user_id"), col("event_id"))
+      },
+      Some("""SELECT l.user_id, epoch_us(l.ts) AS ts_us, l.event_id,
+          m.m_ts_us, m.m_event_id, m.m_value
+        FROM events l LEFT JOIN LATERAL (
+          SELECT epoch_us(r.ts) AS m_ts_us, r.event_id AS m_event_id,
+            r.value AS m_value
+          FROM events r
+          WHERE r.event_type = 'purchase' AND r.user_id = l.user_id
+            AND r.ts <= l.ts AND r.ts >= l.ts - INTERVAL 7 DAY
+          ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) m ON TRUE
+        WHERE l.event_type = 'click'
+        ORDER BY l.user_id, l.event_id"""))
   )
 
   // ============================================== sinks / ingest / ML model
