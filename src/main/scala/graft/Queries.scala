@@ -2105,7 +2105,53 @@ object Queries {
             AND r.ts <= l.ts AND r.ts >= l.ts - INTERVAL 7 DAY
           ORDER BY r.ts DESC, r.event_id DESC LIMIT 1) m ON TRUE
         WHERE l.event_type = 'click'
-        ORDER BY l.user_id, l.event_id"""))
+        ORDER BY l.user_id, l.event_id""")),
+
+    // ---------------------------------------------- range join (stretch)
+    // In-flight shipments at each order date: the testdata carries no
+    // native interval pair, so the gate derives variable-width transit
+    // windows [ship, ship + 1 + qty % 28 days] from lineitem and counts,
+    // for every distinct order date, the shipments in transit that day.
+    // [[graft.operators.RangeJoin]] buckets the point axis (width 32 d ≈
+    // the max window) so Catalyst plans a plain EQUI join + residual
+    // filter instead of the BroadcastNestedLoopJoin a raw BETWEEN
+    // condition gets. The oracle states the same semantics as the naive
+    // non-equi LEFT JOIN. Left-outer composition keeps zero-traffic days.
+    Spec("q_range_join",
+      (s, dir) => {
+        val epoch = to_date(lit("1970-01-01"))
+        val days = t(s, dir).orders
+          .select(col("o_orderdate").cast("date").as("order_date")).distinct()
+          .withColumn("d", datediff(col("order_date"), epoch).cast("long"))
+        val windows = t(s, dir).lineitem.select(
+          datediff(col("l_shipdate").cast("date"), epoch).cast("long")
+            .as("ship_d"),
+          col("l_quantity").cast("bigint").as("qty"))
+          .withColumn("arrive_d",
+            col("ship_d") + lit(1L) + pmod(col("qty"), lit(28L)))
+        val inflight = graft.operators.RangeJoin.rangeJoin(
+            days.select("d"), windows, Nil, "d", "ship_d", "arrive_d", 32L)
+          .groupBy(col("d"))
+          .agg(count(lit(1)).as("n_inflight"),
+            sum(col("qty")).as("qty_inflight"))
+        days.join(inflight, Seq("d"), "left")
+          .select(col("order_date"),
+            coalesce(col("n_inflight"), lit(0L)).as("n_inflight"),
+            coalesce(col("qty_inflight"), lit(0L)).as("qty_inflight"))
+          .orderBy("order_date")
+      },
+      Some("""WITH d AS (SELECT DISTINCT CAST(o_orderdate AS DATE)
+            AS order_date FROM orders),
+          iv AS (SELECT CAST(l_shipdate AS DATE) AS ship,
+            CAST(l_shipdate AS DATE)
+              + CAST(1 + CAST(l_quantity AS BIGINT) % 28 AS INTEGER)
+              AS arrive,
+            CAST(l_quantity AS BIGINT) AS qty FROM lineitem)
+        SELECT d.order_date, COUNT(iv.qty) AS n_inflight,
+          CAST(COALESCE(SUM(iv.qty), 0) AS BIGINT) AS qty_inflight
+        FROM d LEFT JOIN iv
+          ON d.order_date >= iv.ship AND d.order_date <= iv.arrive
+        GROUP BY 1 ORDER BY 1"""))
   )
 
   // ============================================== sinks / ingest / ML model
