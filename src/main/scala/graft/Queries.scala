@@ -2151,7 +2151,36 @@ object Queries {
           CAST(COALESCE(SUM(iv.qty), 0) AS BIGINT) AS qty_inflight
         FROM d LEFT JOIN iv
           ON d.order_date >= iv.ship AND d.order_date <= iv.arrive
-        GROUP BY 1 ORDER BY 1"""))
+        GROUP BY 1 ORDER BY 1""")),
+
+    // --------------------------------------- batch sessionization (stretch)
+    // Per-user activity sessions over the event stream with a 12 h
+    // inactivity gap (median inter-event gap in the testdata is ~0.3 d,
+    // so sessions genuinely merge AND split). Batch mirror of the
+    // streaming sessionizer: ONE key exchange feeds lag-mark → running
+    // sum → per-(user, ordinal) aggregation — no per-key state beyond a
+    // task, no self-join. See [[graft.operators.Sessionize]].
+    Spec("q_sessionize",
+      (s, dir) => {
+        val ev = t(s, dir).events.select(col("user_id"),
+          unix_micros(col("ts")).as("ts_us"))
+        graft.operators.Sessionize.sessionize(ev, Seq("user_id"), "ts_us",
+            12L * 3600L * 1000000L)
+          .orderBy("user_id", "session_idx")
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+          f AS (SELECT user_id, ts_us,
+            CASE WHEN lag(ts_us) OVER w IS NULL
+              OR ts_us - lag(ts_us) OVER w > 43200000000 THEN 1 ELSE 0 END
+              AS newf
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+          g AS (SELECT user_id, ts_us, CAST(SUM(newf) OVER (
+            PARTITION BY user_id ORDER BY ts_us
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx FROM f)
+        SELECT user_id, session_idx, MIN(ts_us) AS session_start,
+          MAX(ts_us) AS session_end, COUNT(*) AS n_events,
+          MAX(ts_us) - MIN(ts_us) AS duration_us
+        FROM g GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 
   // ============================================== sinks / ingest / ML model
