@@ -2180,7 +2180,48 @@ object Queries {
         SELECT user_id, session_idx, MIN(ts_us) AS session_start,
           MAX(ts_us) AS session_end, COUNT(*) AS n_events,
           MAX(ts_us) - MIN(ts_us) AS duration_us
-        FROM g GROUP BY 1, 2 ORDER BY 1, 2"""))
+        FROM g GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ------------------------------------------- ROLLUP drill-down (stretch)
+    // Hierarchical totals (grand → per-priority → per-(priority, year))
+    // in ONE pass: Spark expands the rollup map-side (Expand + partial
+    // agg before the single exchange), not |levels| scans. NULL marks
+    // the rolled-up dimension exactly as GROUP BY ROLLUP does.
+    Spec("q_rollup_sales",
+      (s, dir) => Trends.rollupStats(t(s, dir).orders,
+          Seq(col("o_orderpriority"),
+            year(col("o_orderdate").cast("date")).as("order_year")),
+          col("o_totalprice"))
+        .orderBy(col("o_orderpriority").asc_nulls_first,
+          col("order_year").asc_nulls_first),
+      Some("""SELECT o_orderpriority,
+          CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS order_year,
+          COUNT(*) AS n_rows, """ + m("o_totalprice") + """ AS total_sales
+        FROM orders
+        GROUP BY ROLLUP(o_orderpriority, year(CAST(o_orderdate AS DATE)))
+        ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""")),
+
+    // ------------------------------------- rolling range window (stretch)
+    // Trailing 7-day per-user event stats at every event — the
+    // market-data moving-volume primitive. RANGE frame = linear
+    // two-pointer scan per partition off ONE key exchange, not the
+    // |rows|×|window| self-join; decimal-cast sum keeps the hash exact.
+    Spec("q_rolling_stats",
+      (s, dir) => {
+        val ev = t(s, dir).events.select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+        Trends.rollingStats(ev, Seq("user_id"), "ts_us", col("value"),
+            7L * 86400L * 1000000L)
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+          COUNT(*) OVER w AS n_window,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+            AS sales_window
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+          RANGE BETWEEN 604799999999 PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, event_id"""))
   )
 
   // ============================================== sinks / ingest / ML model

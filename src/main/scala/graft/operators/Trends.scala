@@ -193,4 +193,37 @@ object Trends {
     }
     lvl1.groupBy(key).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Hierarchical ROLLUP totals over `dims` (grand total, per-dim1,
+    * per-(dim1,dim2), …): `n_rows` + exact money sum per grouping level,
+    * NULL marking the rolled-up dimension(s) — the drill-down report
+    * shape every OLAP board asks of an aggregation engine. One pass:
+    * Spark expands the rollup into a single Expand + hash aggregate
+    * (rows replicated |dims|+1 times map-side, partial-agged before the
+    * one exchange) — not |dims|+1 scans. Mirrors `GROUP BY ROLLUP` in
+    * engine SQL. */
+  def rollupStats(df: DataFrame, dims: Seq[Column], sales: Column): DataFrame =
+    df.rollup(dims: _*)
+      .agg(count(lit(1)).as("n_rows"), moneySum(sales).as("total_sales"))
+
+  /** Trailing event-time range-frame stats: for each row, the count and
+    * exact money sum of the key's rows in `(ts - windowUs, ts]` —
+    * the market-data rolling-window primitive (moving volume, trailing
+    * revenue, burst detection). ONE key exchange + one sort; the range
+    * frame is a linear two-pointer scan per partition, NOT a self-join
+    * (the naive |rows|×|window| explosion). Ties: equal-ts rows share a
+    * frame (RANGE semantics), so results are order-independent and an
+    * engine SQL mirror (`RANGE BETWEEN n PRECEDING AND CURRENT ROW`)
+    * hash-matches. `tsCol` must be integral event time (epoch micros);
+    * the money sum is decimal-cast so float addition order cannot flake
+    * the hash. */
+  def rollingStats(df: DataFrame, keys: Seq[String], tsCol: String,
+                   value: Column, windowUs: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(col(tsCol))
+      .rangeBetween(-(windowUs - 1), 0)
+    df.withColumn("n_window", count(lit(1)).over(w))
+      .withColumn("sales_window",
+        sum(value.cast("decimal(18,2)")).over(w).cast("double"))
+  }
 }

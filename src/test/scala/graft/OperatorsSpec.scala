@@ -151,4 +151,34 @@ class OperatorsSpec extends SparkSpec {
       .where($"k" === 1L).select("__salt").distinct().count()
     assert(nSalts > 1)
   }
+
+  test("rollupStats emits every grouping level with NULL-marked dims") {
+    val df = Seq(("a", 1, 10.0), ("a", 1, 5.0), ("a", 2, 2.0), ("b", 1, 1.0))
+      .toDF("p", "y", "v")
+    val got = Trends.rollupStats(df, Seq($"p", $"y"), $"v")
+      .collect().map(r => (Option(r.getString(0)).getOrElse("-"),
+        if (r.isNullAt(1)) -1 else r.getInt(1),
+        r.getLong(2), r.getDouble(3))).toSet
+    assert(got === Set(
+      ("a", 1, 2L, 15.0), ("a", 2, 1L, 2.0), ("b", 1, 1L, 1.0), // leaves
+      ("a", -1, 3L, 17.0), ("b", -1, 1L, 1.0),                  // per-p
+      ("-", -1, 4L, 18.0)))                                     // grand
+  }
+
+  test("rollingStats: trailing range frame includes ties, excludes > window") {
+    // key 1 at ts 0, 100, 100 (tie), 150; window 100 → frame (ts-100, ts]
+    val df = Seq((1L, 0L, 1.0), (1L, 100L, 2.0), (1L, 100L, 3.0),
+        (1L, 150L, 4.0), (2L, 0L, 9.0))
+      .toDF("k", "ts", "v")
+    val got = Trends.rollingStats(df, Seq("k"), "ts", $"v", 100L)
+      .select("k", "ts", "v", "n_window", "sales_window")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(got === Set(
+      (1L, 0L, 1.0, 1L, 1.0),     // nothing before
+      (1L, 100L, 2.0, 2L, 5.0),   // frame (0,100]: ts 0 exactly window-old OUT, tie IN
+      (1L, 100L, 3.0, 2L, 5.0),   // tie shares the frame
+      (1L, 150L, 4.0, 3L, 9.0),   // frame (50,150]: both 100s + self
+      (2L, 0L, 9.0, 1L, 9.0)))    // keys isolated
+  }
 }
