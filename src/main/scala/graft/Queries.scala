@@ -2221,7 +2221,41 @@ object Queries {
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
           RANGE BETWEEN 604799999999 PRECEDING AND CURRENT ROW)
-        ORDER BY user_id, event_id"""))
+        ORDER BY user_id, event_id""")),
+
+    // --------------------------------------------- pivot report (stretch)
+    // Year × priority sales matrix — the reporting pivot shape (the
+    // reference's only pivot, the CF user×item matrix, deliberately
+    // stays long-form at scale: Collab.scala:12-25). Explicit value
+    // list, so Spark plans ONE pass (pivot values become conditional
+    // aggregates — no distinct-values pre-query, no second scan); the
+    // oracle is the same conditional aggregation stated directly.
+    Spec("q_pivot_sales",
+      (s, dir) => {
+        val o = t(s, dir).orders.select(
+          year(col("o_orderdate").cast("date")).as("order_year"),
+          col("o_orderpriority"), col("o_totalprice"))
+        o.groupBy(col("order_year"))
+          .pivot("o_orderpriority", Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+            "4-NOT SPECIFIED", "5-LOW"))
+          .agg(ColumnFns.moneySum(col("o_totalprice")))
+          .select(col("order_year"),
+            col("`1-URGENT`").as("urgent"), col("`2-HIGH`").as("high"),
+            col("`3-MEDIUM`").as("medium"),
+            col("`4-NOT SPECIFIED`").as("not_specified"),
+            col("`5-LOW`").as("low"))
+          .orderBy("order_year")
+      },
+      Some {
+        def c(p: String) = s"""CAST(SUM(CAST(CASE WHEN o_orderpriority =
+          '$p' THEN o_totalprice END AS DECIMAL(18,2))) AS DOUBLE)"""
+        s"""SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INT)
+            AS order_year,
+          ${c("1-URGENT")} AS urgent, ${c("2-HIGH")} AS high,
+          ${c("3-MEDIUM")} AS medium,
+          ${c("4-NOT SPECIFIED")} AS not_specified, ${c("5-LOW")} AS low
+        FROM orders GROUP BY 1 ORDER BY 1"""
+      })
   )
 
   // ============================================== sinks / ingest / ML model
