@@ -2255,7 +2255,39 @@ object Queries {
           ${c("3-MEDIUM")} AS medium,
           ${c("4-NOT SPECIFIED")} AS not_specified, ${c("5-LOW")} AS low
         FROM orders GROUP BY 1 ORDER BY 1"""
-      })
+      }),
+
+    // ------------------------------------------- unpivot / melt (stretch)
+    // Wide→long reshape (pivot's inverse; the feature-table melt every
+    // training pipeline runs before per-metric normalization): four
+    // lineitem measures melt to (metric, value) rows via ONE map-side
+    // Expand — no UNION of four scans — then aggregate per
+    // (returnflag, metric). The oracle states the same thing as the
+    // portable UNION ALL; DuckDB scans once per branch, Spark once total.
+    Spec("q_unpivot_metrics",
+      (s, dir) => {
+        val li = t(s, dir).lineitem
+        li.unpivot(
+            Array(col("l_returnflag")),
+            Array(col("l_quantity"), col("l_extendedprice"),
+              col("l_discount"), col("l_tax")),
+            "metric", "value")
+          .groupBy(col("l_returnflag"), col("metric"))
+          .agg(count(lit(1)).as("n_values"),
+            moneySum(col("value")).as("total_value"))
+          .orderBy("l_returnflag", "metric")
+      },
+      Some("""SELECT l_returnflag, metric, COUNT(*) AS n_values,
+          CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM (
+          SELECT l_returnflag, 'l_quantity' AS metric, l_quantity AS value
+            FROM lineitem
+          UNION ALL SELECT l_returnflag, 'l_extendedprice', l_extendedprice
+            FROM lineitem
+          UNION ALL SELECT l_returnflag, 'l_discount', l_discount
+            FROM lineitem
+          UNION ALL SELECT l_returnflag, 'l_tax', l_tax FROM lineitem)
+        GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 
   // ============================================== sinks / ingest / ML model
