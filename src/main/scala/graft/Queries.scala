@@ -2287,7 +2287,42 @@ object Queries {
           UNION ALL SELECT l_returnflag, 'l_discount', l_discount
             FROM lineitem
           UNION ALL SELECT l_returnflag, 'l_tax', l_tax FROM lineitem)
-        GROUP BY 1, 2 ORDER BY 1, 2"""))
+        GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // ------------------------------------- resample + LOCF (stretch)
+    // Daily per-user value series from the irregular event stream,
+    // last-observation-carried-forward through inactive days — each
+    // user's grid spans only their own observed range (generated next
+    // to the key, never a global-calendar cross join). See
+    // [[graft.operators.Resample]] for the plan shape. The oracle
+    // states the same semantics with row_number + generate_series +
+    // IGNORE NULLS last_value.
+    Spec("q_resample_locf",
+      (s, dir) => {
+        val ev = t(s, dir).events.select(col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("event_id"),
+          col("value"))
+        graft.operators.Resample.resampleLocf(ev, Seq("user_id"),
+            "ts_us", "event_id", "value", 86400000000L)
+          .orderBy("user_id", "bkt")
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+            value, epoch_us(ts) // 86400000000 AS bkt FROM events),
+          lastrow AS (SELECT user_id, bkt, value FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id, bkt
+              ORDER BY ts_us DESC, event_id DESC) AS rn FROM e)
+            WHERE rn = 1),
+          rng AS (SELECT user_id, min(bkt) AS mn, max(bkt) AS mx
+            FROM e GROUP BY 1),
+          spine AS (SELECT user_id,
+            unnest(generate_series(mn, mx)) AS bkt FROM rng)
+        SELECT s.user_id, s.bkt,
+          last_value(l.value IGNORE NULLS) OVER (PARTITION BY s.user_id
+            ORDER BY s.bkt ROWS UNBOUNDED PRECEDING) AS value_ff,
+          l.value IS NOT NULL AS observed
+        FROM spine s LEFT JOIN lastrow l
+          ON s.user_id = l.user_id AND s.bkt = l.bkt
+        ORDER BY 1, 2"""))
   )
 
   // ============================================== sinks / ingest / ML model

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Resample
+
+/** [[graft.operators.Resample]] — dense per-key grid over the observed
+  * range only, last-in-bucket pick with deterministic ties, forward fill
+  * through empty buckets, key isolation, brute-force mirror. */
+class ResampleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("grid spans the key's own range; fill carries through gaps") {
+    // key 1: obs in buckets 1 (two rows — last wins), 4. Grid 1..4,
+    // buckets 2-3 filled with bucket-1's last value.
+    // key 2: single obs → single grid row. No global calendar bleed.
+    val df = Seq((1L, 10L, 1L, 1.0), (1L, 15L, 2L, 2.0),
+        (1L, 45L, 3L, 9.0), (2L, 100L, 4L, 5.0))
+      .toDF("k", "ts", "eid", "v")
+    val got = Resample.resampleLocf(df, Seq("k"), "ts", "eid", "v", 10L)
+      .orderBy("k", "bkt")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3)))
+    assert(got.toSeq === Seq(
+      (1L, 1L, 2.0, true),   // last of the two bucket-1 rows (eid 2)
+      (1L, 2L, 2.0, false),  // carried
+      (1L, 3L, 2.0, false),  // carried
+      (1L, 4L, 9.0, true),
+      (2L, 10L, 5.0, true)))
+  }
+
+  test("within-bucket tie on ts resolves to greatest tieBreak") {
+    val df = Seq((1L, 10L, 7L, 1.0), (1L, 10L, 9L, 2.0), (1L, 10L, 8L, 3.0))
+      .toDF("k", "ts", "eid", "v")
+    val got = Resample.resampleLocf(df, Seq("k"), "ts", "eid", "v", 10L)
+      .collect()
+    assert(got.length === 1 && got(0).getDouble(2) === 2.0)
+  }
+
+  test("matches brute-force mirror on random data") {
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 300).map(i =>
+      (rnd.nextInt(6).toLong, rnd.nextInt(500).toLong, i.toLong,
+        rnd.nextDouble()))
+    val got = Resample.resampleLocf(rows.toDF("k", "ts", "eid", "v"),
+        Seq("k"), "ts", "eid", "v", 25L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3))).toSet
+    val want = rows.groupBy(_._1).flatMap { case (k, rs) =>
+      val byBkt = rs.groupBy(_._2 / 25L)
+      val lastV = byBkt.map { case (b, g) =>
+        b -> g.maxBy(x => (x._2, x._3))._4
+      }
+      val (mn, mx) = (byBkt.keys.min, byBkt.keys.max)
+      var carry = 0.0
+      (mn to mx).map { b =>
+        val obs = lastV.contains(b)
+        if (obs) carry = lastV(b)
+        (k, b, carry, obs)
+      }
+    }.toSet
+    assert(got === want)
+  }
+}
