@@ -2196,6 +2196,8 @@ object Queries {
           col("order_year").asc_nulls_first),
       Some("""SELECT o_orderpriority,
           CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS order_year,
+          CAST(GROUPING(o_orderpriority, year(CAST(o_orderdate AS DATE)))
+            AS BIGINT) AS gid,
           COUNT(*) AS n_rows, """ + m("o_totalprice") + """ AS total_sales
         FROM orders
         GROUP BY ROLLUP(o_orderpriority, year(CAST(o_orderdate AS DATE)))
@@ -2296,7 +2298,9 @@ object Queries {
     // to the key, never a global-calendar cross join). See
     // [[graft.operators.Resample]] for the plan shape. The oracle
     // states the same semantics with row_number + generate_series +
-    // IGNORE NULLS last_value.
+    // IGNORE NULLS last_value (events.value is non-null, so the
+    // carry-through-null and reset-on-null fills coincide; the operator
+    // contract is the reset fill — see the scaladoc).
     Spec("q_resample_locf",
       (s, dir) => {
         val ev = t(s, dir).events.select(col("user_id"),
@@ -2319,7 +2323,7 @@ object Queries {
         SELECT s.user_id, s.bkt,
           last_value(l.value IGNORE NULLS) OVER (PARTITION BY s.user_id
             ORDER BY s.bkt ROWS UNBOUNDED PRECEDING) AS value_ff,
-          l.value IS NOT NULL AS observed
+          l.bkt IS NOT NULL AS observed
         FROM spine s LEFT JOIN lastrow l
           ON s.user_id = l.user_id AND s.bkt = l.bkt
         ORDER BY 1, 2"""))

@@ -50,7 +50,11 @@ object AsofJoin {
     *                  integer micros for engine-portable gates)
     * @param rightTs   right event-time column
     * @param tieBreak  right column breaking ts ties (greatest wins);
-    *                  must be non-null
+    *                  must be non-null AND unique per (keys, rightTs) —
+    *                  an event/sequence id. Duplicate (keys, ts,
+    *                  tieBreak) right rows would sort as exact window
+    *                  ties and the attached payload would depend on
+    *                  shuffle order
     * @param payload   right columns to attach (already aliased to their
     *                  output names; may include copies of rightTs /
     *                  tieBreak under output aliases)
@@ -83,10 +87,12 @@ object AsofJoin {
       keys.map(col) ++ Seq(col(leftTs).as("__t"), lit(1).as("__side"),
         lit(null).cast(pktType).as("__pkt")) ++ leftCols.map(col): _*)
     // Union schemas must align column-for-column: give right rows null
-    // slots for the left columns.
-    val rightAligned = leftCols.foldLeft(rightPart) { (df, c) =>
-      df.withColumn(c, lit(null).cast(left.schema(c).dataType))
-    }
+    // slots for the left columns. ONE flat projection — a
+    // foldLeft+withColumn per column nests an analyzer pass per Project
+    // node, quadratic on wide left schemas.
+    val rightAligned = rightPart.select(
+      rightPart.columns.map(col).toSeq ++ leftCols.map(c =>
+        lit(null).cast(left.schema(c).dataType).as(c)): _*)
 
     val ord =
       if (backward) Seq(col("__t").asc, col("__side").asc,

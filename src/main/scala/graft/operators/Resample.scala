@@ -8,35 +8,40 @@ import org.apache.spark.sql.functions._
   * third canonical temporal operator (beside [[AsofJoin]] and
   * [[RangeJoin]]): regularize each key's irregular event stream onto a
   * fixed-width grid over the key's own observed range, carrying the
-  * latest value forward through empty buckets (daily bars from ticks,
-  * LOCF feature snapshots, state-at-time-t training frames).
+  * latest observation forward through empty buckets (daily bars from
+  * ticks, LOCF feature snapshots, state-at-time-t training frames).
   *
-  * Spark-first plan, all key-clustered:
+  * Spark-first plan — ONE scan, no join, no calendar:
   *  1. per (keys, bucket) the LAST observation is a `max(struct(ts,
-  *     tieBreak, value))` aggregate — map-side combinable, ONE exchange,
+  *     tieBreak, value))` aggregate — map-side combinable, one exchange,
   *     never a sort of the raw stream;
-  *  2. the per-key spine is `sequence(min(bkt), max(bkt))` exploded from
-  *     a one-row-per-key aggregate — grid rows are GENERATED next to
-  *     their key, not cross-joined from a global calendar (the global
-  *     date-spine × keys cross join is the classic blow-up);
-  *  3. spine ⟕ buckets is an equi join on (keys, bucket);
-  *  4. the forward fill is one running `last(ignoreNulls)` window per
-  *     key over the dense grid.
+  *  2. each observed bucket GAP-EXPLODES to the grid rows it covers:
+  *     `sequence(bkt, next_observed_bkt - 1)` via one `lead` window per
+  *     key (second, bucket-grain-to-key-grain exchange). Grid rows are
+  *     generated next to their key — the global date-spine × keys cross
+  *     join, the classic blow-up, never exists — and the carried value
+  *     rides along in the same row, so there is no spine⟕buckets join
+  *     and no second pass over the aggregate (an earlier
+  *     spine-join-fill form computed the bucket aggregate twice; Spark
+  *     does not share common subplans).
   * Grid cardinality is Σ_key(range_key/width) — bounded by the data's
   * own span, independent of how sparse the observations are.
+  *
+  * Semantics: `<v>_ff` is the value of the key's most recent observed
+  * bucket — LOCF in the literal sense: a null-VALUED observation is
+  * still an observation and carries its null (resets the fill) rather
+  * than exposing an older value as if it were current; `observed` marks
+  * buckets that had a real row, independent of the value's nullity.
   *
   * Determinism: within a bucket the kept row is the greatest
   * (ts, tieBreak) — `tieBreak` must be unique per (keys, ts) (an event
   * id) so an engine-independent `row_number() … ORDER BY ts DESC,
-  * tieBreak DESC` oracle matches bit-for-bit; grid buckets are unique
-  * per key so the fill window has no ties at all.
+  * tieBreak DESC` oracle matches bit-for-bit; observed buckets are
+  * unique per key so the lead window has no ties at all.
   *
   * Contract: `tsCol` integral non-negative event time (epoch micros;
   * `div` truncates toward zero), `bucketWidth` > 0. Output: one row per
-  * (keys…, bucket) of the dense per-key grid, with `<v>_ff` (the carried
-  * value, null only before a key's first observation in-range — the
-  * spine starts AT the first observation, so never in practice) and
-  * `observed` (whether the bucket had a real row).
+  * (keys…, bucket) of the dense per-key grid.
   */
 object Resample {
 
@@ -44,21 +49,21 @@ object Resample {
                    tieBreak: String, valueCol: String,
                    bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
-    val e = df.withColumn("bkt", expr(s"`$tsCol` div $bucketWidth"))
-    val lastRow = e.groupBy((keys.map(col) :+ col("bkt")): _*)
+    val lastRow = df
+      .withColumn("__bkt", expr(s"`$tsCol` div $bucketWidth"))
+      .groupBy((keys.map(col) :+ col("__bkt")): _*)
       .agg(max(struct(col(tsCol), col(tieBreak), col(valueCol))).as("__m"))
-      .select(keys.map(col) ++ Seq(col("bkt"),
+      .select(keys.map(col) ++ Seq(col("__bkt"),
         col(s"__m.$valueCol").as(valueCol)): _*)
-    val spine = lastRow.groupBy(keys.map(col): _*)
-      .agg(min(col("bkt")).as("__mn"), max(col("bkt")).as("__mx"))
-      .select(keys.map(col) :+
-        explode(sequence(col("__mn"), col("__mx"))).as("bkt"): _*)
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("bkt"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    spine.join(lastRow, keys :+ "bkt", "left")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("__bkt"))
+    lastRow
+      .withColumn("__gap_end",
+        coalesce(lead(col("__bkt"), 1).over(w) - 1, col("__bkt")))
+      .select(keys.map(col) ++ Seq(
+        explode(sequence(col("__bkt"), col("__gap_end"))).as("bkt"),
+        col("__bkt").as("__src"), col(valueCol)): _*)
       .select(keys.map(col) ++ Seq(col("bkt"),
-        last(col(valueCol), ignoreNulls = true).over(w)
-          .as(s"${valueCol}_ff"),
-        col(valueCol).isNotNull.as("observed")): _*)
+        col(valueCol).as(s"${valueCol}_ff"),
+        (col("bkt") === col("__src")).as("observed")): _*)
   }
 }

@@ -201,10 +201,15 @@ object Trends {
     * Spark expands the rollup into a single Expand + hash aggregate
     * (rows replicated |dims|+1 times map-side, partial-agged before the
     * one exchange) — not |dims|+1 scans. Mirrors `GROUP BY ROLLUP` in
-    * engine SQL. */
+    * engine SQL. `gid` is the grouping bitmask (dims.head = MSB; leaf 0,
+    * grand total 2^|dims|−1 — the same convention as engine
+    * `GROUPING(dims…)`): it is what distinguishes a NATURAL null in a
+    * dim from the rolled-up-subtotal null marker when nullable dims
+    * produce both. */
   def rollupStats(df: DataFrame, dims: Seq[Column], sales: Column): DataFrame =
     df.rollup(dims: _*)
-      .agg(count(lit(1)).as("n_rows"), moneySum(sales).as("total_sales"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n_rows"),
+        moneySum(sales).as("total_sales"))
 
   /** Trailing event-time range-frame stats: for each row, the count and
     * exact money sum of the key's rows in `(ts - windowUs, ts]` —
@@ -219,6 +224,7 @@ object Trends {
     * the hash. */
   def rollingStats(df: DataFrame, keys: Seq[String], tsCol: String,
                    value: Column, windowUs: Long): DataFrame = {
+    require(windowUs > 0, s"windowUs must be positive: $windowUs")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keys.map(col): _*).orderBy(col(tsCol))
       .rangeBetween(-(windowUs - 1), 0)

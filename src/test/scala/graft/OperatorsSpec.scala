@@ -152,17 +152,26 @@ class OperatorsSpec extends SparkSpec {
     assert(nSalts > 1)
   }
 
-  test("rollupStats emits every grouping level with NULL-marked dims") {
+  test("rollupStats emits every grouping level; gid separates natural nulls") {
     val df = Seq(("a", 1, 10.0), ("a", 1, 5.0), ("a", 2, 2.0), ("b", 1, 1.0))
       .toDF("p", "y", "v")
     val got = Trends.rollupStats(df, Seq($"p", $"y"), $"v")
       .collect().map(r => (Option(r.getString(0)).getOrElse("-"),
         if (r.isNullAt(1)) -1 else r.getInt(1),
-        r.getLong(2), r.getDouble(3))).toSet
+        r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
     assert(got === Set(
-      ("a", 1, 2L, 15.0), ("a", 2, 1L, 2.0), ("b", 1, 1L, 1.0), // leaves
-      ("a", -1, 3L, 17.0), ("b", -1, 1L, 1.0),                  // per-p
-      ("-", -1, 4L, 18.0)))                                     // grand
+      ("a", 1, 0L, 2L, 15.0), ("a", 2, 0L, 1L, 2.0),
+      ("b", 1, 0L, 1L, 1.0),                          // leaves, gid 0
+      ("a", -1, 1L, 3L, 17.0), ("b", -1, 1L, 1L, 1.0), // per-p, gid 1
+      ("-", -1, 3L, 4L, 18.0)))                        // grand, gid 3
+    // a NATURAL null dim value stays distinguishable from the subtotal
+    // marker: same (null) key, different gid
+    val withNull = Seq((Option("a"), 1.0), (None: Option[String], 2.0))
+      .toDF("p", "v")
+    val byGid = Trends.rollupStats(withNull, Seq($"p"), $"v")
+      .collect().filter(_.isNullAt(0))
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(byGid === Map(0L -> ((1L, 2.0)), 1L -> ((2L, 3.0))))
   }
 
   test("rollingStats: trailing range frame includes ties, excludes > window") {

@@ -37,6 +37,23 @@ class ResampleSpec extends SparkSpec {
     assert(got.length === 1 && got(0).getDouble(2) === 2.0)
   }
 
+  test("null-valued observation resets the fill and still marks observed") {
+    // bucket 0: v=1.0; bucket 1: real row with NULL value; bucket 3:
+    // v=7.0. The null observation is observed=true, carries its null
+    // through the bucket-2 gap (NOT the stale 1.0), and 7.0 resumes.
+    val df = Seq((1L, 5L, 1L, Option(1.0)), (1L, 15L, 2L, None),
+        (1L, 35L, 3L, Option(7.0)))
+      .toDF("k", "ts", "eid", "v")
+    val got = Resample.resampleLocf(df, Seq("k"), "ts", "eid", "v", 10L)
+      .orderBy("bkt")
+      .collect().map(r => (r.getLong(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2), r.getBoolean(3)))
+    assert(got(0) === ((0L, 1.0, true)))
+    assert(got(1)._1 === 1L && got(1)._2.isNaN && got(1)._3 === true)
+    assert(got(2)._1 === 2L && got(2)._2.isNaN && got(2)._3 === false)
+    assert(got(3) === ((3L, 7.0, true)))
+  }
+
   test("matches brute-force mirror on random data") {
     val rnd = new scala.util.Random(23)
     val rows = (1 to 300).map(i =>
