@@ -136,7 +136,9 @@ object Bench {
     "q_cf_user_sims" ->
       "SCALE.md#adjudicated-q_cf_user_sims (ledger-minimal: counts agg + 8.9M pair exchange + job floors; window-iu and cache variants measured worse)",
     "q_corpus_dedup" ->
-      "SCALE.md#adjudicated-q_corpus_dedup (largest stage 0.13s at 24 jobs - pure floor residue; AQE-off cuts jobs but raises wall)")
+      "SCALE.md#adjudicated-q_corpus_dedup (largest stage 0.13s at 24 jobs - pure floor residue; AQE-off cuts jobs but raises wall)",
+    "q_neardup_components_star" ->
+      "SCALE.md#adjudicated-q_neardup_components_star (star-contraction FALLBACK: ~30 star-loop job floors intrinsic to O(log n) rounds at toy scale; the primary propagation path q_neardup_components beats DuckDB)")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
