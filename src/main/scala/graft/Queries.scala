@@ -2326,7 +2326,55 @@ object Queries {
           l.bkt IS NOT NULL AS observed
         FROM spine s LEFT JOIN lastrow l
           ON s.user_id = l.user_id AND s.bkt = l.bkt
-        ORDER BY 1, 2"""))
+        ORDER BY 1, 2""")),
+
+    // -------------------------------------- interval overlap join (stretch)
+    // Per-supplier count of concurrently-in-transit shipment pairs
+    // (same derived windows as q_range_join). Self-join shape: both
+    // sides bucket-explode, meet in ONE equi join on (supplier,
+    // bucket), and the responsibility-bucket filter
+    // (bucket == greatest(s1,s2) div w) emits each overlapping pair
+    // exactly once — no distinct, no nested loop; see
+    // [[graft.operators.IntervalJoin]]. iid = orderkey*10+linenumber
+    // (linenumber ≤ 7) gives the unique pair ordering.
+    Spec("q_interval_overlaps",
+      (s, dir) => {
+        val epoch = to_date(lit("1970-01-01"))
+        val iv = t(s, dir).lineitem.select(col("l_suppkey"),
+            (col("l_orderkey") * 10 + col("l_linenumber")).as("iid"),
+            datediff(col("l_shipdate").cast("date"), epoch).cast("long")
+              .as("s"),
+            col("l_quantity").cast("bigint").as("qty"))
+          .withColumn("e", col("s") + lit(1L) + pmod(col("qty"), lit(28L)))
+        val l = iv.select(col("l_suppkey"), col("iid").as("lid"),
+          col("s").as("ls"), col("e").as("le"))
+        val r = iv.select(col("l_suppkey"), col("iid").as("rid"),
+          col("s").as("rs"), col("e").as("re"))
+        val pairs = graft.operators.IntervalJoin.intervalJoin(l, r,
+            Seq("l_suppkey"), "ls", "le", "rs", "re", 32L)
+          .where(col("lid") < col("rid"))
+          .groupBy("l_suppkey").agg(count(lit(1)).as("n_overlaps"))
+        t(s, dir).lineitem.select(col("l_suppkey")).distinct()
+          .join(pairs, Seq("l_suppkey"), "left")
+          .select(col("l_suppkey"),
+            coalesce(col("n_overlaps"), lit(0L)).as("n_overlaps"))
+          .orderBy("l_suppkey")
+      },
+      Some("""WITH iv AS (SELECT l_suppkey,
+            l_orderkey * 10 + l_linenumber AS iid,
+            CAST(l_shipdate AS DATE) AS s,
+            CAST(l_shipdate AS DATE)
+              + CAST(1 + CAST(l_quantity AS BIGINT) % 28 AS INTEGER) AS e
+          FROM lineitem),
+          p AS (SELECT a.l_suppkey, count(*) AS n_overlaps
+            FROM iv a JOIN iv b ON a.l_suppkey = b.l_suppkey
+              AND a.iid < b.iid AND a.s <= b.e AND b.s <= a.e
+            GROUP BY 1)
+        SELECT s.l_suppkey,
+          CAST(COALESCE(p.n_overlaps, 0) AS BIGINT) AS n_overlaps
+        FROM (SELECT DISTINCT l_suppkey FROM lineitem) s
+        LEFT JOIN p ON s.l_suppkey = p.l_suppkey
+        ORDER BY 1"""))
   )
 
   // ============================================== sinks / ingest / ML model
