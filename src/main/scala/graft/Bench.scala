@@ -180,13 +180,18 @@ object Bench {
 
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     def runPass(specs: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
-                dir: String): Map[String, Double] = specs.map {
+                dir: String): Map[String, Double] = specs.flatMap {
       case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, dir).count() } catch {
+        // A draw that throws must NOT land in the results: the elapsed
+        // time up to the failure (often ~0) would win the per-query min
+        // and silently deflate the board totals. Record nothing — the
+        // name goes on the `failed` list and later totals exclude it.
+        val ok = try { fn(spark, dir).count(); true } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             failed += name
+            false
         }
         val dt = (System.nanoTime() - t0) / 1e9
         // intentional per-operator caches (LSH/IVF bucketed frames) are
@@ -204,7 +209,7 @@ object Bench {
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))
-        name -> dt
+        if (ok) Some(name -> dt) else None
     }.toMap
 
     // fixed sentinel probe: a small scan+agg whose cost is dominated by
@@ -274,7 +279,9 @@ object Bench {
     // per-query draws accumulated across passes + settling blocks
     val draws = scala.collection.mutable.Map[String, Vector[Double]]()
     specs.foreach { case (name, _) =>
-      draws(name) = passes.map(_.times(name)).toVector
+      // a pass carries no entry for a query whose draw failed — collect
+      // only the draws that actually completed
+      draws(name) = passes.flatMap(_.times.get(name)).toVector
     }
     def spreadOf(v: Vector[Double]): Double =
       if (v.isEmpty) 1.0 else v.max / math.max(1e-9, v.min)
@@ -322,7 +329,11 @@ object Bench {
         val v = draws(n).drop(1)
         v.size >= 2 && spreadOf(v) > 2.0 && (v.max - v.min) > 0.25
       }
-    val results = specs.map { case (name, _) => name -> draws(name).min }.toMap
+    // a query with zero successful draws (failed every pass) has no time
+    // to report — it appears only in the `failed` array, never in totals
+    val results = specs.collect {
+      case (name, _) if draws(name).nonEmpty => name -> draws(name).min
+    }.toMap
 
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

@@ -88,8 +88,12 @@ object Profile {
     spark.sparkContext.setLogLevel("WARN")
     sys.env.get("GRAFT_CONF").foreach(_.split(",").filter(_.nonEmpty)
       .foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        spark.conf.set(k, v)
+        kv.split("=", 2) match {
+          case Array(k, v) => spark.conf.set(k, v)
+          case _ => sys.error(
+            s"GRAFT_CONF entry '$kv' is not key=value (expected " +
+              "comma-separated key=value pairs)")
+        }
       })
     val ledger = new Ledger
     spark.sparkContext.addSparkListener(ledger)

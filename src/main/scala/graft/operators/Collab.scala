@@ -437,7 +437,13 @@ object Collab {
     val bounds = counts.agg(
       min(col("u")).as("lu"), max(col("u")).as("hu"),
       min(col("i")).as("li"), max(col("i")).as("hi")).head()
-    require((0 until 4).forall(j => math.abs(bounds.getLong(j)) <= Int.MaxValue),
+    // getAs[Number], not getLong: the counts frame preserves the source
+    // column type, so u/i may be IntegerType (getLong would CCE before
+    // the require message ever surfaced); anyNull covers empty input
+    // (min/max of zero rows is NULL).
+    require(!bounds.anyNull, "recommendAls: counts input is empty")
+    require((0 until 4).forall(j =>
+        math.abs(bounds.getAs[Number](j).longValue()) <= Int.MaxValue),
       "recommendAls: user/item ids exceed Int range — pre-index to a " +
         "dense Int domain (ALS blocks factors by Int id)")
     val ratings = counts.select(col("u").cast("int").as("user"),

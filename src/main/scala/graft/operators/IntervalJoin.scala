@@ -28,9 +28,10 @@ import org.apache.spark.sql.functions._
   * [[RangeJoin]] — pick `w` near the typical interval length; cap or
   * side-channel pathological outliers upstream.
   *
-  * Contract: bound columns integral and NON-NEGATIVE (`div` truncates
-  * toward zero), `start <= end` per row, column names disjoint across
-  * the two sides (pre-alias). Inner semantics; self-joins should
+  * Contract: bound columns integral (negative values handled — bucket
+  * ids use exact floor division, [[TimeBuckets.floorBkt]]), `start <=
+  * end` per row, column names disjoint across the two sides
+  * (pre-alias). Inner semantics; self-joins should
   * pre-alias one side and filter `id1 < id2` downstream to halve the
   * symmetric pairs.
   */
@@ -42,14 +43,15 @@ object IntervalJoin {
                    bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
     def bucketed(df: DataFrame, s: String, e: String) = df.withColumn(
-      "__bkt", explode(sequence(expr(s"`$s` div $bucketWidth"),
-        expr(s"`$e` div $bucketWidth"))))
+      "__bkt", explode(sequence(
+        expr(TimeBuckets.floorBkt(s"`$s`", bucketWidth)),
+        expr(TimeBuckets.floorBkt(s"`$e`", bucketWidth)))))
     bucketed(left, leftStart, leftEnd)
       .join(bucketed(right, rightStart, rightEnd), keys :+ "__bkt")
       .where(col(leftStart) <= col(rightEnd) &&
         col(rightStart) <= col(leftEnd) &&
-        col("__bkt") === expr(
-          s"greatest(`$leftStart`, `$rightStart`) div $bucketWidth"))
+        col("__bkt") === expr(TimeBuckets.floorBkt(
+          s"greatest(`$leftStart`, `$rightStart`)", bucketWidth)))
       .drop("__bkt")
   }
 }

@@ -31,10 +31,12 @@ import org.apache.spark.sql.functions._
   * broadcast-side pass) rather than shrinking `w` for everyone.
   *
   * Contract: `pointCol`, `startCol`, `endCol` must be integral
-  * (day numbers, epoch seconds/micros — cast timestamps first) and
-  * NON-NEGATIVE (`div` truncates toward zero, so negative values would
-  * straddle bucket 0; shift the epoch if needed), with `start <= end`
-  * per row (violators explode `sequence` downward — filter upstream).
+  * (day numbers, epoch seconds/micros — cast timestamps first); negative
+  * values are handled correctly (bucket ids use exact FLOOR division,
+  * [[TimeBuckets.floorBkt]] — plain `div` truncates toward zero and
+  * would silently merge the two sides of the origin into bucket 0).
+  * `start <= end` per row (violators explode `sequence` downward —
+  * filter upstream).
   * Interval column names must not collide with point column names
   * (pre-alias). Inner semantics: points with no interval drop — compose
   * a left join downstream for outer shapes (see q_range_join).
@@ -47,10 +49,12 @@ object RangeJoin {
     require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
     // SQL `div` (exact integer division), NOT `/`: float division of
     // epoch-scale longs truncates off-by-one near bucket boundaries.
-    val p = points.withColumn("__bkt", expr(s"`$pointCol` div $bucketWidth"))
+    val p = points.withColumn("__bkt",
+      expr(TimeBuckets.floorBkt(s"`$pointCol`", bucketWidth)))
     val iv = intervals.withColumn("__bkt",
-      explode(sequence(expr(s"`$startCol` div $bucketWidth"),
-        expr(s"`$endCol` div $bucketWidth"))))
+      explode(sequence(
+        expr(TimeBuckets.floorBkt(s"`$startCol`", bucketWidth)),
+        expr(TimeBuckets.floorBkt(s"`$endCol`", bucketWidth)))))
     p.join(iv, keys :+ "__bkt")
       .where(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("__bkt")

@@ -39,8 +39,9 @@ import org.apache.spark.sql.functions._
   * tieBreak DESC` oracle matches bit-for-bit; observed buckets are
   * unique per key so the lead window has no ties at all.
   *
-  * Contract: `tsCol` integral non-negative event time (epoch micros;
-  * `div` truncates toward zero), `bucketWidth` > 0. Output: one row per
+  * Contract: `tsCol` integral event time (epoch micros; negative values
+  * handled — bucket ids use exact floor division,
+  * [[TimeBuckets.floorBkt]]), `bucketWidth` > 0. Output: one row per
   * (keys…, bucket) of the dense per-key grid.
   */
 object Resample {
@@ -50,7 +51,8 @@ object Resample {
                    bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive: $bucketWidth")
     val lastRow = df
-      .withColumn("__bkt", expr(s"`$tsCol` div $bucketWidth"))
+      .withColumn("__bkt",
+        expr(TimeBuckets.floorBkt(s"`$tsCol`", bucketWidth)))
       .groupBy((keys.map(col) :+ col("__bkt")): _*)
       .agg(max(struct(col(tsCol), col(tieBreak), col(valueCol))).as("__m"))
       .select(keys.map(col) ++ Seq(col("__bkt"),

@@ -58,27 +58,30 @@ final case class Tables(spark: SparkSession, dir: String) {
 }
 
 object Tables {
-  /** Per-(session, path) DataFrame cache. Every `spark.read.parquet`
+  /** Per-path SCHEMA cache. Every schema-less `spark.read.parquet`
     * call runs a schema-inference job (one footer read — ~0.02–0.1 s
     * even warm), and a typical registered query loads 2–4 tables, often
     * the same one twice — at 150 bench queries × several draws that is
     * seconds of pure footer re-reads per pass (the stage ledgers show
-    * 2–4 `parquet at Tables.scala` jobs leading every query). The
-    * loader serves these dirs only, and they are immutable test data
-    * (the 100 TB deployment swaps this seam for catalog tables, which
-    * carry their own metastore schema — same effect). The cached frame
-    * is a lazy PLAN (no data is pinned); plans are session-bound, so
-    * the key includes the session. Entries for stopped sessions are
-    * dropped by the WeakHashMap once the session is unreachable. */
-  private val cache =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession,
-        java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
+    * 2–4 `parquet at Tables.scala` jobs leading every query). Caching
+    * the inferred `StructType` (immutable, session-free — unlike a
+    * cached DataFrame, whose `Dataset.sparkSession` field would pin the
+    * session and leak plans for JVM lifetime in multi-session JVMs such
+    * as the test suite) and re-reading with `.schema(...)` skips the
+    * inference job entirely while building a fresh session-local plan
+    * per call. The loader serves these dirs only, and they are
+    * immutable test data (the 100 TB deployment swaps this seam for
+    * catalog tables, which carry their own metastore schema — same
+    * effect). */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      String, org.apache.spark.sql.types.StructType]()
 
-  private def cached(spark: SparkSession, path: String): DataFrame =
-    cache.computeIfAbsent(spark,
-        _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
-      .computeIfAbsent(path, p => spark.read.parquet(p))
+  private def cached(spark: SparkSession, path: String): DataFrame = {
+    val schema = schemaCache.computeIfAbsent(
+      path, p => spark.read.parquet(p).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   /** S9 — JDBC source seam (the reference's tables live in SQL Server,
     * `Website/market/market/settings.py:79-92`). Partitioned read so the

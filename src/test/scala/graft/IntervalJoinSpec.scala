@@ -44,6 +44,30 @@ class IntervalJoinSpec extends SparkSpec {
     assert(want.nonEmpty)
   }
 
+  test("negative bounds: exactly-once with floor-division buckets") {
+    // overlap regions starting at negative epochs: the responsibility
+    // bucket must use floor division or pairs whose greatest(start)
+    // lands left of the origin are emitted zero (or two) times.
+    val rnd = new scala.util.Random(31)
+    def mk(n: Int) = (1 to n).map { i =>
+      val s = rnd.nextInt(400).toLong - 200L
+      (s, s + rnd.nextInt(60).toLong, i.toLong)
+    }
+    val ls = mk(80); val rs = mk(80)
+    val got = IntervalJoin.intervalJoin(
+        ls.toDF("ls", "le", "lid"), rs.toDF("rs", "re", "rid"),
+        Nil, "ls", "le", "rs", "re", 25L)
+      .select("lid", "rid").collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    val want = for {
+      (lsx, lex, lid) <- ls
+      (rsx, rex, rid) <- rs
+      if lsx <= rex && rsx <= lex
+    } yield (lid, rid)
+    assert(got.toSeq.sorted === want.sorted)
+    assert(want.nonEmpty)
+  }
+
   test("plan: equi join, no nested-loop or cartesian") {
     val l = Seq((1L, 0L, 5L)).toDF("k", "ls", "le")
     val r = Seq((1L, 3L, 9L)).toDF("k", "rs", "re")

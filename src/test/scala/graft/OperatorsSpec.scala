@@ -48,13 +48,21 @@ class OperatorsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
-  test("Tables loader caches the parquet plan per (session, path)") {
+  test("Tables loader infers the parquet schema once per path") {
     val dir = "/root/testdata/sf0.001"
     val a = graft.sources.Tables(spark, dir).lineitem
+    // the second load must run ZERO jobs at construction time: the
+    // cached StructType (session-free — a cached DataFrame would pin its
+    // SparkSession and leak plans in multi-session JVMs) replaces the
+    // schema-inference footer job
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null)
+      .length
     val b = graft.sources.Tables(spark, dir).lineitem
-    // same lazy plan object: schema-inference footer jobs are paid once
-    // per session+path, not once per query construction
-    assert(a eq b)
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null)
+      .length
+    assert(after == before,
+      s"constructing a cached-schema table ran ${after - before} job(s)")
+    assert(a.schema == b.schema)
     assert(a.count() == b.count())
   }
 

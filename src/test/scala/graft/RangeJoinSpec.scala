@@ -67,6 +67,20 @@ class RangeJoinSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("negative bounds: floor-division buckets keep origin-straddlers") {
+    // interval [-15, 14] straddles the origin; truncating `div` would put
+    // -15 in bucket -1 (or 0) and 14 in bucket 1 inconsistently with the
+    // points' buckets and drop matches. Mirror over negatives pins it.
+    val pts = Seq(-16L, -15L, -10L, -1L, 0L, 14L, 15L).map(Tuple1(_))
+      .toDF("p")
+    val ivs = Seq((-15L, 14L, 1L), (-40L, -30L, 2L)).toDF("s", "e", "iid")
+    val got = RangeJoin.rangeJoin(pts, ivs, Nil, "p", "s", "e", 10L)
+      .select("p", "iid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq.sorted
+    assert(got === Seq((-15L, 1L), (-10L, 1L), (-1L, 1L), (0L, 1L),
+      (14L, 1L)))
+  }
+
   test("plan: equi join, no nested-loop or cartesian") {
     val pts = Seq((1L, 10L)).toDF("k", "p")
     val ivs = Seq((1L, 5L, 15L)).toDF("k", "s", "e")

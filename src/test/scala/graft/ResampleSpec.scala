@@ -29,6 +29,19 @@ class ResampleSpec extends SparkSpec {
       (2L, 10L, 5.0, true)))
   }
 
+  test("negative timestamps bucket by floor division (no origin merge)") {
+    // ts -15 and ts 5: truncating `div` would give buckets -1 (or 0) and
+    // 0 — merging across the origin; floor gives -2 and 0 with the empty
+    // bucket -1 forward-filled between them.
+    val df = Seq((1L, -15L, 1L, 1.0), (1L, 5L, 2L, 2.0))
+      .toDF("k", "ts", "eid", "v")
+    val got = Resample.resampleLocf(df, Seq("k"), "ts", "eid", "v", 10L)
+      .orderBy("k", "bkt")
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(got.toSeq === Seq((-2L, 1.0, true), (-1L, 1.0, false),
+      (0L, 2.0, true)))
+  }
+
   test("within-bucket tie on ts resolves to greatest tieBreak") {
     val df = Seq((1L, 10L, 7L, 1.0), (1L, 10L, 9L, 2.0), (1L, 10L, 8L, 3.0))
       .toDF("k", "ts", "eid", "v")
