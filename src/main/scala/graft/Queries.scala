@@ -2203,6 +2203,32 @@ object Queries {
         GROUP BY ROLLUP(o_orderpriority, year(CAST(o_orderdate AS DATE)))
         ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""")),
 
+    // --------------------------------------- CUBE drill-down (stretch)
+    // The full 2^d grouping lattice in ONE pass — like ROLLUP, Spark
+    // plans cube() as a single Expand + partial aggregation BEFORE the
+    // one exchange (each input row fans to its 4 grouping-set copies
+    // map-side and combines there), never d separate scans UNIONed.
+    // grouping_id() disambiguates rolled-up NULLs from natural ones;
+    // both engines emit the same standard bit order (first dim = MSB).
+    Spec("q_cube_sales",
+      (s, dir) => t(s, dir).lineitem
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n_tx"),
+          sum(col("l_quantity")).as("total_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            .as("total_sales"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first),
+      Some("""SELECT l_returnflag, l_linestatus,
+          CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+          COUNT(*) AS n_tx, SUM(l_quantity) AS total_qty,
+          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+            AS total_sales
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+        ORDER BY gid, 1 NULLS FIRST, 2 NULLS FIRST""")),
+
     // ------------------------------------- rolling range window (stretch)
     // Trailing 7-day per-user event stats at every event — the
     // market-data moving-volume primitive. RANGE frame = linear
@@ -3811,6 +3837,65 @@ object Queries {
         WHERE rn <= ceil(0.2 * n)
         ORDER BY quality_score DESC, id""")),
 
+    // ------------------- ADAPTIVE per-source top-fraction (FineWeb-style)
+    // Each source keeps its own best quarter by quality score — one
+    // uniformly-verbose source cannot crowd out the rest the way the
+    // single global threshold of q_select_topfrac lets it. One window
+    // exchange on the source key; the per-group rank arithmetic
+    // (row_number vs ceil(frac·count)) is exact-integer-derived on both
+    // engines.
+    Spec("q_adaptive_quality",
+      (s, dir) => Selection.keepTopFractionByGroup(
+        t(s, dir).documents.select(col("doc_id").as("id"), col("source"),
+          TextAnalysis.qualityScoreCol(col("text")).as("quality_score")),
+        "id", "quality_score", "source", 0.25)
+        .orderBy(col("source"), col("quality_score").desc, col("id")),
+      Some("""WITH qm AS (SELECT doc_id AS id, source,
+          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+            AS n_words,
+          floor((CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+            AS DOUBLE) / length(text)) * 1e6 + 0.5) / 1e6 AS punct_ratio,
+          floor((CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+              x -> list_contains(['the','a','an','of','and','or','in','to',
+                'is','it','on','for','with','as','at','by'], x))) AS DOUBLE)
+            / len(string_split_regex(trim(text), '\s+'))) * 1e6 + 0.5) / 1e6
+            AS stopword_ratio
+          FROM documents),
+        qsc AS (SELECT id, source,
+          floor((least(CAST(n_words AS DOUBLE) / 50.0, 1.0)
+          * least(stopword_ratio * 5.0 + 0.5, 1.0)
+          * (1.0 - least(punct_ratio * 5.0, 1.0) * 0.5)) * 1e6 + 0.5) / 1e6
+          AS quality_score FROM qm)
+        SELECT id, source, quality_score FROM (SELECT id, source,
+            quality_score,
+            ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY quality_score DESC, id) AS rn,
+            COUNT(*) OVER (PARTITION BY source) AS n
+          FROM qsc)
+        WHERE rn <= ceil(0.25 * n)
+        ORDER BY source, quality_score DESC, id""")),
+
+    // -------------------- weighted deterministic Bernoulli sampling
+    // Keep probability proportional to document length (permille =
+    // n_chars/4 clamped to [0,1000]) — the "sample good documents more"
+    // curation knob, deterministic in the id (md5 bucket), map-only.
+    Spec("q_weighted_sample",
+      (s, dir) => Mixing.sampleByWeight(t(s, dir).documents, "doc_id",
+          expr("n_chars div 4"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).as("kept_chars"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy(col("source")),
+      Some("""SELECT source, COUNT(*) AS n_kept,
+          CAST(SUM(n_chars) AS BIGINT) AS kept_chars,
+          MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        FROM documents
+        WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+            AS BIGINT) % 1000
+          < LEAST(1000, GREATEST(0, n_chars // 4))
+        GROUP BY source ORDER BY source""")),
+
     // ----------------------------------- benchmark decontamination (filter)
     Spec("q_decontaminate",
       (s, dir) => Decontaminate.decontaminate(corpusDocs(s, dir),
@@ -4122,6 +4207,54 @@ object Queries {
         SELECT id AS vec_id, cell, csim FROM asg
         WHERE id NOT IN (SELECT id FROM vict)
         ORDER BY cell, csim DESC, vec_id""")),
+
+    // ---------------- semantic decontamination (embedding-space overlap)
+    // Paraphrased eval questions evade n-gram decontamination
+    // (q_decontaminate) but not their own embedding: flag corpus vectors
+    // whose max cosine vs the md5-permille eval split reaches τ. The raw
+    // synthetic vectors are well-separated (max cross cosine 0.47), so
+    // the gate injects deterministic near-copies of the eval vectors
+    // (x·0.99 + 0.01, float-cast — identical IEEE steps both engines)
+    // as extra corpus rows: 29 of 471 candidates land ≥ 0.98, exercising
+    // BOTH flag branches. Same in-engine-augmented-corpus convention as
+    // q_gopher_quality / q_semantic_dedup.
+    Spec("q_semantic_decontam",
+      (s, dir) => {
+        val raw = t(s, dir).embeddings.select(col("vec_id"), col("embedding"))
+        val inj = raw
+          .where(Mixing.bucket1000(col("vec_id")) < 50)
+          .select((col("vec_id") + 1000000L).as("vec_id"),
+            transform(col("embedding"), x =>
+              (x.cast("double") * lit(0.99) + lit(0.01)).cast("float"))
+              .as("embedding"))
+        Ann.semanticContamination(raw.unionByName(inj),
+            "vec_id", "embedding", 50, 0.98)
+          .select(col("id").as("vec_id"), col("max_eval_cos"),
+            col("contaminated"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH raw AS (SELECT vec_id, embedding FROM embeddings),
+        inj AS (SELECT vec_id + 1000000 AS vec_id,
+            list_transform(embedding,
+              x -> CAST(CAST(x AS DOUBLE) * 0.99 + 0.01 AS FLOAT))
+              AS embedding
+          FROM raw
+          WHERE CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15))
+            AS BIGINT) % 1000 < 50),
+        corpus AS (SELECT * FROM raw UNION ALL SELECT * FROM inj),
+        e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+          FROM corpus),
+        n AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS nrm,
+            CAST(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 1000 AS b FROM e),
+        ev AS (SELECT * FROM n WHERE b < 50),
+        cand AS (SELECT * FROM n WHERE b >= 50),
+        m AS (SELECT c.id, MAX(floor((list_dot_product(c.v, ev.v)
+              / (c.nrm * ev.nrm)) * 1e4 + 0.5) / 1e4) AS max_eval_cos
+          FROM cand c CROSS JOIN ev GROUP BY 1)
+        SELECT id AS vec_id, max_eval_cos,
+          max_eval_cos >= 0.98 AS contaminated
+        FROM m ORDER BY vec_id""")),
 
     // ----------------- ExactSubstr duplicate spans (Lee et al. 2022)
     // The synthetic corpus has 1000+ naturally duplicated 8-word grams

@@ -453,6 +453,47 @@ object Ann {
       .select(col("id"), col("cell"), col("csim"))
   }
 
+  /** Semantic decontamination — the embedding-space sibling of
+    * [[Decontaminate]]'s n-gram overlap check: flag every corpus vector
+    * whose cosine similarity to ANY held-out eval vector reaches `tau`
+    * (paraphrased benchmark questions slip through exact n-gram overlap;
+    * they do not slip through their own embedding). Eval membership is
+    * the same deterministic md5-permille split as [[Splits.assignSplit]]
+    * — retry-safe and re-derivable by any auditing engine, never a
+    * seeded sample.
+    *
+    * Plan shape: the eval side is BROADCAST — eval/benchmark suites are
+    * tiny by construction (the contract; an eval side too large to
+    * broadcast should route through [[semanticDedup]]'s cell-restricted
+    * pairing instead). The per-candidate max over eval partners is a
+    * map-side-combinable aggregate on the candidate id riding the
+    * scan's own partitioning — candidate vectors never shuffle, and the
+    * exchanged rows are slim (id, cos) pairs. Linear in the corpus at
+    * any scale.
+    *
+    * Output: one row per NON-eval vector — (id, max_eval_cos,
+    * contaminated). Compose with a `where(!contaminated)` semi-filter
+    * (or anti-join on the flagged ids) to strip. */
+  def semanticContamination(emb: DataFrame, id: String, vec: String,
+                            evalPermille: Int, tau: Double): DataFrame = {
+    require(evalPermille > 0 && evalPermille < 1000,
+      s"evalPermille must be in (0, 1000): $evalPermille")
+    GraftExtensions.register(emb.sparkSession)
+    val base = normalized(emb, id, vec, "id", "v", "nrm")
+      .withColumn("__b", Mixing.bucket1000(col("id")))
+    val ev = base.where(col("__b") < evalPermille)
+      .select(col("v").as("ev"), col("nrm").as("en"))
+    base.where(col("__b") >= evalPermille)
+      .select(col("id"), col("v"), col("nrm"))
+      .crossJoin(broadcast(ev))
+      .select(col("id"),
+        stableRound(nativeDot(col("v"), col("ev"))
+          / (col("nrm") * col("en")), 4).as("cos"))
+      .groupBy(col("id"))
+      .agg(max(col("cos")).as("max_eval_cos"))
+      .withColumn("contaminated", col("max_eval_cos") >= tau)
+  }
+
   /** Cluster-balanced selection (the SemDeDup-flavoured curation step):
     * per cell keep the `perCell` most-central vectors — a diversity-
     * preserving subsample whose per-topic share is capped no matter how

@@ -53,6 +53,21 @@ object Mixing {
     docs.where(bucket1000(col(id)) < rate)
   }
 
+  /** WEIGHTED Bernoulli sampling: each row is kept with probability
+    * `ratePermille(row)`/1000 — the per-ROW generalization of
+    * [[sampleByRates]]' per-source constants (quality-proportional or
+    * length-proportional keep rates, the "sample good documents more"
+    * knob of curation recipes). `ratePermille` is any integral column
+    * expression; values are clamped to [0, 1000]. Membership is the same
+    * deterministic md5 bucket — map-only, retry-safe, re-derivable by
+    * any engine, and monotone in the weight: raising a document's weight
+    * can only ADD it to the sample (the bucket draw is fixed per id), so
+    * re-weighted re-runs reuse prior output as a subset/superset. */
+  def sampleByWeight(docs: DataFrame, id: String,
+                     ratePermille: Column): DataFrame =
+    docs.where(bucket1000(col(id)) <
+      least(lit(1000L), greatest(lit(0L), ratePermille.cast("long"))))
+
   /** Epoch-style up-sampling: each document of source `s` appears
     * `epochs(s)` times (default 1), tagged with an `epoch` ordinal —
     * the "wiki ×3" trick of curated training mixes. Map-only explode;

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Score-based corpus selection: keep the best `frac` of documents by a
@@ -37,6 +38,49 @@ object Selection {
     require(k <= Int.MaxValue, "selection too large for the exact path — " +
       "use keepAboveQuantile")
     docs.orderBy(col(score).desc, col(id).asc).limit(k.toInt)
+  }
+
+  /** ADAPTIVE per-group top-`frac` (FineWeb-style: each crawl dump /
+    * source keeps its own best quarter, so a uniformly-verbose source
+    * cannot crowd out the rest the way one global threshold lets it):
+    * within each group keep the ⌈frac·n_group⌉ best rows under the total
+    * order (score desc, id asc).
+    *
+    * ONE exchange on the group key: the rank and the group size are two
+    * window functions over the same partitioning, so Catalyst plans a
+    * single shuffle with both Window operators riding it. The sort is
+    * per-GROUP, never global — groups are sources/dumps (thousands at
+    * most), each sorting its own slice in parallel. For a group too
+    * large to sort, [[keepAboveQuantileByGroup]] is the threshold form
+    * of the same cut. */
+  def keepTopFractionByGroup(docs: DataFrame, id: String, score: String,
+                             group: String, frac: Double): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0, "frac must be in (0, 1]")
+    val byGroup = Window.partitionBy(col(group))
+    docs
+      .withColumn("__rn", row_number()
+        .over(byGroup.orderBy(col(score).desc, col(id).asc)).cast("long"))
+      .withColumn("__n", count(lit(1)).over(byGroup))
+      // ceil(frac · n): double product of an exact integer — the same
+      // IEEE steps on any engine, so the cut row is engine-independent
+      .where(col("__rn") <= ceil(lit(frac) * col("__n")).cast("long"))
+      .drop("__rn", "__n")
+  }
+
+  /** Scalable per-group threshold: each group keeps rows at or above its
+    * own approximate (1−frac) score quantile. One linear aggregation at
+    * the group grain (sketches merge map-side), broadcast back as a
+    * map-only filter — no per-group sort at all; keep-rate per group
+    * lands within the sketch's rank error of `frac`. */
+  def keepAboveQuantileByGroup(docs: DataFrame, id: String, score: String,
+                               group: String, frac: Double,
+                               accuracy: Int = 10000): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0, "frac must be in (0, 1]")
+    val th = docs.groupBy(col(group)).agg(percentile_approx(col(score),
+      lit(1.0 - frac), lit(accuracy)).as("__th"))
+    docs.join(broadcast(th), Seq(group))
+      .where(col(score) >= col("__th"))
+      .drop("__th")
   }
 
   /** Scalable quantile-threshold selection: keeps every row with

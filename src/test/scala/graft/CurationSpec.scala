@@ -303,4 +303,65 @@ class CurationSpec extends SparkSpec {
     assert(approxRate > 0.1 && approxRate < 0.35,
       s"approx keep-rate $approxRate far from 0.2")
   }
+
+  test("grouped selection: each group keeps its own ceil(frac*n_g) best " +
+      "rows; the approx backend tracks per group") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val scored = docs.select(col("doc_id").as("id"), col("source"),
+      graft.operators.TextAnalysis.qualityScoreCol(col("text"))
+        .as("quality_score")).cache()
+    val sizes = scored.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = graft.operators.Selection
+      .keepTopFractionByGroup(scored, "id", "quality_score", "source", 0.25)
+      .collect()
+    val keptByGroup = kept.groupBy(_.getString(1))
+    // exact per-group count
+    sizes.foreach { case (src, n) =>
+      assert(keptByGroup.get(src).map(_.length).getOrElse(0) ==
+        math.ceil(0.25 * n).toInt, s"group $src")
+    }
+    // per-group boundary: min kept score >= max dropped score in THAT group
+    val keptIds = kept.map(_.getLong(0)).toSet
+    keptByGroup.foreach { case (src, rows) =>
+      val minKept = rows.map(_.getDouble(2)).min
+      val dropped = scored.where(col("source") === src &&
+        !col("id").isInCollection(keptIds))
+        .agg(max(col("quality_score"))).head()
+      if (!dropped.isNullAt(0))
+        assert(minKept >= dropped.getDouble(0), s"group $src boundary")
+    }
+    // approx backend: per-group keep-rate near frac
+    val approx = graft.operators.Selection
+      .keepAboveQuantileByGroup(scored, "id", "quality_score", "source", 0.25)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes.foreach { case (src, n) =>
+      val rate = approx.getOrElse(src, 0L).toDouble / n
+      assert(rate > 0.1 && rate < 0.45, s"group $src approx rate $rate")
+    }
+  }
+
+  test("sampleByWeight: clamped rates, deterministic membership, and " +
+      "monotone in the weight") {
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet").cache()
+    val n = corpus.count()
+    // rate >= 1000 keeps everything, <= 0 keeps nothing (clamped)
+    assert(Mixing.sampleByWeight(corpus, "doc_id", lit(99999)).count() == n)
+    assert(Mixing.sampleByWeight(corpus, "doc_id", lit(-5)).count() == 0)
+    // constant per-row rate ≡ sampleByRates with that default
+    val byWeight = Mixing.sampleByWeight(corpus, "doc_id", lit(300))
+      .select("doc_id").as[Long].collect().toSet
+    val byRates = Mixing.sampleByRates(corpus, "doc_id", "source",
+      Map.empty, 300).select("doc_id").as[Long].collect().toSet
+    assert(byWeight == byRates)
+    // monotone: raising every weight only ADDS members (fixed bucket draw)
+    val low = Mixing.sampleByWeight(corpus, "doc_id",
+      expr("n_chars div 8")).select("doc_id").as[Long].collect().toSet
+    val high = Mixing.sampleByWeight(corpus, "doc_id",
+      expr("n_chars div 4")).select("doc_id").as[Long].collect().toSet
+    assert(low.subsetOf(high))
+    assert(low.nonEmpty && high.size > low.size)
+  }
 }

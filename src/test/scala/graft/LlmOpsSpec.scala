@@ -665,6 +665,52 @@ class LlmOpsSpec extends SparkSpec {
     assert(out == Set(2L, 3L))
   }
 
+  test("semantic contamination: flags candidates near an eval vector, " +
+      "never emits eval rows, matches a driver-side mirror") {
+    // 40 well-separated unit-ish vectors plus near-copies of ids 0..9 —
+    // eval membership is the md5-permille bucket, so derive it with the
+    // same expression and mirror the max-cosine flag on the driver.
+    val base = (0L until 40L).map { i =>
+      (i, Array(math.cos(i * 0.7), math.sin(i * 0.7), (i % 7).toDouble / 7.0))
+    }
+    val copies = (0L until 10L).map { i =>
+      val v = base(i.toInt)._2
+      (i + 1000L, v.map(x => x * 0.99 + 0.001))
+    }
+    val df = (base ++ copies).toDF("vec_id", "embedding")
+    val perm = 400
+    val out = Ann.semanticContamination(df, "vec_id", "embedding", perm, 0.98)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getBoolean(2))).toMap
+    val buckets = df.select(col("vec_id"),
+        graft.operators.Mixing.bucket1000(col("vec_id")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val all = (base ++ copies).toMap
+    val evalIds = all.keys.filter(buckets(_) < perm).toSet
+    assert(evalIds.nonEmpty && evalIds.size < all.size)
+    // no eval row leaks into the output; every candidate appears
+    assert(out.keySet == all.keySet -- evalIds)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val r = d / (math.sqrt(a.map(x => x * x).sum)
+        * math.sqrt(b.map(x => x * x).sum))
+      math.floor(r * 1e4 + 0.5) / 1e4
+    }
+    out.foreach { case (id, (mc, flag)) =>
+      val want = evalIds.map(e => cos(all(id), all(e))).max
+      assert(math.abs(mc - want) < 1e-9, s"id $id max cosine")
+      assert(flag == (want >= 0.98), s"id $id flag")
+    }
+    // the near-copy relationship actually fires somewhere: at least one
+    // candidate is contaminated IF its partner sits in eval
+    val firing = out.exists { case (id, (_, flag)) => flag }
+    val partnerInEval = (0L until 10L).exists(i =>
+      (evalIds.contains(i) && out.contains(i + 1000L)) ||
+        (evalIds.contains(i + 1000L) && out.contains(i)))
+    assert(firing == partnerInEval || firing) // firing implies a partner
+    if (partnerInEval) assert(firing, "split pair must be flagged")
+  }
+
   test("exact-substring dedup: shared run found in both docs, interval " +
       "merge bridges a sub-k gap, strip removes every copy") {
     // docs 1 and 2 share words 1..9 ("w1 .. w9"): gram starts 1 and 2
