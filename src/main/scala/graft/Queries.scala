@@ -2229,6 +2229,41 @@ object Queries {
         GROUP BY CUBE (l_returnflag, l_linestatus)
         ORDER BY gid, 1 NULLS FIRST, 2 NULLS FIRST""")),
 
+    // ------------------------------- z-order layout buckets (stretch)
+    // Write-time Morton clustering on (part, supplier): each z-range
+    // bucket's bounding BOX over both dims is what parquet/Delta file
+    // stats would hold — the file-skipping evidence for 2-dim predicate
+    // pruning. Pure integer bit arithmetic, hash-exact cross-engine.
+    Spec("q_zorder_layout",
+      (s, dir) => {
+        // quantize both keys onto the 8-bit z-domain relative to their
+        // own max (exact integer mult-then-div, identical both engines)
+        // so the lattice is filled at every SF
+        val li = t(s, dir).lineitem.select(col("l_partkey"),
+          col("l_suppkey"))
+        val mx = li.agg(max(col("l_partkey")).as("xm"),
+          max(col("l_suppkey")).as("ym"))
+        val q = li.crossJoin(broadcast(mx)).select(
+          expr("l_partkey * 256 div (xm + 1)").as("xq"),
+          expr("l_suppkey * 256 div (ym + 1)").as("yq"))
+        Layout.zOrderStats(q, col("xq"), col("yq"), 8, 64)
+          .orderBy(col("zbucket"))
+      },
+      Some {
+        val zTerms = (0 until 8).flatMap(i => Seq(
+          s"(((x >> $i) & 1) << ${2 * i})",
+          s"(((y >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
+        s"""WITH mx AS (SELECT MAX(l_partkey) AS xm, MAX(l_suppkey) AS ym
+            FROM lineitem),
+          c AS (SELECT (l_partkey * 256) // (xm + 1) AS x,
+            (l_suppkey * 256) // (ym + 1) AS y FROM lineitem, mx),
+          z AS (SELECT x, y, CAST($zTerms AS BIGINT) AS z FROM c)
+          SELECT z >> 10 AS zbucket, COUNT(*) AS n_rows,
+            MIN(x) AS x_min, MAX(x) AS x_max,
+            MIN(y) AS y_min, MAX(y) AS y_max
+          FROM z GROUP BY 1 ORDER BY zbucket"""
+      }),
+
     // ------------------------------------- rolling range window (stretch)
     // Trailing 7-day per-user event stats at every event — the
     // market-data moving-volume primitive. RANGE frame = linear
@@ -3411,10 +3446,89 @@ object Queries {
     out
   }
 
+  /** DuckDB mirror of the streaming near-dup pair set: the portable
+    * minhash signature CTE (same family as [[minhashJcSql]]) banded at
+    * `bandSize`, self-joined per band, with the full-signature agreement
+    * count — order-free by construction, which is exactly the property
+    * the streaming operator's emit-on-later-arrival rule guarantees. */
+  private def streamNearDupSql(bandSize: Int, minAgree: Int): String = {
+    val p = NearDup.MinHashP
+    val minCols = (0 until 16).map(j =>
+      s"MIN((hp * ${NearDup.MinHashA(j)} + ${NearDup.MinHashB(j)}) " +
+        s"% $p) AS mh$j").mkString(", ")
+    val nBands = 16 / bandSize
+    val bands = (0 until nBands).map { t =>
+      val key = (0 until bandSize).map(x => s"CAST(mh${t * bandSize + x} " +
+        "AS VARCHAR)").mkString(" || '_' || ")
+      s"SELECT id, $t AS band, $key AS key FROM mh"
+    }.mkString(" UNION ALL ")
+    val agree = (0 until 16).map(j =>
+      s"(CASE WHEN x.mh$j = y.mh$j THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH src AS (SELECT doc_id, text FROM documents),
+      words AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        FROM src),
+      sh AS (SELECT DISTINCT doc_id AS id,
+          w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        FROM words, UNNEST(generate_series(1, len(w)-2)) AS t(i)
+        WHERE len(w) >= 3),
+      hp AS (SELECT id,
+        CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % $p AS hp
+        FROM sh),
+      mh AS (SELECT id, $minCols FROM hp GROUP BY id),
+      banded AS ($bands),
+      pairs AS (SELECT a.band, a.id AS id_a, b.id AS id_b,
+          CAST($agree AS BIGINT) AS n_agree
+        FROM banded a JOIN banded b
+        ON a.band = b.band AND a.key = b.key AND a.id < b.id
+        JOIN mh x ON x.id = a.id JOIN mh y ON y.id = b.id)
+      SELECT band, id_a, id_b, n_agree, n_agree >= $minAgree AS matched
+      FROM pairs ORDER BY band, id_a, id_b"""
+  }
+
+  /** Documents backlog for the streaming near-dup gate (same write-once
+    * convention as [[streamBacklog]]): (doc_id, text) split over 4 files
+    * so `maxFilesPerTrigger` yields real micro-batches. The split is
+    * round-robin — the pair-set output is arrival-order independent, so
+    * no ordering discipline is needed. */
+  private def docBacklog(s: SparkSession, dir: String): String = {
+    val out = "/tmp/graft_stream_docs/" +
+      dir.replaceAll("[^A-Za-z0-9.]", "_") + "_" +
+      java.lang.Integer.toHexString(dir.hashCode)
+    if (backlogWritten.add(out)) {
+      t(s, dir).documents.select(col("doc_id"), col("text"))
+        .repartition(4)
+        .write.mode("overwrite").parquet(out)
+    }
+    out
+  }
+
   private def streamingSpecs: Seq[Spec] = {
     import graft.streaming.Streams
     import org.apache.spark.sql.streaming.OutputMode
     Seq(
+
+      // -------------------------------------- streaming near-dup (LSH)
+      // Ingest-time MinHash-LSH: documents stream in over 2 micro-batches
+      // and every same-band-bucket pair is emitted exactly once with its
+      // full-signature agreement count (bandSize 2 → collisions span
+      // agreement 2..16 at sf0.01, so BOTH matched branches fire). The
+      // mirror is the batch band self-join — equality IS the
+      // order-independence property (pairs emit on the later arrival,
+      // canonical id order, whatever the backlog split).
+      Spec("q_stream_neardup",
+        (s, dir) => {
+          val src = docBacklog(s, dir)
+          val docs = s.readStream
+            .schema("doc_id LONG, text STRING")
+            .option("maxFilesPerTrigger", 2)
+            .parquet(src)
+          val pairs = Streams.streamingNearDupPairs(docs, "doc_id", "text",
+            w = 3, numHashes = 16, bandSize = 2, minAgree = 8)
+          Streams.runToTable(pairs.toDF(), "graft_stream_neardup",
+              OutputMode.Append(), statePartitions = Some(4))
+            .orderBy(col("band"), col("id_a"), col("id_b"))
+        },
+        Some(streamNearDupSql(2, 8))),
 
       // ------------------------------------------------ streaming A17/A18
       // Tumbling 1-day event-time windows, drained in 2 micro-batches

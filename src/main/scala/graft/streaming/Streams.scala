@@ -141,6 +141,87 @@ object Streams {
       .drop("rk")
   }
 
+  final case class BandedSig(bucket: String, band: Int, doc_id: Long,
+                             sig: Seq[Long])
+  final case class NearDupPair(band: Int, id_a: Long, id_b: Long,
+                               n_agree: Long, matched: Boolean)
+  final case class BucketState(docs: List[(Long, Seq[Long])])
+
+  /** STREAMING near-duplicate detection — MinHash-LSH over a document
+    * stream, the ingest-time form of
+    * [[graft.operators.NearDup.minHashPortable]]: as documents arrive,
+    * each is banded on the same portable signature (md5-derived shingle
+    * hashes, universal-hash minima) and compared against every document
+    * already resident in its band buckets; every same-bucket pair is
+    * emitted exactly once with its signature-agreement count and a
+    * `matched` verdict (`n_agree >= minAgree` of `numHashes` — the
+    * streaming stand-in for the batch path's exact-Jaccard verify, which
+    * would need both shingle SETS in state).
+    *
+    * Order independence — the property that makes the output equal to
+    * the batch band self-join no matter how the backlog splits into
+    * micro-batches: a pair is emitted when the LATER-ARRIVING member
+    * processes, in canonical (min id, max id) form, so arrival order
+    * decides only WHICH arrival emits, never the pair set itself. No
+    * event-time, no watermark, no timeout.
+    *
+    * Unlike the per-doc signature (row-local `array_min` over the fused
+    * native shingle hashes — map-only, no aggregation before the
+    * stateful operator, which Structured Streaming would reject), state
+    * here is global per bucket, like [[streamingDedupGlobal]]: one
+    * signature per resident document. At production scale bound it the
+    * standard ways — a per-bucket cap (heavy buckets are near-dup
+    * clusters; past ~100 residents new arrivals match with near
+    * certainty) or a TTL re-keying by (bucket, day) when dup pressure is
+    * time-local. */
+  def streamingNearDupPairs(docs: DataFrame, id: String, text: String,
+                            w: Int = 3, numHashes: Int = 16,
+                            bandSize: Int = 4,
+                            minAgree: Int = 8): Dataset[NearDupPair] = {
+    import graft.operators.NearDup.{MinHashA, MinHashB, MinHashP}
+    require(numHashes <= MinHashA.size && numHashes % bandSize == 0)
+    graft.plans.GraftExtensions.register(docs.sparkSession)
+    import docs.sparkSession.implicits._
+    val nBands = numHashes / bandSize
+    val hs = call_function("word_shingle_hashes", col(text), lit(w))
+    val sig = array((0 until numHashes).map { j =>
+      array_min(transform(hs,
+        h => (h % MinHashP * MinHashA(j) + MinHashB(j)) % MinHashP))
+    }: _*)
+    val banded = docs
+      .where(size(hs) > 0) // < w words → no shingles, same as batch
+      .select(col(id).cast("long").as("doc_id"), sig.as("sig"))
+      .select(col("doc_id"), col("sig"), explode(array((0 until nBands)
+        .map { t =>
+          struct(lit(t).as("band"),
+            concat_ws("|", lit(t) +: (0 until bandSize).map(x =>
+              element_at(col("sig"), t * bandSize + x + 1)): _*)
+              .as("bucket"))
+        }: _*)).as("bk"))
+      .select(col("bk.bucket"), col("bk.band"), col("doc_id"), col("sig"))
+      .as[BandedSig]
+    banded.groupByKey(_.bucket)
+      .flatMapGroupsWithState[BucketState, NearDupPair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state: GroupState[BucketState]) =>
+          var resident = state.getOption.map(_.docs).getOrElse(Nil)
+          val out = List.newBuilder[NearDupPair]
+          // doc_id order within the batch: emission is deterministic for
+          // a fixed backlog split, and the pair SET is split-invariant
+          rows.toSeq.sortBy(_.doc_id).foreach { d =>
+            resident.foreach { case (other, osig) =>
+              val agree = osig.iterator.zip(d.sig.iterator)
+                .count { case (a, b) => a == b }.toLong
+              out += NearDupPair(d.band, math.min(other, d.doc_id),
+                math.max(other, d.doc_id), agree, agree >= minAgree)
+            }
+            resident = (d.doc_id, d.sig) :: resident
+          }
+          state.update(BucketState(resident))
+          out.result().iterator
+      }
+  }
+
   /** Gap-based sessionization: a session closes when `gapSec` of event
     * time passes with no activity for the user. Sessions that close
     * *inside* a batch (two bursts separated by more than the gap) are

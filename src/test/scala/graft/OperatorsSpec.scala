@@ -160,6 +160,34 @@ class OperatorsSpec extends SparkSpec {
     assert(nSalts > 1)
   }
 
+  test("zValue2 interleaves bits; z-order buckets bound BOTH dims where " +
+      "single-column layout bounds one") {
+    import graft.operators.Layout
+    // hand-checked Morton values: (x=5 [101], y=3 [011], 3 bits) →
+    // bits x0,y0,x1,y1,x2,y2 = 1,1,0,1,1,0 → 0b011011 = 27
+    val z = Seq((5L, 3L)).toDF("x", "y")
+      .select(Layout.zValue2(col("x"), col("y"), 3)).as[Long].head()
+    assert(z == 27L)
+    // clamping: negative → 0, over-range → cap
+    val zc = Seq((-7L, 1024L)).toDF("x", "y")
+      .select(Layout.zValue2(col("x"), col("y"), 3)).as[Long].head()
+    assert(zc == Seq((0L, 7L)).toDF("x", "y")
+      .select(Layout.zValue2(col("x"), col("y"), 3)).as[Long].head())
+    // on a filled 2-dim grid, every z-bucket's bounding box covers at
+    // most a quarter of EACH dimension's domain (4 buckets = top 2 z
+    // bits = one quadrant split in both dims); a single-column range
+    // layout would leave the other dim's box at full width
+    val grid = (0 until 32).flatMap(x => (0 until 32).map(y =>
+      (x.toLong, y.toLong))).toDF("x", "y")
+    val stats = Layout.zOrderStats(grid, col("x"), col("y"), 5, 4)
+      .collect()
+    assert(stats.length == 4)
+    stats.foreach { r =>
+      assert(r.getLong(3) - r.getLong(2) <= 15, s"x box too wide: $r")
+      assert(r.getLong(5) - r.getLong(4) <= 15, s"y box too wide: $r")
+    }
+  }
+
   test("rollupStats emits every grouping level; gid separates natural nulls") {
     val df = Seq(("a", 1, 10.0), ("a", 1, 5.0), ("a", 2, 2.0), ("b", 1, 1.0))
       .toDF("p", "y", "v")

@@ -132,4 +132,46 @@ class StreamingSpec extends SparkSpec {
     val second = all.filter(s => s.user_id == 7L && s.n_events == 1L)
     assert(second.length == 1 && second(0).total_value == 4.0)
   }
+
+  test("streaming near-dup: pair set is arrival-split invariant and " +
+      "every pair is emitted exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    // two near-identical docs (1, 2), one exact copy (3 of 1), two
+    // unrelated docs — under bandSize 2 the dup cluster collides in
+    // every band, the unrelated docs in none
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and often"),
+      (3L, "the quick brown fox jumps over the lazy dog again and again"),
+      (4L, "completely different words about markets prices and trading"),
+      (5L, "unrelated content discussing streams state and watermarks"))
+    def run(name: String, splits: Seq[Seq[(Long, String)]]): Set[(Int, Long, Long, Long, Boolean)] = {
+      val in = MemoryStream[(Long, String)]
+      val q = Streams.streamingNearDupPairs(
+          in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+          w = 3, numHashes = 16, bandSize = 2, minAgree = 8)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      splits.foreach { batch => in.addData(batch); q.processAllAvailable() }
+      val rows = spark.table(name).collect().map(r => (r.getInt(0),
+        r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      q.stop()
+      // exactly once: no duplicate (band, pair) rows
+      assert(rows.length == rows.toSet.size, s"$name emitted duplicates")
+      rows.toSet
+    }
+    val oneShot = run("snd_a", Seq(corpus))
+    val split = run("snd_b", Seq(corpus.take(2), corpus.slice(2, 4),
+      corpus.drop(4)))
+    val reversed = run("snd_c", Seq(corpus.reverse))
+    assert(oneShot == split && oneShot == reversed,
+      "pair set must not depend on the backlog split or arrival order")
+    val pairIds = oneShot.map(p => (p._2, p._3))
+    // the exact copy agrees on all 16 mins in every band; unrelated docs
+    // never pair
+    assert(oneShot.filter(p => (p._2, p._3) == (1L, 3L))
+      .forall(p => p._4 == 16L && p._5))
+    assert(pairIds.subsetOf(Set((1L, 2L), (1L, 3L), (2L, 3L))))
+    assert(pairIds.contains((1L, 3L)) && pairIds.contains((1L, 2L)))
+  }
 }
