@@ -2927,6 +2927,53 @@ object Queries {
       },
       Some(ivfFlatSql)),
 
+    // -------------------------------------- incremental IVF index append
+    // Build the index from 90% of the corpus, APPEND the held-out batch
+    // (one broadcast-centroid map stage over the batch only — the
+    // resident corpus is never touched), then query the merged index.
+    // The oracle quantizes with centers from the BASE subset (exactly
+    // what the persisted index froze) but assigns and scores the full
+    // corpus — proving appended rows are first-class at query time.
+    Spec("q_ann_ivf_append",
+      (s, dir) => {
+        val path = "/tmp/graft_sink/ivf_index_append"
+        val emb = t(s, dir).embeddings
+        Ann.writeIvfIndex(emb.where(col("vec_id") % 10 =!= 7),
+          "vec_id", "embedding", path, 16)
+        Ann.appendToIvfIndex(emb.where(col("vec_id") % 10 === 7),
+          "vec_id", "embedding", path)
+        Ann.ivfIndexedTopK(emb.where(col("vec_id") % 100 === 0),
+            "vec_id", "embedding", path, 10, 2)
+          .orderBy(col("query_id"), col("rn"))
+      },
+      Some("""WITH e AS (SELECT vec_id AS id,
+          CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        b AS (SELECT id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        base AS (SELECT * FROM b WHERE id % 10 <> 7),
+        st AS (SELECT greatest(1, COUNT(*) // 16) AS stride FROM base),
+        centers AS (SELECT id AS cell, v AS cv0, nrm AS cn0
+          FROM base, st WHERE id % stride = 0 ORDER BY id LIMIT 16),
+        sims AS (SELECT b.id, b.v, b.nrm, c.cell,
+            floor((list_dot_product(b.v, c.cv0) / (b.nrm * c.cn0))
+              * 1e4 + 0.5) / 1e4 AS csim
+          FROM b CROSS JOIN centers c),
+        ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY id
+            ORDER BY csim DESC, cell) AS pr FROM sims),
+        assigned AS (SELECT cell, id AS cand_id, v AS cv, nrm AS cn
+          FROM ranked WHERE pr = 1),
+        probes AS (SELECT id AS query_id, v AS qv, nrm AS qn, cell
+          FROM ranked WHERE pr <= 2 AND id % 100 = 0),
+        scored AS (SELECT p.query_id, a.cand_id,
+            floor((list_dot_product(p.qv, a.cv) / (p.qn * a.cn))
+              * 1e4 + 0.5) / 1e4 AS cosine
+          FROM probes p JOIN assigned a ON a.cell = p.cell
+          WHERE p.query_id <> a.cand_id)
+        SELECT query_id, cand_id, cosine, rn FROM (SELECT *,
+            CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cosine DESC, cand_id) AS BIGINT) AS rn
+          FROM scored)
+        WHERE rn <= 10 ORDER BY query_id, rn""")),
+
     // ------------------------------------------------- embedding near-dups
     Spec("q_cosine_dups",
       (s, dir) => Ann.cosineDupPairs(t(s, dir).embeddings,

@@ -303,6 +303,36 @@ object Ann {
     base.unpersist()
   }
 
+  /** INCREMENTAL index maintenance: assign a new batch of vectors to the
+    * EXISTING persisted centers and append them into the cell-partitioned
+    * vector store. The resident corpus is never re-read, re-trained, or
+    * re-shuffled — the only work is one broadcast-centroid map stage over
+    * the batch plus the partitioned append, so ingest cost is O(batch),
+    * independent of index size: the property that makes a 100 TB vector
+    * corpus maintainable without nightly rebuilds (FAISS `add` semantics;
+    * the trade — frozen centroids drift from the true distribution as
+    * batches accumulate — is the standard one, fixed by periodic
+    * [[writeIvfIndex]] re-trains). Queries via [[ivfIndexedTopK]] see
+    * base + appended rows uniformly (same quantizer, same rounding). */
+  def appendToIvfIndex(batch: DataFrame, id: String, vec: String,
+                       path: String): Unit = {
+    val spark = batch.sparkSession
+    GraftExtensions.register(spark)
+    val centers = spark.read.parquet(s"$path/centers")
+    val base = normalized(batch, id, vec, "id", "v", "nrm")
+    val byCloseness = Window.partitionBy(col("id"))
+      .orderBy(col("csim").desc, col("cell").asc)
+    base.crossJoin(broadcast(centers))
+      .select(col("id"), col("v"), col("nrm"), col("cell"),
+        stableRound(nativeDot(col("v"), col("cv0"))
+          / (col("nrm") * col("cn0")), 4).as("csim"))
+      .withColumn("pr", row_number().over(byCloseness))
+      .where(col("pr") === 1)
+      .select(col("id"), col("v"), col("nrm"), col("cell"))
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$path/vectors")
+  }
+
   /** Query a persisted IVF index: probe each query's `nProbe` nearest
     * cells by center cosine, then score exact cosine ONLY against the
     * probed cells' partitions — the `.where(cell IN probed)` literal

@@ -219,6 +219,33 @@ class LlmOpsSpec extends SparkSpec {
       s"expected a partition-pruned candidate scan in:\n$plan")
   }
 
+  test("IVF append: batch joins the index under the frozen centers and " +
+      "is retrievable; resident rows untouched") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val base = e.where(col("vec_id") % 10 =!= 7)
+    val batch = e.where(col("vec_id") % 10 === 7)
+    val path = java.nio.file.Files.createTempDirectory("graftapp").toString
+    Ann.writeIvfIndex(base, "vec_id", "embedding", path, 8)
+    val centersBefore = spark.read.parquet(s"$path/centers").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    Ann.appendToIvfIndex(batch, "vec_id", "embedding", path)
+    // centers are frozen by append; the store holds base + batch exactly
+    val centersAfter = spark.read.parquet(s"$path/centers").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(centersAfter == centersBefore)
+    val stored = spark.read.parquet(s"$path/vectors")
+    assert(stored.count() == e.count())
+    assert(stored.select("id").distinct().count() == e.count())
+    // appended ids are first-class query candidates: querying an
+    // appended vector returns itself-adjacent neighbors from BOTH sides
+    val got = Ann.ivfIndexedTopK(e, "vec_id", "embedding", path, 10, 2)
+    val candIds = got.select("cand_id").distinct().collect()
+      .map(_.getLong(0)).toSet
+    val batchIds = batch.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(batchIds.intersect(candIds).nonEmpty,
+      "appended vectors never surfaced as candidates")
+  }
+
   test("IVF cell-partitioned layout prunes probe reads to probed cells") {
     // the SCALE.md claim behind ivfTopK's 100 TB shape: with vectors
     // written partitioned by cell, a probe list becomes a
