@@ -3543,8 +3543,8 @@ object Queries {
       java.lang.Integer.toHexString(dir.hashCode)
     if (backlogWritten.add(out)) {
       t(s, dir).documents.select(col("doc_id"), col("text"))
-        .repartition(4)
-        .write.mode("overwrite").parquet(out)
+        .repartition(8) // 8 files / 4 per trigger: 2 real micro-batches
+        .write.mode("overwrite").parquet(out) // with a 4-wide map stage
     }
     out
   }
@@ -3567,12 +3567,12 @@ object Queries {
           val src = docBacklog(s, dir)
           val docs = s.readStream
             .schema("doc_id LONG, text STRING")
-            .option("maxFilesPerTrigger", 2)
+            .option("maxFilesPerTrigger", 4)
             .parquet(src)
           val pairs = Streams.streamingNearDupPairs(docs, "doc_id", "text",
             w = 3, numHashes = 16, bandSize = 2, minAgree = 8)
           Streams.runToTable(pairs.toDF(), "graft_stream_neardup",
-              OutputMode.Append(), statePartitions = Some(4))
+              OutputMode.Append(), statePartitions = Some(2))
             .orderBy(col("band"), col("id_a"), col("id_b"))
         },
         Some(streamNearDupSql(2, 8))),

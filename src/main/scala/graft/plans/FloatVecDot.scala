@@ -340,6 +340,39 @@ object GraftHash {
     }
     out
   }
+
+  /** Kernel of [[MinHashSig]]: the n-component portable MinHash
+    * signature of `text` in ONE pass — per shingle hash
+    * `h = md5Prefix60 % P` (P = 2³¹ − 1), component j is
+    * `min((h · a_j + b_j) % P)` with the same universal-hash family as
+    * `graft.operators.NearDup.MinHashA/B` (`a_j = 2654435761·(2j+1) mod
+    * P`, `b_j = 1779033703·(j+1) mod P` — an InvariantsCheck property
+    * pins this duplication against the HOF chain built from NearDup's
+    * constants, so the two definitions cannot drift apart silently).
+    * Documents with fewer than w tokens yield an empty array. */
+  def minHashSig(text: org.apache.spark.unsafe.types.UTF8String,
+                 w: Int, n: Int): Array[Long] = {
+    require(n >= 1 && n <= 64, s"minhash_sig: n must be in [1, 64]: $n")
+    val hs = wordShingleHashes(text, w)
+    if (hs.isEmpty) return Array.emptyLongArray
+    val p = 2147483647L
+    val out = new Array[Long](n)
+    var j = 0
+    while (j < n) {
+      val a = (2654435761L * (2 * j + 1)) % p
+      val b = (1779033703L * (j + 1)) % p
+      var m = Long.MaxValue
+      var i = 0
+      while (i < hs.length) {
+        val v = ((hs(i) % p) * a + b) % p
+        if (v < m) m = v
+        i += 1
+      }
+      out(j) = m
+      j += 1
+    }
+    out
+  }
 }
 
 /** Native 64-bit PORTABLE SimHash over a token array: each token's full
@@ -605,6 +638,47 @@ case class CharGramHashes(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native `minhash_sig(text, w, n) -> ARRAY<BIGINT>`: the n-component
+  * portable MinHash signature of `text` over w-word shingles, fused into
+  * ONE pass — the per-ROW form of the batch pipeline's
+  * `groupBy(id).agg(min((h·a_j + b_j) % P))` chain, for consumers that
+  * need the signature next to the row (the streaming near-dup operator,
+  * where an aggregation cannot precede the stateful operator). The HOF
+  * equivalent (`n × array_min(transform(word_shingle_hashes(...)))`)
+  * re-walks the shingle-hash array once per component through an
+  * interpreted lambda; here the array is hashed once and all n minima
+  * update in a tight primitive loop. Bit-equality with the HOF chain
+  * (NearDup's published constants) is pinned by an InvariantsCheck
+  * property. CodegenFallback for the same per-document-amortization
+  * reason as [[WordShingleHashes]]. */
+case class MinHashSig(first: Expression, second: Expression,
+                      third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (StringType, IntegerType, IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"minhash_sig expects (STRING, INT, INT), got " +
+          s"(${other._1.sql}, ${other._2.sql}, ${other._3.sql})")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(text: Any, w: Any, n: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      GraftHash.minHashSig(
+        text.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        w.asInstanceOf[Int], n.asInstanceOf[Int]))
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
 /** Registers graft's native expressions. Two paths:
   *  - `spark.sql.extensions=graft.plans.GraftExtensions` at session build
   *    (the canonical `SparkSessionExtensions` route), or
@@ -657,7 +731,11 @@ object GraftExtensions {
       new ExpressionInfo(classOf[CharGramHashes].getName,
         "char_gram_hashes"),
       (children: Seq[Expression]) =>
-        CharGramHashes(children.head, children(1))))
+        CharGramHashes(children.head, children(1))),
+    (new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (children: Seq[Expression]) =>
+        MinHashSig(children.head, children(1), children(2))))
 
   def register(spark: SparkSession): Unit =
     registrations.foreach { case (id, info, builder) =>

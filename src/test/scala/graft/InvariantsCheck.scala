@@ -404,6 +404,34 @@ object InvariantsCheck extends Properties("graft.invariants") {
       }
     }
 
+  property("minhash_sig is bit-equal to the per-component " +
+      "array_min(transform(...)) chain over NearDup's constants") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.listOf(Gen.oneOf(
+        Gen.oneOf("word", "a", "bb", "é語", "", "the", "fox"),
+        Gen.oneOf(" ", "  ", "\t")))
+        .map(_.mkString(" "))),
+      Gen.choose(1, 3), Gen.oneOf(4, 16)) { (strs, w, n) =>
+      graft.plans.GraftExtensions.register(spark)
+      import graft.operators.NearDup.{MinHashA, MinHashB, MinHashP}
+      // the pre-fusion chain: n passes of array_min over the shingle
+      // hashes, with the OPERATOR's published constants — pinning the
+      // kernel's inlined a_j/b_j formulas against NearDup's family
+      val chain = (0 until n).map { j =>
+        s"""array_min(transform(word_shingle_hashes(s, $w),
+           |  h -> (h % $MinHashP * ${MinHashA(j)} + ${MinHashB(j)})
+           |    % $MinHashP))""".stripMargin
+      }.mkString("array(", ", ", ")")
+      val rows = strs.distinct.toDF("s")
+        .select(col("s"),
+          expr(s"minhash_sig(s, $w, $n)").as("native"),
+          expr(s"""CASE WHEN size(word_shingle_hashes(s, $w)) > 0
+              THEN $chain ELSE CAST(array() AS ARRAY<BIGINT>) END""")
+            .as("chain"))
+        .collect()
+      rows.forall(r => r.getSeq[Long](1) == r.getSeq[Long](2))
+    }
+
   property("char_gram_hashes is bit-equal to the substring+md5 HOF " +
       "chain it fused (incl. multi-byte chars)") =
     forAll(
