@@ -144,22 +144,24 @@ object NearDup {
     val spread = docs.select(col(id), col(text)).repartition(
       math.max(docs.sparkSession.sparkContext.defaultParallelism, 2),
       col(id))
-    // signature stage reads the FUSED native shingle-hash expression
-    // ([[graft.plans.WordShingleHashes]]): one split per document and a
-    // tight digest loop, where the rawShingles HOF chain paid an
-    // interpreted lambda + concat per shingle — and the shingle STRINGS
-    // never materialize here at all (only colliding docs build them, in
-    // the verify stage below)
-    val hp = spread.select(col(id).as("id"),
-      explode(call_function("word_shingle_hashes", col(text), lit(w)))
-        .as("h60"))
-      .select(col("id"), (col("h60") % MinHashP).as("hp"))
-    val mins = hp.groupBy(col("id")).agg(
-      min((col("hp") * MinHashA.head + MinHashB.head) % MinHashP)
-        .as("mh0"),
-      (1 until numHashes).map(j =>
-        min((col("hp") * MinHashA(j) + MinHashB(j)) % MinHashP)
-          .as(s"mh$j")): _*)
+    // signature stage is the fully-FUSED native form
+    // ([[graft.plans.MinHashSig]], round-12): shingle, hash, and ALL
+    // numHashes minima in one per-ROW pass — the previous shape
+    // (explode the native shingle hashes → groupBy(id).agg(16 mins))
+    // paid the exploded-row materialization and the aggregate's hash-map
+    // buffers for a value that is a pure per-document function. The
+    // signature is bit-equal to the explode+agg chain (min over
+    // duplicate shingles == min over distinct; the hash family is
+    // InvariantsCheck-pinned against NearDup's constants), so the DuckDB
+    // oracles are untouched. Docs with < w words produce an empty
+    // signature and are dropped, exactly as the explode dropped them.
+    val mins = spread
+      .select(col(id).as("id"),
+        call_function("minhash_sig", col(text), lit(w), lit(numHashes))
+          .as("__sig"))
+      .where(size(col("__sig")) > 0)
+      .select(col("id") +: (0 until numHashes).map(j =>
+        element_at(col("__sig"), j + 1).as(s"mh$j")): _*)
     val nBands = numHashes / bandSize
     val banded = mins.select(col("id"), explode(array((0 until nBands).map {
         t =>

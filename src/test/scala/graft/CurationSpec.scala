@@ -302,6 +302,7 @@ class CurationSpec extends SparkSpec {
       .count().toDouble / n
     assert(approxRate > 0.1 && approxRate < 0.35,
       s"approx keep-rate $approxRate far from 0.2")
+    scored.unpersist()
   }
 
   test("grouped selection: each group keeps its own ceil(frac*n_g) best " +
@@ -340,6 +341,7 @@ class CurationSpec extends SparkSpec {
       val rate = approx.getOrElse(src, 0L).toDouble / n
       assert(rate > 0.1 && rate < 0.45, s"group $src approx rate $rate")
     }
+    scored.unpersist()
   }
 
   test("sampleByWeight: clamped rates, deterministic membership, and " +
@@ -363,5 +365,9 @@ class CurationSpec extends SparkSpec {
       expr("n_chars div 4")).select("doc_id").as[Long].collect().toSet
     assert(low.subsetOf(high))
     assert(low.nonEmpty && high.size > low.size)
+    // caching the RAW parquet path would leak into EVERY other suite's
+    // plans via CacheManager subplan substitution (PlanDecisionSpec's
+    // no-InMemoryRelation pin caught exactly that)
+    corpus.unpersist()
   }
 }
