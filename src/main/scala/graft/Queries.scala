@@ -2974,6 +2974,30 @@ object Queries {
           FROM scored)
         WHERE rn <= 10 ORDER BY query_id, rn""")),
 
+    // ------------------------- embedding moments (whitening/drift stats)
+    // Covariance inputs on the exact 1/1024 integer lattice: BIGINT sums
+    // are order/partition independent and bit-equal cross-engine, where
+    // a float covariance would wobble in the last ulps per partitioning.
+    // The standard drift monitor: compare these moments across corpus
+    // snapshots before any downstream metric moves.
+    Spec("q_embedding_moments",
+      (s, dir) => Ann.embeddingMoments(t(s, dir).embeddings, "embedding")
+        .orderBy(col("i"), col("j")),
+      Some("""WITH e AS (SELECT list_transform(
+            CAST(embedding AS DOUBLE[]),
+            x -> CAST(floor(x * 1024.0 + 0.5) AS BIGINT)) AS q
+          FROM embeddings),
+        p AS (SELECT CAST(a.i - 1 AS INT) AS i, CAST(b.j - 1 AS INT) AS j,
+            q[a.i] AS qi, q[b.j] AS qj
+          FROM e, UNNEST(generate_series(1, len(q))) AS a(i),
+            UNNEST(generate_series(1, len(q))) AS b(j)
+          WHERE a.i <= b.j)
+        SELECT i, j, COUNT(*) AS n,
+          CAST(SUM(qi) AS BIGINT) AS sum_qi,
+          CAST(SUM(qj) AS BIGINT) AS sum_qj,
+          CAST(SUM(qi * qj) AS BIGINT) AS sum_qij
+        FROM p GROUP BY 1, 2 ORDER BY i, j""")),
+
     // ------------------------------------------------- embedding near-dups
     Spec("q_cosine_dups",
       (s, dir) => Ann.cosineDupPairs(t(s, dir).embeddings,

@@ -417,6 +417,45 @@ object Ann {
       .orderBy(col("cosine").desc, col("id_a"), col("id_b"))
   }
 
+  /** Embedding second-moment statistics — the inputs to covariance /
+    * PCA-whitening and the standard embedding-space DRIFT monitor (a
+    * shifted mean or covariance between two corpus snapshots flags an
+    * upstream encoder or data change before any downstream metric
+    * moves). For every dimension pair (i ≤ j): the count, per-dim
+    * quantized sums, and the quantized cross-product sum, from which
+    * mean/covariance/correlation derive in one more map.
+    *
+    * Exactness: components quantize to the 1/1024 integer lattice first
+    * (`round(v[i]·1024)` — the same lattice as the sign-LSH hyperplanes
+    * and DSIR's micro-int scores), so every sum is BIGINT arithmetic —
+    * order- and partition-independent, bit-equal in any engine. A float
+    * covariance would differ run-to-run in the last ulps across
+    * partitionings; the lattice version is hash-gateable and still
+    * accurate to ~1e-3 per component, ample for drift detection.
+    *
+    * Scale shape: the explode is bounded by n·d(d+1)/2 slim integer
+    * rows with map-side partial aggregation into d(d+1)/2 groups — for
+    * wide embeddings at extreme corpus sizes, cut d first (SQ8 or PCA),
+    * not the monitor. */
+  def embeddingMoments(df: DataFrame, vec: String): DataFrame = {
+    // quantize once per row (floor(x·1024 + 0.5), the planeExpr/DSIR
+    // lattice), then pair (i, j >= i) by exploding each row's own array
+    // twice — ONE scan, no self-join, no row-id alignment hazard
+    val q = transform(col(vec), x =>
+      floor(x.cast("double") * lit(1024.0) + lit(0.5)).cast("long"))
+    df.select(q.as("qarr"))
+      .select(posexplode(col("qarr")).as(Seq("i", "qi")), col("qarr"))
+      .select(col("i"), col("qi"),
+        posexplode(expr("slice(qarr, i + 1, size(qarr) - i)"))
+          .as(Seq("j0", "qj")))
+      .select(col("i"), col("qi"), (col("i") + col("j0")).as("j"),
+        col("qj"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("qi")).as("sum_qi"), sum(col("qj")).as("sum_qj"),
+        sum(col("qi") * col("qj")).as("sum_qij"))
+  }
+
   /** Cell assignment for EVERY vector under the strided-sample quantizer
     * (same centers/rounding as [[ivfFlatTopK]]): (id, cell, csim). The
     * cluster structure behind cluster-balanced selection; centers

@@ -219,6 +219,38 @@ class LlmOpsSpec extends SparkSpec {
       s"expected a partition-pruned candidate scan in:\n$plan")
   }
 
+  test("embedding moments: hand-checked sums, partition invariance, and " +
+      "covariance derivation") {
+    // vectors quantize exactly on the lattice: 1024·x integral
+    val vs = Seq(
+      Array(1.0, 0.0, -0.5),
+      Array(0.5, 1.0, 0.25),
+      Array(-1.0, 0.5, 0.0))
+    val df = vs.map(Tuple1(_)).toDF("embedding")
+    val got = Ann.embeddingMoments(df, "embedding").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got.size == 6) // d(d+1)/2 for d = 3
+    val q = vs.map(_.map(x => math.floor(x * 1024.0 + 0.5).toLong))
+    for (i <- 0 until 3; j <- i until 3) {
+      val want = (3L, q.map(_(i)).sum, q.map(_(j)).sum,
+        q.map(v => v(i) * v(j)).sum)
+      assert(got((i, j)) == want, s"moment ($i,$j)")
+    }
+    // partition invariance: BIGINT sums cannot depend on the split
+    val re = Ann.embeddingMoments(df.repartition(7), "embedding").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(re == got)
+    // covariance derives exactly: cov(0,1) = (Σqij − Σqi·Σqj/n)/n /1024²
+    val (n, si, sj, sij) = got((0, 1))
+    val cov = (sij.toDouble - si.toDouble * sj / n) / n / (1024.0 * 1024.0)
+    val xs = vs.map(_(0)); val ys = vs.map(_(1))
+    val mx = xs.sum / 3; val my = ys.sum / 3
+    val want = xs.zip(ys).map { case (a, b) => (a - mx) * (b - my) }.sum / 3
+    assert(math.abs(cov - want) < 1e-6)
+  }
+
   test("IVF append: batch joins the index under the frozen centers and " +
       "is retrievable; resident rows untouched") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
