@@ -2580,13 +2580,20 @@ object Queries {
     * × 4-band keys) over doc rows supplied by a CTE `src(doc_id, text)`;
     * ends at CTE `jc` (id_a, id_b, jaccard — verified candidates, no
     * threshold applied). Shared by q_minhash_lsh and q_corpus_dedup. */
-  private def minhashJcSql: String = {
+  /** The shared portable-MinHash signature CTE chain over `src(doc_id,
+    * text)`: word-trigram shingles → md5 60-bit hashes → 16 universal-
+    * hash minima (`mh` CTE) → `banded` at `bandSize`. ONE definition of
+    * the oracle-side hash family, consumed by [[minhashJcSql]] (batch
+    * LSH, bandSize 4) and [[streamNearDupSql]] (streaming LSH,
+    * parameterized) — the two mirrors cannot drift apart. */
+  private def minhashBandedCte(bandSize: Int): String = {
     val p = NearDup.MinHashP
     val minCols = (0 until 16).map(j =>
       s"MIN((hp * ${NearDup.MinHashA(j)} + ${NearDup.MinHashB(j)}) " +
         s"% $p) AS mh$j").mkString(", ")
-    val bands = (0 until 4).map { t =>
-      val key = (0 until 4).map(x => s"CAST(mh${t * 4 + x} AS VARCHAR)")
+    val bands = (0 until 16 / bandSize).map { t =>
+      val key = (0 until bandSize).map(x =>
+        s"CAST(mh${t * bandSize + x} AS VARCHAR)")
         .mkString(" || '_' || ")
       s"SELECT id, $t AS band, $key AS key FROM mh"
     }.mkString(" UNION ALL ")
@@ -2600,7 +2607,11 @@ object Queries {
         CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % $p AS hp
         FROM sh),
       mh AS (SELECT id, $minCols FROM hp GROUP BY id),
-      banded AS ($bands),
+      banded AS ($bands)"""
+  }
+
+  private def minhashJcSql: String = {
+    minhashBandedCte(4) + s""",
       cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
         FROM banded a JOIN banded b
         ON a.band = b.band AND a.key = b.key AND a.id < b.id),
@@ -3523,30 +3534,10 @@ object Queries {
     * count — order-free by construction, which is exactly the property
     * the streaming operator's emit-on-later-arrival rule guarantees. */
   private def streamNearDupSql(bandSize: Int, minAgree: Int): String = {
-    val p = NearDup.MinHashP
-    val minCols = (0 until 16).map(j =>
-      s"MIN((hp * ${NearDup.MinHashA(j)} + ${NearDup.MinHashB(j)}) " +
-        s"% $p) AS mh$j").mkString(", ")
-    val nBands = 16 / bandSize
-    val bands = (0 until nBands).map { t =>
-      val key = (0 until bandSize).map(x => s"CAST(mh${t * bandSize + x} " +
-        "AS VARCHAR)").mkString(" || '_' || ")
-      s"SELECT id, $t AS band, $key AS key FROM mh"
-    }.mkString(" UNION ALL ")
     val agree = (0 until 16).map(j =>
       s"(CASE WHEN x.mh$j = y.mh$j THEN 1 ELSE 0 END)").mkString(" + ")
     s"""WITH src AS (SELECT doc_id, text FROM documents),
-      words AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
-        FROM src),
-      sh AS (SELECT DISTINCT doc_id AS id,
-          w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
-        FROM words, UNNEST(generate_series(1, len(w)-2)) AS t(i)
-        WHERE len(w) >= 3),
-      hp AS (SELECT id,
-        CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % $p AS hp
-        FROM sh),
-      mh AS (SELECT id, $minCols FROM hp GROUP BY id),
-      banded AS ($bands),
+      ${minhashBandedCte(bandSize)},
       pairs AS (SELECT a.band, a.id AS id_a, b.id AS id_b,
           CAST($agree AS BIGINT) AS n_agree
         FROM banded a JOIN banded b

@@ -286,15 +286,7 @@ object Ann {
       .select(col("id").as("cell"), col("v").as("cv0"),
         col("nrm").as("cn0"))
     centers.write.mode("overwrite").parquet(s"$path/centers")
-    val byCloseness = Window.partitionBy(col("id"))
-      .orderBy(col("csim").desc, col("cell").asc)
-    base.crossJoin(broadcast(centers))
-      .select(col("id"), col("v"), col("nrm"), col("cell"),
-        stableRound(nativeDot(col("v"), col("cv0"))
-          / (col("nrm") * col("cn0")), 4).as("csim"))
-      .withColumn("pr", row_number().over(byCloseness))
-      .where(col("pr") === 1)
-      .select(col("id"), col("v"), col("nrm"), col("cell"))
+    assignToCenters(base, centers)
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/vectors")
     // both writes are done — this call is terminal, so the cache it took
@@ -319,7 +311,18 @@ object Ann {
     val spark = batch.sparkSession
     GraftExtensions.register(spark)
     val centers = spark.read.parquet(s"$path/centers")
-    val base = normalized(batch, id, vec, "id", "v", "nrm")
+    assignToCenters(normalized(batch, id, vec, "id", "v", "nrm"), centers)
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$path/vectors")
+  }
+
+  /** Nearest-center assignment under the persisted-index quantizer —
+    * the ONE definition of "which cell does this vector live in" shared
+    * by [[writeIvfIndex]] (build) and [[appendToIvfIndex]] (append), so
+    * the rounding/tiebreak can never desynchronize between the two.
+    * Input: normalized (id, v, nrm); centers (cell, cv0, cn0). */
+  private def assignToCenters(base: DataFrame,
+                              centers: DataFrame): DataFrame = {
     val byCloseness = Window.partitionBy(col("id"))
       .orderBy(col("csim").desc, col("cell").asc)
     base.crossJoin(broadcast(centers))
@@ -329,8 +332,6 @@ object Ann {
       .withColumn("pr", row_number().over(byCloseness))
       .where(col("pr") === 1)
       .select(col("id"), col("v"), col("nrm"), col("cell"))
-      .write.mode("append").partitionBy("cell")
-      .parquet(s"$path/vectors")
   }
 
   /** Query a persisted IVF index: probe each query's `nProbe` nearest
@@ -542,7 +543,11 @@ object Ann {
     *
     * Output: one row per NON-eval vector — (id, max_eval_cos,
     * contaminated). Compose with a `where(!contaminated)` semi-filter
-    * (or anti-join on the flagged ids) to strip. */
+    * (or anti-join on the flagged ids) to strip. An EMPTY eval split
+    * (possible on small corpora at low permille) keeps every candidate:
+    * the eval side joins LEFT, so max_eval_cos is null and contaminated
+    * is false — a bare cross join would instead emit zero rows and a
+    * downstream semi-filter would silently drop the whole corpus. */
   def semanticContamination(emb: DataFrame, id: String, vec: String,
                             evalPermille: Int, tau: Double): DataFrame = {
     require(evalPermille > 0 && evalPermille < 1000,
@@ -554,13 +559,14 @@ object Ann {
       .select(col("v").as("ev"), col("nrm").as("en"))
     base.where(col("__b") >= evalPermille)
       .select(col("id"), col("v"), col("nrm"))
-      .crossJoin(broadcast(ev))
+      .join(broadcast(ev), lit(true), "left")
       .select(col("id"),
         stableRound(nativeDot(col("v"), col("ev"))
           / (col("nrm") * col("en")), 4).as("cos"))
       .groupBy(col("id"))
       .agg(max(col("cos")).as("max_eval_cos"))
-      .withColumn("contaminated", col("max_eval_cos") >= tau)
+      .withColumn("contaminated",
+        coalesce(col("max_eval_cos") >= tau, lit(false)))
   }
 
   /** Cluster-balanced selection (the SemDeDup-flavoured curation step):

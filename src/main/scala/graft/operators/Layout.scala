@@ -30,12 +30,15 @@ object Layout {
     * `x` lands at position `2i`, bit `i` of `y` at `2i + 1` — a fold of
     * shift/mask/or terms that stays inside whole-stage codegen. Output
     * fits a BIGINT for `bits <= 31`. */
+  /** The ONE clamp-to-domain rule (`[0, 2^bits)`) shared by the z-value
+    * and the bounding-box stats — if they disagreed, the boxes would no
+    * longer describe the values that produced the buckets. */
+  private def clamp(c: Column, bits: Int): Column =
+    least(lit((1L << bits) - 1), greatest(lit(0L), c.cast("long")))
+
   def zValue2(x: Column, y: Column, bits: Int): Column = {
     require(bits > 0 && bits <= 31, s"bits must be in [1, 31]: $bits")
-    val cap = (1L << bits) - 1
-    def clamp(c: Column) =
-      least(lit(cap), greatest(lit(0L), c.cast("long")))
-    val cx = clamp(x); val cy = clamp(y)
+    val cx = clamp(x, bits); val cy = clamp(y, bits)
     (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
       acc
         .bitwiseOR(shiftleft(shiftright(cx, i).bitwiseAND(lit(1L)), 2 * i))
@@ -68,11 +71,9 @@ object Layout {
     * dimensions at once, where single-column layout only shrinks one. */
   def zOrderStats(df: DataFrame, x: Column, y: Column, bits: Int,
                   nBuckets: Int): DataFrame = {
-    val cap = (1L << bits) - 1
-    def clamp(c: Column) =
-      least(lit(cap), greatest(lit(0L), c.cast("long")))
     zOrderBuckets(df, x, y, bits, nBuckets)
-      .select(col("zbucket"), clamp(x).as("__x"), clamp(y).as("__y"))
+      .select(col("zbucket"), clamp(x, bits).as("__x"),
+        clamp(y, bits).as("__y"))
       .groupBy(col("zbucket"))
       .agg(count(lit(1)).as("n_rows"),
         min(col("__x")).as("x_min"), max(col("__x")).as("x_max"),

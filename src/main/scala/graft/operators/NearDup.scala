@@ -148,20 +148,26 @@ object NearDup {
     // ([[graft.plans.MinHashSig]], round-12): shingle, hash, and ALL
     // numHashes minima in one per-ROW pass — the previous shape
     // (explode the native shingle hashes → groupBy(id).agg(16 mins))
-    // paid the exploded-row materialization and the aggregate's hash-map
-    // buffers for a value that is a pure per-document function. The
-    // signature is bit-equal to the explode+agg chain (min over
-    // duplicate shingles == min over distinct; the hash family is
-    // InvariantsCheck-pinned against NearDup's constants), so the DuckDB
-    // oracles are untouched. Docs with < w words produce an empty
-    // signature and are dropped, exactly as the explode dropped them.
-    val mins = spread
+    // paid the exploded-row materialization and the aggregate's
+    // shingle-grain hash buffers for a value that is a pure per-document
+    // function. The trailing groupBy keeps the OLD semantics exact even
+    // for duplicate ids: a MinHash component is a min, so the
+    // component-wise min of per-row signatures IS the signature of the
+    // rows' shingle-set union — and it rides the id repartition (no new
+    // exchange; one row per id in the normal case, so the aggregate is
+    // id-grain, not shingle-grain). Hash family pinned against NearDup's
+    // constants by an InvariantsCheck property; DuckDB oracles untouched.
+    // Docs with < w words produce an empty signature and are dropped,
+    // exactly as the explode dropped them.
+    val perRow = spread
       .select(col(id).as("id"),
         call_function("minhash_sig", col(text), lit(w), lit(numHashes))
           .as("__sig"))
       .where(size(col("__sig")) > 0)
-      .select(col("id") +: (0 until numHashes).map(j =>
-        element_at(col("__sig"), j + 1).as(s"mh$j")): _*)
+    val mins = perRow.groupBy(col("id")).agg(
+      min(element_at(col("__sig"), 1)).as("mh0"),
+      (1 until numHashes).map(j =>
+        min(element_at(col("__sig"), j + 1)).as(s"mh$j")): _*)
     val nBands = numHashes / bandSize
     val banded = mins.select(col("id"), explode(array((0 until nBands).map {
         t =>
