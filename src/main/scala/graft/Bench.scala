@@ -138,7 +138,9 @@ object Bench {
     "q_corpus_dedup" ->
       "SCALE.md#adjudicated-q_corpus_dedup (largest stage 0.13s at 24 jobs - pure floor residue; AQE-off cuts jobs but raises wall)",
     "q_neardup_components_star" ->
-      "SCALE.md#adjudicated-q_neardup_components_star (star-contraction FALLBACK: ~30 star-loop job floors intrinsic to O(log n) rounds at toy scale; the primary propagation path q_neardup_components beats DuckDB)")
+      "SCALE.md#adjudicated-q_neardup_components_star (star-contraction FALLBACK: ~30 star-loop job floors intrinsic to O(log n) rounds at toy scale; the primary propagation path q_neardup_components beats DuckDB)",
+    "q_rule_matches" ->
+      "SCALE.md#adjudicated-q_rule_matches (two intrinsically-different-key 600k exchanges - basket mining vs per-user sets - plus the pair/triple explosion CPU off a checkpoint feeding 4 consumers; ~18 jobs of floors; fluctuates 1.5-2.1x across captures)")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
