@@ -169,17 +169,44 @@ object Streams {
     * native shingle hashes — map-only, no aggregation before the
     * stateful operator, which Structured Streaming would reject), state
     * here is global per bucket, like [[streamingDedupGlobal]]: one
-    * signature per resident document. At production scale bound it the
-    * standard ways — a per-bucket cap (heavy buckets are near-dup
-    * clusters; past ~100 residents new arrivals match with near
-    * certainty) or a TTL re-keying by (bucket, day) when dup pressure is
-    * time-local. */
+    * signature per resident document.
+    *
+    * State bound — ENFORCED, not advisory: `maxResident` caps the
+    * per-bucket resident list. Once a bucket holds `maxResident`
+    * signatures, later arrivals still compare against the residents
+    * (emitting their ≤ maxResident pairs — heavy buckets are near-dup
+    * clusters, so a capped resident set still classifies arrivals) but
+    * are NOT inserted, so per-bucket memory is O(maxResident · numHashes)
+    * and total pair emission is O(n · maxResident), never O(n²). The
+    * realistic hot-bucket cause — re-delivered / duplicated doc ids from
+    * an at-least-once source or a re-crawled boilerplate page — does not
+    * consume the cap at all: a doc id that is already resident (or was
+    * already processed earlier in the same micro-batch) is skipped
+    * entirely, emitting nothing and inserting nothing (first delivery
+    * wins, as in [[streamingDedupGlobal]]).
+    *
+    * Guarantees, in decreasing strength:
+    *  - buckets whose DISTINCT doc count ≤ maxResident: output is
+    *    exactly the batch band self-join pair set over distinct ids,
+    *    split-invariant, and exactly-once even under arbitrary
+    *    re-delivery (residency doubles as the seen-set);
+    *  - buckets beyond the cap: the emitted set is always a SUBSET of
+    *    the batch pair set (every emitted pair really collides) with an
+    *    invariant count C(cap,2) + cap·(distinct−cap); WHICH partners a
+    *    post-saturation arrival pairs with depends on arrival order, and
+    *    re-delivery of a never-inserted id degrades exactly-once to
+    *    at-least-once for that id's pairs — remembering every seen id
+    *    would itself be unbounded state. Where dup pressure is
+    *    time-local, re-key the stream by (bucket, day) upstream instead
+    *    of raising the cap. */
   def streamingNearDupPairs(docs: DataFrame, id: String, text: String,
                             w: Int = 3, numHashes: Int = 16,
                             bandSize: Int = 4,
-                            minAgree: Int = 8): Dataset[NearDupPair] = {
+                            minAgree: Int = 8,
+                            maxResident: Int = 512): Dataset[NearDupPair] = {
     require(numHashes <= graft.operators.NearDup.MinHashA.size &&
       numHashes % bandSize == 0)
+    require(maxResident > 0, "maxResident must be positive")
     graft.plans.GraftExtensions.register(docs.sparkSession)
     import docs.sparkSession.implicits._
     val nBands = numHashes / bandSize
@@ -209,22 +236,40 @@ object Streams {
           var resident: List[(Long, Array[Long])] = state.getOption
             .map(_.docs.map { case (i, s) => (i, s.toArray) })
             .getOrElse(Nil)
+          val residentIds = scala.collection.mutable.HashSet.empty[Long]
+          resident.foreach { case (i, _) => residentIds += i }
+          var nResident = residentIds.size
+          // guards post-saturation arrivals repeated WITHIN a batch
+          // (pre-saturation repeats are caught by residentIds)
+          val seenThisBatch = scala.collection.mutable.HashSet.empty[Long]
           val out = List.newBuilder[NearDupPair]
           // doc_id order within the batch: emission is deterministic for
           // a fixed backlog split, and the pair SET is split-invariant
+          // for every bucket under the cap
           rows.toSeq.sortBy(_.doc_id).foreach { d =>
-            val ds = d.sig.toArray
-            resident.foreach { case (other, osig) =>
-              var agree = 0L
-              var i = 0
-              while (i < ds.length) {
-                if (osig(i) == ds(i)) agree += 1L
-                i += 1
+            val isDup = residentIds.contains(d.doc_id) ||
+              !seenThisBatch.add(d.doc_id)
+            if (!isDup) { // first delivery wins; re-delivery emits nothing
+              val ds = d.sig.toArray
+              resident.foreach { case (other, osig) =>
+                var agree = 0L
+                var i = 0
+                while (i < ds.length) {
+                  if (osig(i) == ds(i)) agree += 1L
+                  i += 1
+                }
+                // other != d.doc_id: resident ids never contain a
+                // non-dup arrival, so the degenerate (id, id) row is
+                // impossible by construction
+                out += NearDupPair(d.band, math.min(other, d.doc_id),
+                  math.max(other, d.doc_id), agree, agree >= minAgree)
               }
-              out += NearDupPair(d.band, math.min(other, d.doc_id),
-                math.max(other, d.doc_id), agree, agree >= minAgree)
+              if (nResident < maxResident) {
+                resident = (d.doc_id, ds) :: resident
+                residentIds += d.doc_id
+                nResident += 1
+              }
             }
-            resident = (d.doc_id, ds) :: resident
           }
           state.update(BucketState(
             resident.map { case (i, a) => (i, a.toSeq) }))

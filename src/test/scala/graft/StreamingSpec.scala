@@ -174,4 +174,75 @@ class StreamingSpec extends SparkSpec {
     assert(pairIds.subsetOf(Set((1L, 2L), (1L, 3L), (2L, 3L))))
     assert(pairIds.contains((1L, 3L)) && pairIds.contains((1L, 2L)))
   }
+
+  private def runNearDup(name: String, splits: Seq[Seq[(Long, String)]],
+                         cap: Int): Seq[(Int, Long, Long, Long, Boolean)] = {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.streamingNearDupPairs(
+        in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        w = 3, numHashes = 16, bandSize = 2, minAgree = 8,
+        maxResident = cap)
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    splits.foreach { batch => in.addData(batch); q.processAllAvailable() }
+    val rows = spark.table(name).collect().map(r => (r.getInt(0),
+      r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))).toSeq
+    q.stop()
+    rows
+  }
+
+  test("streaming near-dup: a 10x-duplicated hot bucket stays bounded — " +
+      "re-delivered ids emit nothing, and the pair set over distinct ids " +
+      "is split-invariant") {
+    // 6 distinct ids, one shared text -> one hot bucket per band (8
+    // bands); every (id, text) row delivered 10 times. If re-delivery
+    // grew state or re-compared, duplicate pair rows and degenerate
+    // (id, id) rows would appear and the count would explode past the
+    // distinct-pair set.
+    val txt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val distinct = (1L to 6L).map(i => (i, txt))
+    val hot = Seq.fill(10)(distinct).flatten
+    val oneShot = runNearDup("hot_a", Seq(hot), cap = 6)
+    val manySplit = runNearDup("hot_b", hot.grouped(7).toSeq, cap = 6)
+    val shuffled = runNearDup("hot_c",
+      Seq(hot.reverse.take(25), hot.reverse.drop(25)), cap = 6)
+    for (rows <- Seq(oneShot, manySplit, shuffled)) {
+      assert(rows.size == rows.toSet.size, "re-delivery re-emitted a pair")
+      assert(rows.forall(p => p._2 < p._3), "degenerate (id,id) row")
+      // exactly the batch pair set over DISTINCT ids: C(6,2)=15 pairs in
+      // each of the 8 bands, all full-agreement matches
+      assert(rows.size == 15 * 8)
+      assert(rows.forall(p => p._4 == 16L && p._5))
+    }
+    assert(oneShot.toSet == manySplit.toSet &&
+      oneShot.toSet == shuffled.toSet,
+      "pair set must not depend on the backlog split of the hot stream")
+  }
+
+  test("streaming near-dup: maxResident caps state — post-saturation " +
+      "arrivals emit exactly cap pairs per band and the count is " +
+      "split-invariant") {
+    val txt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = (1L to 6L).map(i => (i, txt))
+    val cap = 4
+    // per band: C(4,2) pairs among residents + 4 pairs for each of the
+    // 2 post-saturation arrivals = 14; pairs-per-arrival == cap after
+    // saturation is the behavioral proof that residents stayed at cap
+    val expected = (6 + 2 * cap) * 8
+    val oneShot = runNearDup("cap_a", Seq(docs), cap)
+    val split = runNearDup("cap_b", docs.grouped(2).toSeq, cap)
+    for (rows <- Seq(oneShot, split)) {
+      assert(rows.size == expected,
+        s"expected $expected pairs, got ${rows.size}")
+      assert(rows.size == rows.toSet.size)
+      // soundness: every emitted pair really collides (all docs share
+      // the text, so any distinct ordered pair is a true batch pair)
+      assert(rows.forall(p => p._2 < p._3 && p._3 <= 6L && p._4 == 16L))
+      // each post-saturation arrival pairs with exactly `cap` residents
+      val perDoc = rows.groupBy(_._3).map { case (b, ps) =>
+        b -> ps.size / 8 }
+      assert(perDoc(5L) == cap && perDoc(6L) == cap)
+    }
+  }
 }
