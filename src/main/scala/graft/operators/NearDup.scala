@@ -81,10 +81,16 @@ object NearDup {
     * same family is expressible in ANSI SQL for the oracle gate. All
     * arithmetic stays below 2^62 (h < p < 2^31, a < p). */
   val MinHashP: Long = 2147483647L // 2^31 − 1
+  // 64 published components — the full domain the fused native kernel
+  // (graft.plans.GraftHash.minHashSig) accepts, so every n it admits is
+  // covered by these tables and by the InvariantsCheck bit-equality
+  // property (round-12 advice: n in 17..64 used to extend the family
+  // with inlined formulas no table or test validated). Components 0-15
+  // are unchanged (same closed form), so no oracle drifts.
   val MinHashA: IndexedSeq[Long] =
-    (0 until 16).map(j => (2654435761L * (2 * j + 1)) % MinHashP)
+    (0 until 64).map(j => (2654435761L * (2 * j + 1)) % MinHashP)
   val MinHashB: IndexedSeq[Long] =
-    (0 until 16).map(j => (1779033703L * (j + 1)) % MinHashP)
+    (0 until 64).map(j => (1779033703L * (j + 1)) % MinHashP)
 
   // Portable 60-bit shingle hash: the first 15 hex digits of md5, an
   // identical value in any engine with md5 (unlike xxhash64/murmur).

@@ -352,7 +352,12 @@ object GraftHash {
     * Documents with fewer than w tokens yield an empty array. */
   def minHashSig(text: org.apache.spark.unsafe.types.UTF8String,
                  w: Int, n: Int): Array[Long] = {
-    require(n >= 1 && n <= 64, s"minhash_sig: n must be in [1, 64]: $n")
+    // the bound IS the published table size (round-12 advice): every n
+    // this kernel admits has its a_j/b_j in NearDup.MinHashA/B and is
+    // covered by the InvariantsCheck bit-equality property
+    require(n >= 1 && n <= graft.operators.NearDup.MinHashA.size,
+      s"minhash_sig: n must be in " +
+        s"[1, ${graft.operators.NearDup.MinHashA.size}]: $n")
     val hs = wordShingleHashes(text, w)
     if (hs.isEmpty) return Array.emptyLongArray
     val p = 2147483647L

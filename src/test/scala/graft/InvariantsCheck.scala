@@ -411,7 +411,10 @@ object InvariantsCheck extends Properties("graft.invariants") {
         Gen.oneOf("word", "a", "bb", "é語", "", "the", "fox"),
         Gen.oneOf(" ", "  ", "\t")))
         .map(_.mkString(" "))),
-      Gen.choose(1, 3), Gen.oneOf(4, 16)) { (strs, w, n) =>
+      // 64 is the kernel's domain ceiling; 33 exercises an odd j past
+      // the old 16-component table (round-12 advice: n in 17..64 was
+      // previously validated by nothing)
+      Gen.choose(1, 3), Gen.oneOf(4, 16, 33, 64)) { (strs, w, n) =>
       graft.plans.GraftExtensions.register(spark)
       import graft.operators.NearDup.{MinHashA, MinHashB, MinHashP}
       // the pre-fusion chain: n passes of array_min over the shingle

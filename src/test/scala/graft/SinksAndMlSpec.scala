@@ -15,6 +15,34 @@ class SinksAndMlSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, "old"), (2L, "new"), (3L, "new")))
   }
 
+  test("lakehouse MERGE seam: vanilla build takes the anti-join path " +
+      "unchanged, and the reflective pieces are well-formed") {
+    import graft.sources.LakehouseMerge
+    // pin the build shape: delta-spark must NOT be on this classpath —
+    // if it ever appears, upsertAt silently changes engine and this
+    // build's q_upsert gate no longer covers it
+    assert(!LakehouseMerge.available(),
+      "vanilla build unexpectedly sees io.delta.tables.DeltaTable")
+    assert(!LakehouseMerge.isDeltaTable(spark, "/tmp/nonexistent"))
+    // the ON condition mirrors the anti-join's EqualTo per key
+    assert(LakehouseMerge.mergeCondition(Seq("k")) == "t.`k` = s.`k`")
+    assert(LakehouseMerge.mergeCondition(Seq("a", "b")) ==
+      "t.`a` = s.`a` AND t.`b` = s.`b`")
+    assertThrows[IllegalArgumentException](
+      LakehouseMerge.mergeCondition(Nil))
+    // path-level upsert on a parquet dir = the oracle-gated upsert()
+    val dir = java.nio.file.Files.createTempDirectory("graftups").toString
+    Seq((1L, "old"), (2L, "old")).toDF("k", "src")
+      .write.mode("overwrite").parquet(dir)
+    Sinks.upsertAt(spark, dir,
+      Seq((2L, "new"), (3L, "new")).toDF("k", "src"), Seq("k"))
+    val out = spark.read.parquet(dir)
+      .orderBy("k").as[(Long, String)].collect()
+    assert(out.toSeq == Seq((1L, "old"), (2L, "new"), (3L, "new")))
+    // the temp swap directory must not survive
+    assert(!new java.io.File(dir + "__upsert_tmp").exists())
+  }
+
   test("S3+S1 CSV round-trip preserves values through export/import") {
     val dir = java.nio.file.Files.createTempDirectory("graftcsv").toString
     val df = Seq((1L, "a", 1.5), (2L, "b", 2.25)).toDF("id", "s", "v")
