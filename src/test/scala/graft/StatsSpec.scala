@@ -54,6 +54,36 @@ class StatsSpec extends SparkSpec {
     assert(r.getAs[Long]("n1") == 8 && r.getAs[Long]("n2") == 6)
   }
 
+  test("X3/X4 scalable variants are bit-equal to the parity paths on " +
+      "random multi-block data") {
+    // 400 rows over an 8-partition layout, heavy ties (values on a
+    // 0.5 lattice) so tie terms, average ranks, and CDF steps all
+    // exercise the block-boundary arithmetic; nBlocks=5 forces real
+    // cross-block base offsets (no block holds the whole frame)
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 400).map { i =>
+      (if (rnd.nextBoolean()) "x" else "y",
+        math.floor(rnd.nextDouble() * 40) / 2.0)
+    }
+    val df = rows.toDF("g", "v").repartition(8)
+    val mw = Stats.mannWhitneyU(df, col("g"), col("v"), "x", "y")
+      .head()
+    val mws = Stats.mannWhitneyUScalable(df, col("g"), col("v"), "x", "y",
+      nBlocks = 5).head()
+    assert(mw == mws, s"MW parity $mw != scalable $mws")
+    val ks = Stats.ks2(df, col("g"), col("v"), "x", "y").head()
+    val kss = Stats.ks2Scalable(df, col("g"), col("v"), "x", "y",
+      nBlocks = 5).head()
+    assert(ks == kss, s"KS parity $ks != scalable $kss")
+    // scale shape: the scalable plans' ordered windows are all
+    // partitioned (per-block cumsum) — the only unpartitioned ordered
+    // window runs over the <= nBlocks per-block totals, which the
+    // parity mirror equality above already proves numerically
+    val plan = Stats.mannWhitneyUScalable(df, col("g"), col("v"),
+      "x", "y", nBlocks = 5).queryExecution.executedPlan.toString
+    assert(plan.contains("__blk"), plan.take(500))
+  }
+
   test("X1 chi-square on the classic 2x2 [[30,10],[20,40]]") {
     val rows = Seq.fill(30)(("r1", "c1")) ++ Seq.fill(10)(("r1", "c2")) ++
       Seq.fill(20)(("r2", "c1")) ++ Seq.fill(40)(("r2", "c2"))
