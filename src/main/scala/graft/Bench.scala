@@ -35,11 +35,12 @@ import org.apache.spark.sql.SparkSession
   *     and queries still spreading > 2× after settling are flagged
   *     ("unstable") so a noisy slot can never masquerade as a
   *     regression;
-  *  4. a CONSECUTIVE stage (round 13): every substantial query gets up
-  *     to 3 back-to-back draws, because that is how the DuckDB baseline
-  *     is measured — ducktime.py runs each query's reps consecutively,
-  *     maximally self-warm, while a pass-interleaved draw pays the
-  *     JVM-state debt of the ~166 queries before it. The debt is real
+  *  4. a CONSECUTIVE stage (round 13): every query gets back-to-back
+  *     draws (3 if substantial, 2 for the floor-bound tail), because
+  *     that is how the DuckDB baseline is measured — ducktime.py runs
+  *     each query's reps consecutively, maximally self-warm, while a
+  *     pass-interleaved draw pays the JVM-state debt of the ~166
+  *     queries before it. The debt is real
   *     and systematic, not noise: the drift-cancelled interleaved A/B in
   *     [[graft.tools.CfBisect]] measured q_cf_recommendations at
   *     min 4.96 s isolated vs 5.91 s immediately after a q_cf_family
@@ -395,27 +396,35 @@ object Bench {
     // get self-adjacent draws: each gets up to 3 consecutive draws
     // (within the [[BaselineDraws]] budget), probe-bracketed per block
     // so the drift sentinel still covers them.
+    // Every query gets the consecutive block — the DuckDB snapshot's
+    // reps are consecutive for every query, tiny ones included, and the
+    // sub-half-second board is exactly where a draw inherits the most
+    // relative debt from the 166 queries before it. Substantial queries
+    // get up to 3 consecutive draws; the floor-bound tail gets 2 (its
+    // draws 2+ agree within jitter, the point is one self-adjacent
+    // reading, and the third draw across ~130 queries is pure capture
+    // length).
     var consecutivePasses = Vector.empty[Pass]
     val consecDraws = scala.collection.mutable.Map[String, Vector[Draw]]()
-    specs.filter { case (n, _) => SubstantialSubset(n) }
-      .foreach { case (n, fn) =>
-        val budget = math.min(3, BaselineDraws - draws(n).size)
-        if (budget > 0) {
-          System.err.println(
-            s"[bench] consecutive draws ($budget): $n")
-          val p0 = probe(sfDir)
-          val ds = (1 to budget).flatMap { _ =>
-            runPass(Seq(n -> fn), sfDir).get(n)
-          }.toVector
-          val pm = probe(sfDir)
-          draws(n) ++= ds
-          consecDraws(n) = ds
-          // two-probe bracket recorded in Pass form (mid == end: the
-          // block is a single query's draws, there is no half to bisect)
-          consecutivePasses :+= Pass(
-            ds.lastOption.map(n -> _).toMap, p0, pm, pm)
-        }
+    specs.foreach { case (n, fn) =>
+      val tier = if (SubstantialSubset(n)) 3 else 2
+      val budget = math.min(tier, drawCap(n) - draws(n).size)
+      if (budget > 0) {
+        System.err.println(
+          s"[bench] consecutive draws ($budget): $n")
+        val p0 = probe(sfDir)
+        val ds = (1 to budget).flatMap { _ =>
+          runPass(Seq(n -> fn), sfDir).get(n)
+        }.toVector
+        val pm = probe(sfDir)
+        draws(n) ++= ds
+        consecDraws(n) = ds
+        // two-probe bracket recorded in Pass form (mid == end: the
+        // block is a single query's draws, there is no half to bisect)
+        consecutivePasses :+= Pass(
+          ds.lastOption.map(n -> _).toMap, p0, pm, pm)
       }
+    }
     val sentinel = (passes ++ settlingPasses ++ consecutivePasses).map(p =>
       f"[${p.probeStart}%.3f,${p.probeMid}%.3f,${p.probeEnd}%.3f]")
       .mkString("[", ",", "]")
