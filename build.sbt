@@ -32,4 +32,16 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // (~4.8g) hit eviction churn mid-run and produced a contiguous
   // 8-query slow window in one capture
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // 1g code cache (round 13, was the JDK default 240m): a full bench
+  // capture JIT-compiles the generated classes of 167 queries × up to
+  // 9 draws, and when the cache fills the sweeper flushes compiled
+  // code that later draws must re-JIT — the code-cache arm of the
+  // pass-adjacency tax bisected in tools/CfBisect. Measured (Bench's
+  // stderr code-cache report, back-to-back full sf0.1 captures): at 1g
+  // the capture peaks at 238 MiB across the three pools — i.e. under
+  // the 240m default the cache ran AT its cap, sweeping warm code —
+  // and q_cf_recommendations' min dropped 5.58 → 4.58 s between the
+  // captures with no code change.
+  "-XX:ReservedCodeCacheSize=" +
+    sys.env.getOrElse("SPARK_GRAFT_CODECACHE", "1g"),
 )

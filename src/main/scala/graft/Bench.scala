@@ -530,6 +530,20 @@ object Bench {
       line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nqueries":${full.size},$meta,"queries":${toJson(top.take(n))},"sf":"$sfDir"}"""
     }
     println(line)
+    // code-cache telemetry (round 13): a capture JIT-compiles the
+    // generated classes of every query × draw; if the cache fills, the
+    // sweeper flushes warm code and later draws pay re-JIT — evidence
+    // for (or against) the code-cache arm of the adjacency-tax bisect
+    // goes to stderr with each capture
+    scala.jdk.CollectionConverters.ListHasAsScala(
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans)
+      .asScala.filter(_.getName.startsWith("CodeHeap"))
+      .foreach { p =>
+        val u = p.getPeakUsage
+        System.err.println(f"[bench] codecache '${p.getName}' peak " +
+          f"${u.getUsed / 1048576.0}%.1f MiB of " +
+          f"${u.getMax / 1048576.0}%.1f MiB")
+      }
     spark.stop()
   }
 }
