@@ -404,6 +404,17 @@ object Bench {
     // draws 2+ agree within jitter, the point is one self-adjacent
     // reading, and the third draw across ~130 queries is pure capture
     // length).
+    // true iff the smallest draw is NOT reproduced by the second
+    // smallest within the flag gate (ratio > 2× and gap > 0.25 s) —
+    // the min-corroboration test both the consecutive extension and
+    // the unstable flag use
+    def minUncorroborated(t: Vector[Double]): Boolean = {
+      if (t.size < 2) false
+      else {
+        val s = t.sorted
+        s(1) / math.max(1e-9, s(0)) > 2.0 && (s(1) - s(0)) > 0.25
+      }
+    }
     var consecutivePasses = Vector.empty[Pass]
     val consecDraws = scala.collection.mutable.Map[String, Vector[Draw]]()
     specs.foreach { case (n, fn) =>
@@ -413,9 +424,22 @@ object Bench {
         System.err.println(
           s"[bench] consecutive draws ($budget): $n")
         val p0 = probe(sfDir)
-        val ds = (1 to budget).flatMap { _ =>
+        var ds = (1 to budget).flatMap { _ =>
           runPass(Seq(n -> fn), sfDir).get(n)
         }.toVector
+        // adaptive extension: the unstable flag is judged on THESE
+        // draws, and a spread over exactly two of them is one noisy
+        // slot away from a phantom flag (first whole-board capture:
+        // 7 flags, 6 of them tail queries with a 2-draw block). A
+        // block whose min is still uncorroborated earns up to 2 more
+        // draws within the query's cap — same bar the flag itself uses.
+        var extra = 0
+        while (minUncorroborated(ds.map(_.sec)) && extra < 2 &&
+            draws(n).size + ds.size < drawCap(n)) {
+          System.err.println(s"[bench] consecutive extension: $n")
+          ds ++= runPass(Seq(n -> fn), sfDir).get(n)
+          extra += 1
+        }
         val pm = probe(sfDir)
         draws(n) ++= ds
         consecDraws(n) = ds
@@ -435,17 +459,20 @@ object Bench {
     // still ramping even after the warm-ups), so including it flagged
     // ordinary convergence (2.5 s cold → 0.9 s settled) as instability.
     // Queries that received a CONSECUTIVE block are judged on those
-    // draws alone: they are self-adjacent by construction, so any
-    // residual spread there is genuine environment noise — while mixing
-    // them with the interleaved draws would flag ordinary adjacency-debt
-    // convergence as instability.
-    def spreadFlag(v: Vector[Double]): Boolean =
-      v.size >= 2 && spreadOf(v) > 2.0 && (v.max - v.min) > 0.25
+    // draws alone — they are self-adjacent by construction — and on the
+    // right question: is the reported MIN corroborated? min-of-N is the
+    // steady-state estimator, so the min is trustworthy iff a second
+    // draw reproduces it within the gate; a single slow outlier among
+    // otherwise-agreeing draws is absorbed noise, not instability
+    // (worst-case spread flagged exactly that in the first whole-board
+    // capture: 7 flags, 6 of them one-outlier tail queries).
     val unstable = specs.map(_._1)
       .filter { n =>
         consecDraws.get(n) match {
-          case Some(ds) if ds.size >= 2 => spreadFlag(ds.map(_.sec))
-          case _ => spreadFlag(times(n).drop(1))
+          case Some(ds) if ds.size >= 2 => minUncorroborated(ds.map(_.sec))
+          case _ =>
+            val v = times(n).drop(1)
+            v.size >= 2 && spreadOf(v) > 2.0 && (v.max - v.min) > 0.25
         }
       }
     // a query with zero successful draws (failed every pass) has no time

@@ -3584,6 +3584,18 @@ object Queries {
     * `bandSize`, self-joined per band, with the full-signature agreement
     * count — order-free by construction, which is exactly the property
     * the streaming operator's emit-on-later-arrival rule guarantees. */
+  /** Shared oracle for the q_domain_cap pair: top-100 longest docs per
+    * source, deterministic ties — the parity window and the salted
+    * two-phase path must both hash-match this. */
+  private val domainCapSql: String =
+    """SELECT id, source, n_chars FROM (
+        SELECT doc_id AS id, source, n_chars,
+          ROW_NUMBER() OVER (PARTITION BY source
+            ORDER BY n_chars DESC, doc_id) AS rn
+        FROM documents)
+      WHERE rn <= 100
+      ORDER BY source, n_chars DESC, id"""
+
   private def streamNearDupSql(bandSize: Int, minAgree: Int): String = {
     val agree = (0 until 16).map(j =>
       s"(CASE WHEN x.mh$j = y.mh$j THEN 1 ELSE 0 END)").mkString(" + ")
@@ -4696,6 +4708,51 @@ object Queries {
           ELSE 'test' END AS split,
           COUNT(*) AS n_docs, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
         FROM documents GROUP BY 1 ORDER BY split""")),
+
+    // ------------------------- absolute per-source cap ("domain cap")
+    // No source may contribute more than 100 documents (longest-first,
+    // deterministic ties) — the crawl-curation counterpart of the
+    // adaptive FRACTION cut above. Parity path: one window exchange.
+    Spec("q_domain_cap",
+      (s, dir) => Selection.capPerGroup(
+        t(s, dir).documents.select(col("doc_id").as("id"), col("source"),
+          col("n_chars")),
+        "id", "n_chars", "source", 100)
+        .orderBy(col("source"), col("n_chars").desc, col("id")),
+      Some(domainCapSql)),
+
+    // Same answer from the two-phase top-n (per-(source, md5-salt) cap,
+    // then re-rank the bounded survivors): the EXACT scale path for a
+    // skewed source that would serialize the parity window through one
+    // task. Same oracle — bit-equality IS the gate.
+    Spec("q_domain_cap_salted",
+      (s, dir) => Selection.capPerGroupSalted(
+        t(s, dir).documents.select(col("doc_id").as("id"), col("source"),
+          col("n_chars")),
+        "id", "n_chars", "source", 100, nSalts = 4)
+        .orderBy(col("source"), col("n_chars").desc, col("id")),
+      Some(domainCapSql)),
+
+    // -------------------- deterministic training shuffle, sharded
+    // The data-loader manifest: shard + position within shard, both
+    // md5-derived from (epoch, id) alone — reproducible by any engine,
+    // immune to partitioning, and a new epoch is a fresh permutation.
+    // One exchange on shard; per-shard rank windows run in parallel.
+    Spec("q_training_shards",
+      (s, dir) => Splits.trainingShards(
+        t(s, dir).documents.select(col("doc_id")), "doc_id",
+        nShards = 8, epoch = 1)
+        .orderBy(col("shard"), col("pos")),
+      Some("""WITH h AS (SELECT doc_id,
+          CAST(('0x' || substr(md5('1' || ')s(' ||
+            CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS shard,
+          CAST(('0x' || substr(md5('1' || ')p(' ||
+            CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hp
+          FROM documents)
+        SELECT doc_id, shard,
+          CAST(ROW_NUMBER() OVER (PARTITION BY shard
+            ORDER BY hp, doc_id) - 1 AS BIGINT) AS pos
+        FROM h ORDER BY shard, pos""")),
 
     // -------------- CCNet-style bigram-LM perplexity scoring (Wenzek et
     // al. 2020): fit Stupid Backoff on the target split, score the corpus

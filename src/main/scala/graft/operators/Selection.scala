@@ -96,4 +96,47 @@ object Selection {
       .where(col(score) >= col("__th"))
       .drop("__th")
   }
+
+  /** Absolute per-group cap (the FineWeb/crawl "domain cap": no source
+    * may contribute more than `n` documents, whatever its size): within
+    * each group keep the `n` best rows under the total order
+    * (score desc, id asc). One exchange + per-group sort — the parity
+    * path, right when no group is too large to sort in one task. */
+  def capPerGroup(docs: DataFrame, id: String, score: String,
+                  group: String, n: Int): DataFrame = {
+    require(n >= 1, "cap must be >= 1")
+    docs
+      .withColumn("__rn", row_number()
+        .over(Window.partitionBy(col(group))
+          .orderBy(col(score).desc, col(id).asc)).cast("long"))
+      .where(col("__rn") <= n)
+      .drop("__rn")
+  }
+
+  /** [[capPerGroup]] for SKEWED groups — EXACT, unlike the quantile
+    * fallbacks: a boilerplate-heavy domain with 10⁹ documents would
+    * serialize [[capPerGroup]]'s window through one task, so this runs
+    * the standard two-phase top-n instead. Phase 1 takes the per-
+    * (group, salt) top n — `nSalts` parallel sorts of ~1/nSalts of each
+    * group — which provably keeps every global top-n row (a row beaten
+    * n times within its own salt is beaten n times in the full group);
+    * phase 2 re-ranks the ≤ nSalts·n survivors per group, a frame
+    * bounded by groups·nSalts·n rows regardless of corpus size.
+    * Bit-equal to [[capPerGroup]] under the same total order — gated by
+    * the same oracle SQL. The salt is md5-derived from the id
+    * (deterministic, engine-portable), never a partition id. */
+  def capPerGroupSalted(docs: DataFrame, id: String, score: String,
+                        group: String, n: Int,
+                        nSalts: Int = 32): DataFrame = {
+    require(n >= 1 && nSalts >= 1, "cap and nSalts must be >= 1")
+    val salted = docs.withColumn("__salt",
+      pmod(Mixing.bucket1000(col(id)), lit(nSalts)))
+    val phase1 = salted
+      .withColumn("__rn", row_number()
+        .over(Window.partitionBy(col(group), col("__salt"))
+          .orderBy(col(score).desc, col(id).asc)).cast("long"))
+      .where(col("__rn") <= n)
+      .drop("__rn", "__salt")
+    capPerGroup(phase1, id, score, group, n)
+  }
 }

@@ -36,4 +36,37 @@ object Splits {
                 trainPermille: Int = 900, valPermille: Int = 50): DataFrame =
     assignSplit(docs, id, trainPermille, valPermille)
       .where(col("split") === split).drop("split")
+
+  /** Deterministic global training shuffle, sharded: the data-loader
+    * manifest a training run consumes. Every document gets a `shard`
+    * in [0, nShards) and a contiguous `pos` (0-based) within its shard;
+    * reading the shards in (shard, pos) order IS a uniform global
+    * shuffle of the corpus, and a different `epoch` re-derives a fresh
+    * independent permutation — all three columns follow from the
+    * md5 of (epoch, id) alone, so the order is reproducible by any
+    * engine, immune to partitioning and task retries (the property
+    * [[assignSplit]] establishes for membership, extended to ORDER —
+    * a seed-stream `rand()` shuffle has neither).
+    *
+    * Scale shape: one exchange on `shard` (nShards ≫ cores at scale,
+    * so the per-shard rank windows run wide in parallel and no shard
+    * outgrows a task: shards are corpus/nShards by hash uniformity);
+    * the shard hash and the order hash are INDEPENDENT digests (")s("
+    * vs ")p(" domain tags), so within-shard order does not correlate
+    * with shard assignment. */
+  def trainingShards(docs: DataFrame, id: String, nShards: Int,
+                     epoch: Int = 0): DataFrame = {
+    require(nShards >= 1, "nShards must be >= 1")
+    def h(tag: String) = conv(substring(md5(
+        concat(lit(epoch.toString), lit(tag), col(id).cast("string"))),
+      1, 15), 16, 10).cast("long")
+    docs
+      .withColumn("shard", pmod(h(")s("), lit(nShards.toLong)))
+      .withColumn("__h", h(")p("))
+      .withColumn("pos", (row_number()
+        .over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard"))
+          .orderBy(col("__h"), col(id))) - 1).cast("long"))
+      .drop("__h")
+  }
 }

@@ -850,4 +850,56 @@ class LlmOpsSpec extends SparkSpec {
       "doc_id", "text", "source").collect()
     assert(solo.length == 1 && solo.head.getDouble(4) == 0.0)
   }
+
+  test("domain cap: salted two-phase top-n equals the parity window on " +
+      "a skewed corpus, for every salt count") {
+    import graft.operators.Selection
+    // one hot domain (200 rows), two small ones; scores collide heavily
+    // so the deterministic tie (id asc) is load-bearing
+    val rnd = new scala.util.Random(11)
+    val rows = (1L to 200L).map(i => (i, "hot", rnd.nextInt(7))) ++
+      Seq((201L, "cold", 5), (202L, "cold", 5), (203L, "tiny", 1))
+    val df = rows.toDF("id", "source", "score").repartition(8)
+    val parity = Selection.capPerGroup(df, "id", "score", "source", 10)
+      .orderBy(col("source"), col("score").desc, col("id"))
+      .collect().toSeq
+    for (nSalts <- Seq(1, 3, 32)) {
+      val salted = Selection
+        .capPerGroupSalted(df, "id", "score", "source", 10, nSalts)
+        .orderBy(col("source"), col("score").desc, col("id"))
+        .collect().toSeq
+      assert(salted == parity, s"nSalts=$nSalts diverged")
+    }
+    // small groups survive whole (under the cap), hot group is capped
+    assert(parity.count(_.getString(1) == "hot") == 10)
+    assert(parity.count(_.getString(1) == "cold") == 2)
+  }
+
+  test("training shards: positions are a contiguous 0-based permutation " +
+      "per shard, assignment is partitioning-invariant, and a new epoch " +
+      "re-permutes") {
+    import graft.operators.Splits
+    val ids = (1L to 300L).toDF("doc_id")
+    val e0 = Splits.trainingShards(ids, "doc_id", nShards = 4, epoch = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every doc exactly once; shards in range
+    assert(e0.length == 300 && e0.map(_._1).distinct.length == 300)
+    assert(e0.forall(t => t._2 >= 0 && t._2 < 4))
+    // contiguous 0-based positions within each shard
+    e0.groupBy(_._2).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (0L until rs.length).toSeq)
+    }
+    // deterministic across physical layouts
+    val e0b = Splits.trainingShards(ids.repartition(7), "doc_id", 4, 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(e0.sortBy(_._1).toSeq == e0b.sortBy(_._1).toSeq)
+    // a new epoch is a genuinely different permutation (some doc moves)
+    val e1 = Splits.trainingShards(ids, "doc_id", 4, 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(e0.sortBy(_._1).toSeq != e1.sortBy(_._1).toSeq)
+    // shard and order hashes are independent: within a shard, ascending
+    // pos must not mean ascending id (a correlated hash would)
+    val shard0 = e0.filter(_._2 == 0L).sortBy(_._3).map(_._1)
+    assert(shard0.toSeq != shard0.sorted.toSeq)
+  }
 }
