@@ -434,7 +434,10 @@ object Bench {
         // block whose min is still uncorroborated earns up to 2 more
         // draws within the query's cap — same bar the flag itself uses.
         var extra = 0
-        while (minUncorroborated(ds.map(_.sec)) && extra < 2 &&
+        // corroborate against ALL draws so far (interleaved + block):
+        // the reported value is the GLOBAL min, so that is the min a
+        // second draw must reproduce
+        while (minUncorroborated(times(n) ++ ds.map(_.sec)) && extra < 2 &&
             draws(n).size + ds.size < drawCap(n)) {
           System.err.println(s"[bench] consecutive extension: $n")
           ds ++= runPass(Seq(n -> fn), sfDir).get(n)
@@ -458,18 +461,20 @@ object Bench {
     // FIRST pass is excluded from the flag: draw 1 is the coldest (JIT
     // still ramping even after the warm-ups), so including it flagged
     // ordinary convergence (2.5 s cold → 0.9 s settled) as instability.
-    // Queries that received a CONSECUTIVE block are judged on those
-    // draws alone — they are self-adjacent by construction — and on the
-    // right question: is the reported MIN corroborated? min-of-N is the
-    // steady-state estimator, so the min is trustworthy iff a second
-    // draw reproduces it within the gate; a single slow outlier among
-    // otherwise-agreeing draws is absorbed noise, not instability
-    // (worst-case spread flagged exactly that in the first whole-board
-    // capture: 7 flags, 6 of them one-outlier tail queries).
+    // The flag asks the estimator's own question: is the reported min —
+    // the GLOBAL min over every draw, which is what lands in the
+    // artifact — reproduced by a second draw within the gate? A single
+    // slow outlier among otherwise-agreeing draws is absorbed noise,
+    // not instability (worst-case spread flagged exactly that in the
+    // first whole-board capture: 7 flags, 6 one-outlier tail queries),
+    // while a single FAST fluke min is exactly what must be flagged
+    // (the draw set the artifact value comes from cannot corroborate
+    // it). Queries without a consecutive block keep the old spread
+    // rule on draws 2+.
     val unstable = specs.map(_._1)
       .filter { n =>
         consecDraws.get(n) match {
-          case Some(ds) if ds.size >= 2 => minUncorroborated(ds.map(_.sec))
+          case Some(ds) if ds.size >= 2 => minUncorroborated(times(n))
           case _ =>
             val v = times(n).drop(1)
             v.size >= 2 && spreadOf(v) > 2.0 && (v.max - v.min) > 0.25

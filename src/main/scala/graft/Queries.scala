@@ -3584,18 +3584,6 @@ object Queries {
     * `bandSize`, self-joined per band, with the full-signature agreement
     * count — order-free by construction, which is exactly the property
     * the streaming operator's emit-on-later-arrival rule guarantees. */
-  /** Shared oracle for the q_domain_cap pair: top-100 longest docs per
-    * source, deterministic ties — the parity window and the salted
-    * two-phase path must both hash-match this. */
-  private val domainCapSql: String =
-    """SELECT id, source, n_chars FROM (
-        SELECT doc_id AS id, source, n_chars,
-          ROW_NUMBER() OVER (PARTITION BY source
-            ORDER BY n_chars DESC, doc_id) AS rn
-        FROM documents)
-      WHERE rn <= 100
-      ORDER BY source, n_chars DESC, id"""
-
   private def streamNearDupSql(bandSize: Int, minAgree: Int): String = {
     val agree = (0 until 16).map(j =>
       s"(CASE WHEN x.mh$j = y.mh$j THEN 1 ELSE 0 END)").mkString(" + ")
@@ -3609,6 +3597,18 @@ object Queries {
       SELECT band, id_a, id_b, n_agree, n_agree >= $minAgree AS matched
       FROM pairs ORDER BY band, id_a, id_b"""
   }
+
+  /** Shared oracle for the q_domain_cap pair: top-100 longest docs per
+    * source, deterministic ties — the parity window and the salted
+    * two-phase path must both hash-match this. */
+  private val domainCapSql: String =
+    """SELECT id, source, n_chars FROM (
+        SELECT doc_id AS id, source, n_chars,
+          ROW_NUMBER() OVER (PARTITION BY source
+            ORDER BY n_chars DESC, doc_id) AS rn
+        FROM documents)
+      WHERE rn <= 100
+      ORDER BY source, n_chars DESC, id"""
 
   /** Documents backlog for the streaming near-dup gate (same write-once
     * convention as [[streamBacklog]]): (doc_id, text) split over 4 files

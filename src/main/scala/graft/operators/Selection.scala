@@ -124,13 +124,21 @@ object Selection {
     * bounded by groups·nSalts·n rows regardless of corpus size.
     * Bit-equal to [[capPerGroup]] under the same total order — gated by
     * the same oracle SQL. The salt is md5-derived from the id
-    * (deterministic, engine-portable), never a partition id. */
+    * (deterministic, engine-portable), never a partition id — and from
+    * its OWN domain-tagged digest, not [[Mixing.bucket1000]]: a corpus
+    * already filtered by the library's bucket1000-based samplers (e.g.
+    * `sampleByRates` at 50‰ keeps only buckets 0–49) would collapse a
+    * bucket-derived salt onto a few values and quietly hand the hot
+    * group back to one task (the same independence argument as
+    * [[Splits.trainingShards]]' ")s("/")p(" tags). */
   def capPerGroupSalted(docs: DataFrame, id: String, score: String,
                         group: String, n: Int,
                         nSalts: Int = 32): DataFrame = {
     require(n >= 1 && nSalts >= 1, "cap and nSalts must be >= 1")
     val salted = docs.withColumn("__salt",
-      pmod(Mixing.bucket1000(col(id)), lit(nSalts)))
+      pmod(conv(substring(md5(concat(lit(")cap("),
+          col(id).cast("string"))), 1, 15), 16, 10).cast("long"),
+        lit(nSalts.toLong)))
     val phase1 = salted
       .withColumn("__rn", row_number()
         .over(Window.partitionBy(col(group), col("__salt"))

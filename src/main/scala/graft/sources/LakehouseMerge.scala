@@ -76,10 +76,20 @@ object LakehouseMerge {
       .getMethod("forPath", classOf[SparkSession], classOf[String])
       .invoke(null, spark, path)
     def call(target: AnyRef, name: String, args: AnyRef*): AnyRef = {
+      // match on PARAMETER TYPES, not just arity: DeltaTable publishes
+      // both merge(source, condition: String) and merge(source,
+      // condition: Column), and getMethods order is unspecified — an
+      // arity-only find could invoke the Column overload with our
+      // String condition and fail on every real Delta deployment
       val m = target.getClass.getMethods
-        .find(m => m.getName == name && m.getParameterCount == args.size)
+        .find(m => m.getName == name &&
+          m.getParameterCount == args.size &&
+          m.getParameterTypes.zip(args).forall { case (p, a) =>
+            p.isInstance(a)
+          })
         .getOrElse(throw new NoSuchMethodException(
-          s"${target.getClass.getName}.$name/${args.size}"))
+          s"${target.getClass.getName}.$name(" +
+            args.map(_.getClass.getSimpleName).mkString(", ") + ")"))
       m.invoke(target, args: _*)
     }
     val aliased = call(deltaTable, "as", "t")

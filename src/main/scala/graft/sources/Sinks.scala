@@ -65,9 +65,14 @@ object Sinks {
   /** Path-level upsert: MERGE when `path` is a Delta table and
     * delta-spark is on the classpath ([[LakehouseMerge]]), else the
     * vanilla [[upsert]] + full rewrite. The vanilla rewrite lands in a
-    * sibling temp dir first and swaps in via rename — Spark (correctly)
-    * refuses to overwrite a path it is lazily reading from, and the
-    * swap keeps a crash window from leaving a half-written table. */
+    * sibling temp dir first — Spark (correctly) refuses to overwrite a
+    * path it is lazily reading from — then swaps in via rename-aside:
+    * old → __old, tmp → path, delete __old. A crash mid-swap leaves
+    * either the old table at `path` or the new one (plus a stray dir to
+    * GC), never NO table and never a half-written one; every rename
+    * result is checked (HDFS rename reports failure by returning false,
+    * and an unchecked delete-then-rename could nest tmp INSIDE a
+    * surviving target). */
   def upsertAt(spark: SparkSession, path: String, incoming: DataFrame,
                keys: Seq[String]): Unit =
     if (LakehouseMerge.isDeltaTable(spark, path))
@@ -77,11 +82,19 @@ object Sinks {
       val p = new org.apache.hadoop.fs.Path(path)
       val tmp = new org.apache.hadoop.fs.Path(
         p.getParent, p.getName + "__upsert_tmp")
+      val old = new org.apache.hadoop.fs.Path(
+        p.getParent, p.getName + "__upsert_old")
       merged.write.mode("overwrite").parquet(tmp.toString)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.delete(p, true)
+      if (fs.exists(old) && !fs.delete(old, true)) // stale crash leftover
+        throw new java.io.IOException(s"upsertAt: cannot clear $old")
+      if (!fs.rename(p, old))
+        throw new java.io.IOException(s"upsertAt: rename $p -> $old failed")
       if (!fs.rename(tmp, p))
-        throw new java.io.IOException(s"upsertAt: rename $tmp -> $p failed")
+        throw new java.io.IOException(s"upsertAt: rename $tmp -> $p failed" +
+          s" — previous table preserved at $old")
+      fs.delete(old, true) // best-effort; a leftover is data-safe
+      ()
     }
 
   /** The 100 TB co-location seam (SCALE.md "Joins"): write a fact table

@@ -54,12 +54,16 @@ object CfBisect {
         .foreach(_.unpersist(blocking = false))
       (dt, dg)
     }
-    // same two-tier warm-up discipline as graft.Bench
+    // same two-tier warm-up discipline as graft.Bench. Order matters:
+    // the warm-up must END on a rec draw so the first loop iteration's
+    // "isolated" sample really follows a rec draw (ending on fam would
+    // put 1/reps of the isolated samples in the adjacent condition and
+    // deflate the measured delta).
     for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")
          if new java.io.File(d).isDirectory) {
-      draw(rec, d); draw(fam, d)
+      draw(fam, d); draw(rec, d)
     }
-    draw(rec, sfDir); draw(fam, sfDir) // untimed C2 warm at target SF
+    draw(fam, sfDir); draw(rec, sfDir) // untimed C2 warm at target SF
     // third condition: family draw, then an explicit drain (blocking
     // unpersist + a 1 s idle window for the async ContextCleaner /
     // shuffle-file deletion to finish) before the rec draw. If the
