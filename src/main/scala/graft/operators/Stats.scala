@@ -122,7 +122,15 @@ object Stats {
     * then add each partition's broadcast base offset (the
     * single-partition window runs only over the ≤ nBlocks per-partition
     * totals). Bit-equal to the parity path (same integer sums, same
-    * half-integer ranks) — gated by the same oracle SQL. */
+    * half-integer ranks) — gated by the same oracle SQL.
+    *
+    * Cache lifetime: each call `.cache()`s its distinct-value frame for
+    * cost (one scan feeds both prefix-sum levels); blocking is keyed by
+    * plan-literal quantile boundaries, so eviction can never change the
+    * answer, but a caller issuing MANY of these should
+    * `spark.catalog.clearCache()` between them (the bench/verify
+    * runners do) or the block frames accumulate until the
+    * ContextCleaner collects them. */
   def mannWhitneyUScalable(df: DataFrame, group: Column, value: Column,
                            g1: String, g2: String,
                            nBlocks: Int = 0): DataFrame = {
@@ -168,21 +176,39 @@ object Stats {
   }
 
   /** Two-level distributed INCLUSIVE running sums of `cols` in `orderCol`
-    * (= "v") order: range-partition, per-partition window cumsum (all
-    * partitions in parallel), plus each partition's base offset — the
-    * global ordered window runs only over the ≤ nBlocks per-partition
-    * totals. The partitioned frame is cached for CORRECTNESS, not just
-    * cost: `spark_partition_id()` must agree between the in-block pass
-    * and the totals pass, and an uncached RangePartitioner may resample
-    * boundaries per action (the cache is query-local; bench/verify
-    * runners clearCache() per query). */
+    * (= "v") order: contiguous v-range blocks, per-block window cumsum
+    * (all blocks in parallel), plus each block's base offset — the
+    * global ordered window runs only over the ≤ nBlocks per-block
+    * totals.
+    *
+    * Block key (round-13 advice — the old `spark_partition_id()` tag
+    * was consistent between the in-block pass and the totals pass ONLY
+    * while the range-partitioned frame stayed cached; an evicted block
+    * re-partitioned by a resampled RangePartitioner could disagree):
+    * the boundaries are approx-quantiles of `v`, collected ONCE to the
+    * driver and embedded as plan literals, so `__blk` is a pure
+    * function of the row — both consumers derive the same key whether
+    * or not the cache holds. The result is block-invariant anyway (any
+    * contiguous, consistently-applied blocking yields the same global
+    * cumsum), so sketch wobble between runs cannot change answers.
+    * `v` must order consistently under cast-to-double (numeric metric
+    * axes — both X3/X4 callers qualify); the cache below is now purely
+    * a COST choice (one perValue scan for two consumers). */
   private def blockCumSums(perValue: DataFrame, cols: Seq[String],
                            nBlocks0: Int,
                            withTotals: Boolean = false): DataFrame = {
     val nBlocks = if (nBlocks0 > 0) nBlocks0
       else perValue.sparkSession.sparkContext.defaultParallelism
-    val blocks = perValue.repartitionByRange(nBlocks, col("v"))
-      .withColumn("__blk", spark_partition_id()).cache()
+    val bounds: Array[Double] =
+      if (nBlocks <= 1) Array.empty
+      else perValue.select(col("v").cast("double").as("__vd"))
+        .stat.approxQuantile("__vd",
+          (1 until nBlocks).map(_.toDouble / nBlocks).toArray, 0.001)
+        .distinct.sorted
+    val blkExpr = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(col("v").cast("double") > lit(b), lit(1)).otherwise(lit(0))
+    }
+    val blocks = perValue.withColumn("__blk", blkExpr).cache()
     val wIn = Window.partitionBy(col("__blk")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val inBlk = cols.foldLeft(blocks)((d, c) =>
@@ -232,7 +258,9 @@ object Stats {
     * argument): both cumulative group counts ride ONE range exchange of
     * the distinct-value frame, totals broadcast from the per-block
     * cache. Bit-equal to the parity path (integer counts throughout);
-    * gated by the same oracle SQL. */
+    * gated by the same oracle SQL. Same cache-lifetime note as
+    * [[mannWhitneyUScalable]]: the per-call cache is cost-only;
+    * clearCache() between bulk invocations. */
   def ks2Scalable(df: DataFrame, group: Column, value: Column,
                   g1: String, g2: String, nBlocks: Int = 0): DataFrame =
     ksTail(blockCumSums(ksPerValue(df, group, value, g1, g2),

@@ -67,25 +67,32 @@ object Sinks {
     * vanilla [[upsert]] + full rewrite. The vanilla rewrite lands in a
     * sibling temp dir first — Spark (correctly) refuses to overwrite a
     * path it is lazily reading from — then swaps in via rename-aside:
-    * old → __old, tmp → path, delete __old. A crash mid-swap leaves
-    * either the old table at `path` or the new one (plus a stray dir to
-    * GC), never NO table and never a half-written one; every rename
-    * result is checked (HDFS rename reports failure by returning false,
-    * and an unchecked delete-then-rename could nest tmp INSIDE a
-    * surviving target). */
+    * old → __old, tmp → path, delete __old. Data is never lost and no
+    * half-written table is ever visible: a crash in the one window
+    * between the two renames leaves `path` empty with the full table
+    * at __old, which the NEXT upsertAt restores before reading
+    * (round-13 advice — previously that window would have failed the
+    * next read); every rename result is checked (HDFS rename reports
+    * failure by returning false, and an unchecked delete-then-rename
+    * could nest tmp INSIDE a surviving target). */
   def upsertAt(spark: SparkSession, path: String, incoming: DataFrame,
                keys: Seq[String]): Unit =
     if (LakehouseMerge.isDeltaTable(spark, path))
       LakehouseMerge.mergeInto(spark, path, incoming, keys)
     else {
-      val merged = upsert(spark.read.parquet(path), incoming, keys)
       val p = new org.apache.hadoop.fs.Path(path)
       val tmp = new org.apache.hadoop.fs.Path(
         p.getParent, p.getName + "__upsert_tmp")
       val old = new org.apache.hadoop.fs.Path(
         p.getParent, p.getName + "__upsert_old")
-      merged.write.mode("overwrite").parquet(tmp.toString)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // crash recovery: a previous run that died between its two swap
+      // renames left the table only at __old — restore it first
+      if (!fs.exists(p) && fs.exists(old) && !fs.rename(old, p))
+        throw new java.io.IOException(
+          s"upsertAt: crash recovery rename $old -> $p failed")
+      val merged = upsert(spark.read.parquet(path), incoming, keys)
+      merged.write.mode("overwrite").parquet(tmp.toString)
       if (fs.exists(old) && !fs.delete(old, true)) // stale crash leftover
         throw new java.io.IOException(s"upsertAt: cannot clear $old")
       if (!fs.rename(p, old))

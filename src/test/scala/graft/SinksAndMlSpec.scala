@@ -43,6 +43,23 @@ class SinksAndMlSpec extends SparkSpec {
     assert(!new java.io.File(dir + "__upsert_tmp").exists())
   }
 
+  test("upsertAt recovers a crash between the two swap renames") {
+    // simulate the one data-loss window the round-13 advice named: the
+    // previous run renamed path -> __old and died before tmp -> path,
+    // so the table exists ONLY at __old
+    val dir = java.nio.file.Files.createTempDirectory("graftcr").toString +
+      "/tbl"
+    Seq((1L, "old"), (2L, "old")).toDF("k", "src")
+      .write.mode("overwrite").parquet(dir + "__upsert_old")
+    assert(!new java.io.File(dir).exists())
+    Sinks.upsertAt(spark, dir,
+      Seq((2L, "new"), (3L, "new")).toDF("k", "src"), Seq("k"))
+    val out = spark.read.parquet(dir)
+      .orderBy("k").as[(Long, String)].collect()
+    assert(out.toSeq == Seq((1L, "old"), (2L, "new"), (3L, "new")))
+    assert(!new java.io.File(dir + "__upsert_old").exists())
+  }
+
   test("S3+S1 CSV round-trip preserves values through export/import") {
     val dir = java.nio.file.Files.createTempDirectory("graftcsv").toString
     val df = Seq((1L, "a", 1.5), (2L, "b", 2.25)).toDF("id", "s", "v")

@@ -42,6 +42,12 @@ def main():
             best = dt if best is None else min(best, dt)
         if best is not None:
             times[name] = round(best, 4)
+    # Snapshot metadata: the rep count, so Bench can check the
+    # min-of-N symmetry invariant (baseline reps >= BaselineDraws)
+    # from the artifact instead of trusting an unrecorded CLI arg.
+    # Bench's DuckTimes parser filters "__"-prefixed keys out of the
+    # comparable board.
+    times["__reps__"] = reps
     print(json.dumps(times, indent=0, sort_keys=True))
     for n, t in sorted(times.items(), key=lambda kv: -kv[1]):
         print(f"{t:8.3f}  {n}", file=sys.stderr)
