@@ -275,7 +275,7 @@ object Bench {
     "q_cf_user_sims" ->
       "SCALE.md#adjudicated-q_cf_user_sims (ledger-minimal: counts agg + 8.9M pair exchange + job floors; window-iu and cache variants measured worse)",
     "q_corpus_dedup" ->
-      "SCALE.md#adjudicated-q_corpus_dedup (largest stage 0.13s at 24 jobs - pure floor residue; AQE-off cuts jobs but raises wall)",
+      "SCALE.md#adjudicated-q_corpus_dedup + #ledger-r14-q_corpus_dedup (24 jobs, job-wall sum 1.12s, largest 0.15s, rest driver inter-job time; AQE-off cuts jobs but raises wall; isolated steady state 1.41s = 1.56x at draw depth 7)",
     "q_neardup_components_star" ->
       "SCALE.md#adjudicated-q_neardup_components_star (star-contraction FALLBACK: ~30 star-loop job floors intrinsic to O(log n) rounds at toy scale; the primary propagation path q_neardup_components beats DuckDB)",
     "q_rule_matches" ->
