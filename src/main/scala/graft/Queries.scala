@@ -4883,7 +4883,162 @@ object Queries {
       None)
   )
 
+  /** Portable-MinHash signature CTE chain (16 hashes) over an arbitrary
+    * source CTE `srcCte(id, text)`, every CTE name prefixed — the
+    * two-corpus sibling of [[minhashBandedCte]] (same hash family, same
+    * md5-60-bit shingle hash), used by q_neardup_incremental where the
+    * INDEX side and the BATCH side are different frames. Ends at
+    * `<prefix>mh(id, mh0..mh15)` and `<prefix>b(id, band, key)`. */
+  private def mhSigCte(prefix: String, srcCte: String): String = {
+    val p = NearDup.MinHashP
+    val minCols = (0 until 16).map(j =>
+      s"MIN((hp * ${NearDup.MinHashA(j)} + ${NearDup.MinHashB(j)}) " +
+        s"% $p) AS mh$j").mkString(", ")
+    val bands = (0 until 4).map { t =>
+      val key = (0 until 4).map(x => s"CAST(mh${t * 4 + x} AS VARCHAR)")
+        .mkString(" || '_' || ")
+      s"SELECT id, $t AS band, $key AS key FROM ${prefix}mh"
+    }.mkString(" UNION ALL ")
+    s"""${prefix}w AS (SELECT id,
+        string_split_regex(trim(text), '\\s+') AS w FROM $srcCte),
+      ${prefix}sh AS (SELECT DISTINCT id,
+          w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        FROM ${prefix}w, UNNEST(generate_series(1, len(w)-2)) AS t(i)
+        WHERE len(w) >= 3),
+      ${prefix}hp AS (SELECT id,
+        CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % $p AS hp
+        FROM ${prefix}sh),
+      ${prefix}mh AS (SELECT id, $minCols FROM ${prefix}hp GROUP BY id),
+      ${prefix}b AS ($bands)"""
+  }
+
+  /** Shared corpus-token CTE prefix for the heavy-hitter pair — one
+    * definition, two specs (parity + Misra–Gries scale path share the
+    * oracle: bit-equality between the two plans IS the gate). */
+  private def heavyHitterSql(denom: Int): String =
+    s"""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term
+        FROM documents),
+      tk AS (SELECT term FROM tok WHERE term <> ''),
+      n AS (SELECT COUNT(*) AS total FROM tk),
+      c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM tk
+        GROUP BY term)
+      SELECT term, cnt,
+        floor(CAST(cnt AS DOUBLE) / total * 1e6 + 0.5) / 1e6 AS share
+      FROM c, n WHERE cnt * $denom > total
+      ORDER BY cnt DESC, term"""
+
+  /** Round-14 additions: corpus vocabulary statistics (exact heavy
+    * hitters with a Misra–Gries scale path, the tokenizer-cutoff
+    * coverage curve, a blocked inverted index) and incremental
+    * MinHash near-dup against a persisted signature index. */
+  private def r14Specs: Seq[Spec] = Seq(
+
+    // ------------------- exact frequent terms, parity plan (vocab-wide
+    // term-grain aggregate + exact BIGINT threshold)
+    Spec("q_heavy_hitters",
+      (s, dir) => HeavyHitters.frequentTerms(t(s, dir).documents,
+        "text", 30),
+      Some(heavyHitterSql(30))),
+
+    // ---------------- the SAME result via the two-scan Misra–Gries
+    // plan: per-partition k-counter summaries → candidate superset →
+    // broadcast-semi-join exact recount. The final exchange carries
+    // candidates only, never the vocabulary — the 100 TB path. Gated by
+    // the IDENTICAL oracle (bit-equality between plans is the gate).
+    Spec("q_heavy_hitters_mg",
+      (s, dir) => HeavyHitters.frequentTermsMG(t(s, dir).documents,
+        "text", 30),
+      Some(heavyHitterSql(30))),
+
+    // ------------------- vocab-size / token-coverage trade-off table
+    // (tokenizer min-count selection); the global cumsum runs at
+    // DISTINCT-FREQUENCY grain (O(√corpus)), never vocab grain.
+    Spec("q_vocab_coverage",
+      (s, dir) => Terms.vocabCoverage(t(s, dir).documents,
+        "doc_id", "text", 2L),
+      Some("""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term
+          FROM documents),
+        tk AS (SELECT term FROM tok WHERE term <> ''),
+        tc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM tk
+          GROUP BY term),
+        f AS (SELECT cnt, CAST(COUNT(*) AS BIGINT) AS n_terms_at FROM tc
+          GROUP BY cnt),
+        n AS (SELECT CAST(SUM(cnt * n_terms_at) AS BIGINT) AS total
+          FROM f),
+        cum AS (SELECT cnt, n_terms_at,
+          CAST(SUM(n_terms_at) OVER (ORDER BY cnt DESC) AS BIGINT)
+            AS vocab_size,
+          CAST(SUM(cnt * n_terms_at) OVER (ORDER BY cnt DESC) AS BIGINT)
+            AS tokens_covered
+          FROM f)
+        SELECT cnt AS min_count, n_terms_at, vocab_size, tokens_covered,
+          floor(CAST(tokens_covered AS DOUBLE) / total * 1e6 + 0.5) / 1e6
+            AS coverage
+        FROM cum, n WHERE cnt >= 2 ORDER BY min_count DESC""")),
+
+    // -------------------------- blocked inverted index: one row per
+    // (term, ≤64-doc posting block) — the block cap bounds per-reducer
+    // state under stop-word skew and parallelizes hot-term reads.
+    Spec("q_inverted_index",
+      (s, dir) => Terms.invertedIndex(t(s, dir).documents,
+        "doc_id", "text", 64),
+      Some("""WITH p AS (SELECT DISTINCT doc_id AS doc, term FROM
+          (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents) WHERE term <> ''),
+        r AS (SELECT term, doc,
+          ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc) AS rn,
+          CAST(COUNT(*) OVER (PARTITION BY term) AS BIGINT) AS df FROM p)
+        SELECT term, df, CAST((rn - 1) // 64 AS BIGINT) AS block_id,
+          CAST(COUNT(*) AS BIGINT) AS n_in_block,
+          string_agg(CAST(doc AS VARCHAR), ',' ORDER BY doc) AS postings
+        FROM r GROUP BY term, df, block_id
+        ORDER BY term, block_id""")),
+
+    // --------------- incremental near-dup: a new ingest batch against
+    // the PERSISTED corpus signature index — banded-LSH collisions,
+    // Broder-estimator verification over the stored signatures (corpus
+    // text never touched; the exact-verify sibling is the batch-mode
+    // q_minhash_lsh). Batch fixture: exact copies (doc_id%5=0),
+    // near-copies with an appended tail (%5=1), fresh docs (rest).
+    // Both the hash family and the estimator are mirrored in SQL.
+    Spec("q_neardup_incremental",
+      (s, dir) => {
+        val docs = t(s, dir).documents
+        val corp = docs.selectExpr("doc_id AS id", "text")
+        val batch = docs.selectExpr("doc_id + 100000 AS id",
+          "CASE WHEN doc_id % 5 = 0 THEN text " +
+            "WHEN doc_id % 5 = 1 THEN text || ' batchnew tail' " +
+            "ELSE 'fresh batch doc ' || doc_id END AS text")
+        NearDup.minHashIncremental(
+          NearDup.minHashSignatures(corp, "id", "text"),
+          NearDup.minHashSignatures(batch, "id", "text"),
+          numHashes = 16, bandSize = 4, minMatches = 8)
+      },
+      Some("WITH corp AS (SELECT doc_id AS id, text FROM documents),\n" +
+        """batch AS (SELECT doc_id + 100000 AS id,
+          CASE WHEN doc_id % 5 = 0 THEN text
+            WHEN doc_id % 5 = 1 THEN text || ' batchnew tail'
+            ELSE 'fresh batch doc ' || doc_id END AS text
+          FROM documents),
+        """ + mhSigCte("c", "corp") + ",\n" +
+        mhSigCte("x", "batch") + """,
+        cand AS (SELECT DISTINCT b.id AS id, a.id AS dup_of
+          FROM xb b JOIN cb a ON a.band = b.band AND a.key = b.key),
+        scored AS (SELECT c.id, c.dup_of, CAST((""" +
+        (0 until 16).map(j =>
+          s"CASE WHEN bm.mh$j = cm.mh$j THEN 1 ELSE 0 END")
+          .mkString(" + ") + """) AS BIGINT) AS matches
+          FROM cand c JOIN xmh bm ON bm.id = c.id
+          JOIN cmh cm ON cm.id = c.dup_of)
+        SELECT id, dup_of, matches,
+          floor(CAST(matches AS DOUBLE) / 16 * 1e6 + 0.5) / 1e6
+            AS est_jaccard
+        FROM scored WHERE matches >= 8
+        ORDER BY id, matches DESC, dup_of"""))
+  )
+
   val specs: Seq[Spec] = coreSpecs ++ statsSpecs ++ mlSpecs ++
     heuristicSpecs ++ miscSpecs ++ llmSpecs ++ sinkSpecs ++
-    textPipelineSpecs ++ streamingSpecs ++ curationSpecs ++ lmPackSpecs
+    textPipelineSpecs ++ streamingSpecs ++ curationSpecs ++ lmPackSpecs ++
+    r14Specs
 }

@@ -352,4 +352,84 @@ object NearDup {
       .select(col("id_a"), col("id_b"), col("hamming"))
       .orderBy(col("hamming"), col("id_a"), col("id_b"))
   }
+
+  /** PERSISTABLE per-doc MinHash signature table (id, mh0..mh{n−1}) —
+    * the standing index an INCREMENTAL near-dup ingest writes once per
+    * corpus and joins every new batch against ([[minHashIncremental]]).
+    * Same fused native signature stage and hash family as
+    * [[minHashPortableUnsorted]] (InvariantsCheck pins the constants),
+    * so signatures written by one and read by the other agree bit-wise.
+    * Docs with < w words drop out (no signature). */
+  def minHashSignatures(docs: DataFrame, id: String, text: String,
+                        w: Int = 3, numHashes: Int = 16): DataFrame = {
+    require(numHashes <= MinHashA.size)
+    graft.plans.GraftExtensions.register(docs.sparkSession)
+    val spread = docs.select(col(id), col(text)).repartition(
+      math.max(docs.sparkSession.sparkContext.defaultParallelism, 2),
+      col(id))
+    val perRow = spread
+      .select(col(id).as("id"),
+        call_function("minhash_sig", col(text), lit(w), lit(numHashes))
+          .as("__sig"))
+      .where(size(col("__sig")) > 0)
+    perRow.groupBy(col("id")).agg(
+      min(element_at(col("__sig"), 1)).as("mh0"),
+      (1 until numHashes).map(j =>
+        min(element_at(col("__sig"), j + 1)).as(s"mh$j")): _*)
+  }
+
+  /** Banded LSH keys off a signature table: (id, band, key). */
+  def bandedKeys(sigs: DataFrame, numHashes: Int,
+                 bandSize: Int): DataFrame = {
+    require(numHashes % bandSize == 0)
+    val nBands = numHashes / bandSize
+    sigs.select(col("id"), explode(array((0 until nBands).map { t =>
+        struct(lit(t).as("band"),
+          concat_ws("_", (0 until bandSize).map(x =>
+            col(s"mh${t * bandSize + x}")): _*).as("key"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.key"))
+  }
+
+  /** INCREMENTAL near-duplicate detection of a new `batchSigs` batch
+    * against a standing `index` signature table (both shaped like
+    * [[minHashSignatures]] output; the index side is typically
+    * `spark.read.parquet(...)` of a previously persisted run — corpus
+    * TEXT is never touched). Candidates are banded-LSH key collisions;
+    * similarity is the Broder estimator over the PERSISTED signatures
+    * (matching components / numHashes — at 100 TB the corpus bodies are
+    * in cold storage, and the estimator is exactly what the stored index
+    * can answer; the exact-verify variant is the batch-mode
+    * [[minHashPortable]]). Keeps pairs with ≥ `minMatches` agreeing
+    * components (an exact integer threshold — no float ever decides
+    * membership) and returns (id, dup_of, matches, est_jaccard).
+    *
+    * Scale shape: one (band, key) equi-join of two banded frames (batch
+    * side is the small new ingest), a candidate-grain distinct, then two
+    * id-keyed joins back to the signature tables — the signature frames
+    * are doc-grain and the candidate set is collision-bounded; nothing
+    * is ever all-pairs. */
+  def minHashIncremental(index: DataFrame, batchSigs: DataFrame,
+                         numHashes: Int = 16, bandSize: Int = 4,
+                         minMatches: Int = 8): DataFrame = {
+    val cand = bandedKeys(batchSigs, numHashes, bandSize)
+      .toDF("id", "band", "key")
+      .join(bandedKeys(index, numHashes, bandSize)
+        .toDF("dup_of", "band", "key"), Seq("band", "key"))
+      .select(col("id"), col("dup_of"))
+      .distinct()
+    val idxRenamed = index.select(col("id").as("dup_of") +:
+      (0 until numHashes).map(j => col(s"mh$j").as(s"cmh$j")): _*)
+    val matches = (0 until numHashes).map(j =>
+      when(col(s"mh$j") === col(s"cmh$j"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    cand.join(batchSigs, Seq("id"))
+      .join(idxRenamed, Seq("dup_of"))
+      .withColumn("matches", matches)
+      .where(col("matches") >= minMatches)
+      .select(col("id"), col("dup_of"), col("matches"),
+        stableRound(col("matches").cast("double") / numHashes, 6)
+          .as("est_jaccard"))
+      .orderBy(col("id"), col("matches").desc, col("dup_of"))
+  }
 }

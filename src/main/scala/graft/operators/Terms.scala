@@ -127,4 +127,78 @@ object Terms {
         stableRound(col("klm").cast("double")
           / (col("c_s").cast("double") * 1e6), 6).as("kl_corpus"))
   }
+
+  /** Vocabulary-size / token-coverage trade-off table — the pass that
+    * picks a tokenizer vocab cutoff ("how many tokens does a vocab of
+    * every term seen ≥ c times cover?"). One row per DISTINCT frequency
+    * value c ≥ `minCount`:
+    * (min_count=c, n_terms_at, vocab_size=Σ_{c'≥c} terms,
+    *  tokens_covered=Σ_{c'≥c} c'·terms, coverage=tokens_covered/total),
+    * ordered min_count desc (rarer cutoffs extend the table downward).
+    *
+    * 100 TB shape: the corpus-wide work is the term-count aggregate
+    * (vocab grain) followed by a frequency-grain re-aggregate; the
+    * cumulative window then runs over DISTINCT FREQUENCY VALUES only.
+    * For a Zipfian corpus of n tokens that grain is O(√n) (counts
+    * c > √n contribute at most √n distinct values; counts c ≤ √n at
+    * most √n values), i.e. ~10⁷ rows at 100 TB — a single-partition
+    * ordered window over it is deliberate and safe, and is the step
+    * that makes the global cumsum scale-free. Coverage is the only
+    * float (count ratio, rounded 6). */
+  def vocabCoverage(docs: DataFrame, id: String, text: String,
+                    minCount: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byFreq = termCounts(docs, id, text)
+      .groupBy(col("term")).agg(sum(col("tf")).as("cnt"))
+      .groupBy(col("cnt"))
+      .agg(count(lit(1)).as("n_terms_at"))
+    val total = byFreq.select(
+      sum(col("cnt") * col("n_terms_at")).as("total"))
+    val w = Window.orderBy(col("cnt").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byFreq
+      .withColumn("vocab_size", sum(col("n_terms_at")).over(w))
+      .withColumn("tokens_covered",
+        sum(col("cnt") * col("n_terms_at")).over(w))
+      .where(col("cnt") >= minCount)
+      .crossJoin(broadcast(total))
+      .select(col("cnt").as("min_count"), col("n_terms_at"),
+        col("vocab_size"), col("tokens_covered"),
+        stableRound(col("tokens_covered").cast("double") / col("total"),
+          6).as("coverage"))
+      .orderBy(col("min_count").desc)
+  }
+
+  /** Distributed inverted index with HOT-TERM POSTING BLOCKS: one row
+    * per (term, block) where a block holds ≤ `blockSize` doc ids in
+    * ascending order — (term, df, block_id, n_in_block, postings). The
+    * block cap is the scale contract: a web-scale stop-word's posting
+    * list is O(corpus docs), and a single (term)-grain aggregate row
+    * holding it would concentrate the corpus in one reducer buffer;
+    * blocking bounds per-group state at `blockSize` ids and lets a
+    * query engine read a hot term's blocks in parallel.
+    *
+    * Plan: distinct (term, doc) postings → one term-keyed exchange
+    * carrying row_number + df windows → (term, block) re-aggregate
+    * (map-side combined, each group ≤ blockSize rows). */
+  def invertedIndex(docs: DataFrame, id: String, text: String,
+                    blockSize: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val postings = docs.repartition(width(docs))
+      .select(col(id).as("doc"),
+        explode(split(col(text), " ")).as("term"))
+      .where(col("term") =!= "")
+      .distinct()
+    val byTerm = Window.partitionBy(col("term"))
+    val ranked = postings
+      .withColumn("rn", row_number().over(byTerm.orderBy(col("doc"))))
+      .withColumn("df", count(lit(1)).over(byTerm))
+      .withColumn("block_id",
+        floor((col("rn") - 1) / blockSize).cast("long"))
+    ranked.groupBy(col("term"), col("df"), col("block_id"))
+      .agg(count(lit(1)).as("n_in_block"),
+        concat_ws(",", transform(array_sort(collect_list(col("doc"))),
+          d => d.cast("string"))).as("postings"))
+      .orderBy(col("term"), col("block_id"))
+  }
 }

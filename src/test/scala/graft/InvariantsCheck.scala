@@ -565,4 +565,22 @@ object InvariantsCheck extends Properties("graft.invariants") {
           .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
       scores(docs, 1) == scores(docs.reverse, 5)
     }
+
+  property("heavy hitters: the Misra-Gries two-scan plan equals the " +
+      "parity aggregate for arbitrary corpora, partitionings and " +
+      "thresholds") =
+    forAll(
+      Gen.nonEmptyListOf(Gen.nonEmptyListOf(
+        Gen.frequency(5 -> Gen.const("hot"), 3 -> Gen.const("warm"),
+          2 -> Gen.identifier.map(_.take(4)))).map(_.mkString(" "))),
+      Gen.choose(2, 12), Gen.choose(1, 7)) { (texts, denom, parts) =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text").repartition(parts)
+      val a = graft.operators.HeavyHitters.frequentTerms(df, "text", denom)
+        .collect().map(_.toSeq).toSeq
+      val b = graft.operators.HeavyHitters
+        .frequentTermsMG(df, "text", denom)
+        .collect().map(_.toSeq).toSeq
+      a == b
+    }
 }
