@@ -5034,7 +5034,49 @@ object Queries {
           floor(CAST(matches AS DOUBLE) / 16 * 1e6 + 0.5) / 1e6
             AS est_jaccard
         FROM scored WHERE matches >= 8
-        ORDER BY id, matches DESC, dup_of"""))
+        ORDER BY id, matches DESC, dup_of""")),
+
+    // ------------------ conjunctive retrieval THROUGH the blocked
+    // index: the IN-list prunes index rows before the explode (pushes
+    // to the scan on a persisted index); the oracle computes the same
+    // answer directly from documents — the index is lossless, so equal
+    // results prove the index round-trips retrieval.
+    Spec("q_index_search",
+      (s, dir) => Terms.searchIndex(
+        Terms.invertedIndex(t(s, dir).documents, "doc_id", "text", 64),
+        Seq("join", "dup")),
+      Some("""WITH p AS (SELECT DISTINCT doc_id, term FROM
+          (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents) WHERE term IN ('join', 'dup'))
+        SELECT doc_id FROM p GROUP BY doc_id HAVING COUNT(*) = 2
+        ORDER BY doc_id""")),
+
+    // ----------------- CORPUS-scale BPE training: the byte-touching
+    // word-frequency aggregation is distributed (one word-grain
+    // exchange); only the aggregated dictionary reaches the driver
+    // merge loop. Rows-only by necessity (a ranked greedy merge loop is
+    // not ANSI-SQL-expressible) but the gate REQUIREs BIT-EQUALITY with
+    // the in-memory trainer over the identical corpus — the
+    // distributed-count + order-free-loop decomposition proven exact,
+    // the same discipline as the q_pack_spans distributed prefix sum.
+    Spec("q_bpe_train",
+      (s, dir) => {
+        import graft.functions.Bpe
+        val docs = t(s, dir).documents
+        val dist = Bpe.trainOnCorpus(docs, "text", numMerges = 60)
+        val local = Bpe.train(
+          docs.select(col("text")).where(col("text").isNotNull)
+            .collect().iterator.map(_.getString(0)), 60)
+        require(dist.pairs == local.pairs,
+          s"q_bpe_train: distributed-count training diverged from the " +
+            s"in-memory trainer (${dist.pairs.length} vs " +
+            s"${local.pairs.length} merges)")
+        import s.implicits._
+        dist.pairs.zipWithIndex
+          .map { case ((a, b), r) => (r.toLong, a, b) }
+          .toDF("rank", "left", "right").orderBy(col("rank"))
+      },
+      None)
   )
 
   val specs: Seq[Spec] = coreSpecs ++ statsSpecs ++ mlSpecs ++

@@ -227,11 +227,22 @@ object Bpe {
           wordFreq.merge(syms, 1L, (a, b) => a + b)
       }
     }
-    val merges = IndexedSeq.newBuilder[(String, String)]
-    var words = {
+    trainFromWordFreq({
       import scala.jdk.CollectionConverters._
       wordFreq.asScala.toVector
-    }
+    }, numMerges)
+  }
+
+  /** The merge-learning loop proper, over an already-aggregated
+    * word-frequency table (symbol-vector → corpus count). ORDER-FREE:
+    * every step is a max under a total ordering or a content-keyed
+    * re-aggregation, so any enumeration of the same multiset yields the
+    * identical merge list — the property that lets [[trainOnCorpus]]'s
+    * distributed count feed the same loop bit-equally. */
+  private def trainFromWordFreq(wordFreq: Vector[(Vector[String], Long)],
+                                numMerges: Int): Merges = {
+    val merges = IndexedSeq.newBuilder[(String, String)]
+    var words = wordFreq
     var iter = 0
     var exhausted = false
     while (iter < numMerges && !exhausted) {
@@ -289,6 +300,35 @@ object Bpe {
     val rows = docs.select(col(text)).where(col(text).isNotNull)
       .orderBy(col(id)).limit(sampleRows).collect()
     train(rows.iterator.map(_.getString(0)), numMerges)
+  }
+
+  /** CORPUS-scale training: the word-frequency aggregation — the only
+    * step that touches every byte — runs DISTRIBUTED (map-side
+    * pre-tokenize, one word-grain exchange with partial combine), and
+    * only the aggregated (word, count) dictionary streams to the driver
+    * merge loop via toLocalIterator (word-TYPE grain: bounded by
+    * vocabulary, not corpus — and `minFreq` floors it further; HF
+    * tokenizers train exactly this way). With `minFreq = 1` the
+    * dictionary is the full multiset and the result is BIT-EQUAL to
+    * [[train]] over the same texts ([[trainFromWordFreq]] is
+    * order-free) — the q_bpe_train gate REQUIREs that parity. At
+    * 100 TB, set `minFreq` > 1: a word type rarer than minFreq cannot
+    * out-count a merge candidate that survives it, and the floor keeps
+    * the driver dict at the heavy-vocab scale a fit box holds. */
+  def trainOnCorpus(docs: DataFrame, text: String, numMerges: Int,
+                    minFreq: Long = 1L): Merges = {
+    import org.apache.spark.sql.Encoders
+    val wordCounts = docs.select(col(text)).where(col(text).isNotNull)
+      .as[String](Encoders.STRING)
+      .mapPartitions(_.flatMap(preTokenize))(Encoders.STRING)
+      .groupBy(col("value").as("w")).agg(count(lit(1)).as("f"))
+      .where(col("f") >= minFreq)
+    val dict = Vector.newBuilder[(Vector[String], Long)]
+    wordCounts.toLocalIterator().forEachRemaining { r =>
+      val syms = toByteSymbols(r.getString(0))
+      if (syms.length >= 2) dict += ((syms, r.getLong(1)))
+    }
+    trainFromWordFreq(dict.result(), numMerges)
   }
 
   /** Column of real BPE token counts — the native, codegen'd counterpart

@@ -412,21 +412,36 @@ object NearDup {
   def minHashIncremental(index: DataFrame, batchSigs: DataFrame,
                          numHashes: Int = 16, bandSize: Int = 4,
                          minMatches: Int = 8): DataFrame = {
-    val cand = bandedKeys(batchSigs, numHashes, bandSize)
-      .toDF("id", "band", "key")
-      .join(bandedKeys(index, numHashes, bandSize)
-        .toDF("dup_of", "band", "key"), Seq("band", "key"))
-      .select(col("id"), col("dup_of"))
-      .distinct()
-    val idxRenamed = index.select(col("id").as("dup_of") +:
-      (0 until numHashes).map(j => col(s"mh$j").as(s"cmh$j")): _*)
+    // signatures ride the banded frames THROUGH the (band, key) join —
+    // duplicating the 16 components across the nBands exploded rows is
+    // deliberate: it means the standing index is scanned and exchanged
+    // exactly ONCE (the band join), where a slimmer banded frame would
+    // need a second full index pass (an id-keyed join) just to fetch
+    // candidate signatures for the estimator. The estimator value is
+    // identical on every band a pair collides in, so the trailing
+    // pair-grain max is a pure dedup.
+    def banded(sigs: DataFrame, idAs: String, pfx: String) = {
+      val nBands = numHashes / bandSize
+      sigs.select(
+        col("id").as(idAs) +:
+        (0 until numHashes).map(j => col(s"mh$j").as(s"$pfx$j")) :+
+        explode(array((0 until nBands).map { t =>
+          struct(lit(t).as("band"),
+            concat_ws("_", (0 until bandSize).map(x =>
+              col(s"mh${t * bandSize + x}")): _*).as("key"))
+        }: _*)).as("bk"): _*)
+        .select(col(idAs) +: (0 until numHashes)
+          .map(j => col(s"$pfx$j")) :+ col("bk.band") :+ col("bk.key"): _*)
+    }
     val matches = (0 until numHashes).map(j =>
-      when(col(s"mh$j") === col(s"cmh$j"), 1L).otherwise(0L))
+      when(col(s"b$j") === col(s"c$j"), 1L).otherwise(0L))
       .reduce(_ + _)
-    cand.join(batchSigs, Seq("id"))
-      .join(idxRenamed, Seq("dup_of"))
-      .withColumn("matches", matches)
-      .where(col("matches") >= minMatches)
+    banded(batchSigs, "id", "b")
+      .join(banded(index, "dup_of", "c"), Seq("band", "key"))
+      .withColumn("m", matches)
+      .where(col("m") >= minMatches)
+      .groupBy(col("id"), col("dup_of"))
+      .agg(max(col("m")).as("matches")) // same value per band — dedup
       .select(col("id"), col("dup_of"), col("matches"),
         stableRound(col("matches").cast("double") / numHashes, 6)
           .as("est_jaccard"))

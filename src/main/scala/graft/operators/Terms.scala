@@ -201,4 +201,24 @@ object Terms {
           d => d.cast("string"))).as("postings"))
       .orderBy(col("term"), col("block_id"))
   }
+
+  /** Conjunctive (AND) retrieval THROUGH a blocked inverted index
+    * ([[invertedIndex]] shape): doc ids containing EVERY query term.
+    * The IN-list filter prunes the index before anything explodes —
+    * against a PERSISTED index that predicate pushes to the scan, so
+    * the job reads the query terms' blocks, never the index; the
+    * doc-grain aggregate then carries only docs that hit ≥ 1 term.
+    * (term, doc) is unique by index construction, so a plain count
+    * equals the distinct-term hit count. */
+  def searchIndex(index: DataFrame, terms: Seq[String]): DataFrame = {
+    val want = terms.distinct
+    index.where(col("term").isin(want: _*))
+      .select(explode(split(col("postings"), ",")).as("doc"))
+      .select(col("doc").cast("long").as("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hit"))
+      .where(col("n_hit") === want.length)
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -130,6 +130,24 @@ class VocabOpsSpec extends SparkSpec {
     assert(out.length == 1 && out.head.getLong(2) >= 8L)
   }
 
+  test("index search: conjunctive retrieval through the blocked index " +
+      "equals the direct answer, including multi-block terms") {
+    // blockSize 2 forces "hot" (20 docs) across 10 blocks — retrieval
+    // must union a term's blocks before intersecting
+    val idx = Terms.invertedIndex(skewed, "doc_id", "text", 2)
+    val hit = Terms.searchIndex(idx, Seq("hot", "tail3"))
+      .collect().map(_.getLong(0))
+    // tail3 occurs once, in the doc holding global token 3 (doc 0)
+    assert(hit.toSeq == Seq(0L))
+    // all-docs term alone returns every doc
+    assert(Terms.searchIndex(idx, Seq("hot")).count() == 20L)
+    // duplicate query terms must not double-count
+    assert(Terms.searchIndex(idx, Seq("hot", "hot", "tail3"))
+      .collect().map(_.getLong(0)).toSeq == Seq(0L))
+    // an absent term empties the conjunction
+    assert(Terms.searchIndex(idx, Seq("hot", "nosuchterm")).count() == 0L)
+  }
+
   test("heavy hitters MG plan: the recount joins THROUGH a broadcast " +
       "(candidates are never shuffled against the token stream)") {
     val plan = HeavyHitters.frequentTermsMG(skewed, "text", 8)
