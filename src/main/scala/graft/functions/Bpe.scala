@@ -312,9 +312,14 @@ object Bpe {
     * dictionary is the full multiset and the result is BIT-EQUAL to
     * [[train]] over the same texts ([[trainFromWordFreq]] is
     * order-free) — the q_bpe_train gate REQUIREs that parity. At
-    * 100 TB, set `minFreq` > 1: a word type rarer than minFreq cannot
-    * out-count a merge candidate that survives it, and the floor keeps
-    * the driver dict at the heavy-vocab scale a fit box holds. */
+    * 100 TB, set `minFreq` > 1 to keep the driver dict at the
+    * heavy-vocab scale a fit box holds — as an APPROXIMATION: a pair's
+    * count aggregates over many word types, so dropping the sub-minFreq
+    * tail removes their collective pair mass and can change which merges
+    * are learned (not merely prune unviable candidates). The gate proves
+    * parity at minFreq = 1 only; minFreq > 1 is the standard
+    * frequency-floor trade (HF tokenizers' `min_frequency`), documented
+    * divergence like ALS vs the exact CF path. */
   def trainOnCorpus(docs: DataFrame, text: String, numMerges: Int,
                     minFreq: Long = 1L): Merges = {
     import org.apache.spark.sql.Encoders

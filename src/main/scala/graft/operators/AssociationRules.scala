@@ -436,4 +436,80 @@ object AssociationRules {
       .fit(baskets)
       .associationRules
   }
+
+  /** The SINGLE-ANTECEDENT slice of FP-Growth's rule output, computed
+    * NATIVELY as a relational plan instead of through MLlib's PFP tree
+    * traversal. Semantics are exactly MLlib's for 1→1 rules over the
+    * same size-filtered baskets ([[basketItems]]): by downward closure a
+    * frequent pair's single-item antecedent is itself frequent, so the
+    * slice is fully determined by pair counts, item counts, and the
+    * filtered-basket total —
+    *   support    = pair_baskets / n      (n = baskets after size filter)
+    *   confidence = pair_baskets / antecedent_baskets
+    *   lift       = confidence / (consequent_baskets / n)
+    * with rules emitted in BOTH directions and filtered by
+    * `support >= minSupport && confidence >= minConfidence` (MLlib's
+    * gates). Equality with [[fpGrowthRules]]' own 1→1 slice is pinned in
+    * AssociationRulesSpec; the multi-itemset path stays on MLlib.
+    *
+    * Why this exists: MLlib FPGrowth pays a per-partition conditional-
+    * tree-build constant plus three scans of the cached basket frame —
+    * measured at 3.4-3.5 s at sf0.1 (5.5× the 0.6 s single-node mirror,
+    * the board's worst adjudicated ratio in r14) — for a query whose
+    * gated output never needs itemsets beyond pairs. This plan is the
+    * engine's proven pair machinery: ONE basket-grain collect_set
+    * exchange feeding the pair explosion, the per-item counts, and the
+    * single-row total via ReuseExchange; counts and total attach by
+    * broadcast. All ratio inputs are exact integer counts, so the double
+    * arithmetic is bit-deterministic cross-engine. */
+  def fpGrowthPairRules(tx: DataFrame, basket: String, item: String,
+                        params: Params = Params()): DataFrame = {
+    // Per-basket arrays materialized ONCE (localCheckpoint EAGER — the
+    // Collab.cfFamily precedent): the plan consumes them four times
+    // (basket total, the two count broadcasts, the pair explosion), and
+    // lazily each consumer re-reads the basket exchange and re-runs the
+    // collect_set final-agg + explode as its own serialized broadcast
+    // job (profiled: four 600 k-row shuffle-read stages, 0.4-0.8 s each
+    // at sf0.1). The checkpoint pays one blocking job and every
+    // consumer reads executor-local basket arrays. Cluster caveat as
+    // documented on cfFamily: local checkpoints are not executor-loss
+    // tolerant — swap for reliable checkpoint / cache on a real cluster
+    // if lineage re-derivation is unacceptable.
+    val baskets = basketItems(tx, basket, item, params.maxBasketSize)
+      .localCheckpoint(true)
+    // total baskets via a post-checkpoint count ACTION (the
+    // fpGrowthRules precedent — the barrier is already paid, so the
+    // count reads local blocks) rather than a single-row aggregate
+    // broadcast: profiled, the lazy form spent two single-task jobs
+    // (~0.5 s of pure scheduling floor) materializing one number
+    val nBaskets = baskets.count()
+    // item counts checkpointed too (item-grain, vocabulary-sized):
+    // lazily, EACH of the two broadcast subtrees below re-explodes every
+    // basket array to re-derive them (profiled as the plan's 2nd-worst
+    // stage); materialized once, both broadcasts read the tiny frame
+    val counts = baskets.select(explode(col("items")).as("item"))
+      .groupBy(col("item")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    // both per-item counts attach to the FORWARD (a < b) pair grain —
+    // half the broadcast-probe rows of joining after the direction
+    // union — and the reverse direction is then a pure PROJECTION
+    // (swap roles, divide by the other count), the bothDirections
+    // trick; ReuseExchange shares the pair aggregate under the union.
+    val pairs = explodePairs(baskets)
+      .join(broadcast(counts.toDF("item_a", "ca")), Seq("item_a"))
+      .join(broadcast(counts.toDF("item_b", "cb")), Seq("item_b"))
+    def dir(ant: Column, cons: Column, cAnt: Column,
+            cCons: Column): DataFrame = {
+      val conf = col("pair_baskets").cast("double") / cAnt
+      pairs.select(ant.as("antecedent"), cons.as("consequent"),
+        conf.as("confidence"),
+        (conf / (cCons.cast("double") / lit(nBaskets))).as("lift"),
+        (col("pair_baskets").cast("double") / lit(nBaskets)).as("support"))
+    }
+    dir(col("item_a"), col("item_b"), col("ca"), col("cb"))
+      .unionByName(
+        dir(col("item_b"), col("item_a"), col("cb"), col("ca")))
+      .where(col("support") >= params.minSupport
+        && col("confidence") >= params.minConfidence)
+  }
 }

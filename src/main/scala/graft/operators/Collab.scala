@@ -346,7 +346,8 @@ object Collab {
   def scoreCandidatesDirect(counts: DataFrame,
                             targetFilter: Column => Column,
                             maxItemUsers: Option[Int] =
-                              Some(DefaultMaxItemUsers)): DataFrame = {
+                              Some(DefaultMaxItemUsers),
+                            topNeighbors: Option[Int] = None): DataFrame = {
     // The scoring join keeps [[scoreFromSym]]'s SMJ-on-u2 shape — two
     // broadcast variants were measured and REJECTED at sf0.1: (a)
     // repartition pair table by target + broadcast the full partner
@@ -362,8 +363,26 @@ object Collab {
     // only (same predicate, pushed manually — Catalyst cannot infer that
     // scored.u is target-only), so it broadcasts instead of
     // re-exchanging the candidate frame.
-    val sym = directedSimilarities(counts, targetFilter, maxItemUsers)
+    val sym0 = directedSimilarities(counts, targetFilter, maxItemUsers)
       .where(col("cos") > 0)
+    // optional NEIGHBOR CAP — the 100 TB scale lever for the scoring
+    // stream: the parity semantics sum over ALL sim>0 partners
+    // (`collab_filter.py:67-72` — a 14.6 M-row scoring stream at sf0.1,
+    // the board's adjudicated 5.5× weak entry), but with the partner set
+    // capped at the n most-similar the stream is O(targets · n · items
+    // per partner) regardless of corpus size. Deterministic selection
+    // (cos desc, u2 asc); the window partitions by target, so it rides
+    // the directed frame (targets × partners, small by the broadcast
+    // CONTRACT) — never a corpus-grain sort. n ≥ the user population is
+    // BIT-EQUAL to the uncapped path (the cap selects everything —
+    // gated by the shared oracle, the q_domain_cap precedent); n < that
+    // diverges by design, like ALS vs the exact path.
+    val sym = topNeighbors.fold(sym0) { n =>
+      sym0.withColumn("nbr_rn", row_number().over(
+          Window.partitionBy(col("u1"))
+            .orderBy(col("cos").desc, col("u2").asc)))
+        .where(col("nbr_rn") <= n).drop("nbr_rn")
+    }
     // explicit-N repartitions pin the scoring join's parallelism: the
     // join + partial-agg stage is the query's CPU center (13 M output
     // rows), and AQE's input-size-based coalescing (~10 MB of exchange
@@ -400,6 +419,21 @@ object Collab {
                       maxItemUsers: Option[Int] =
                         Some(DefaultMaxItemUsers)): DataFrame =
     topK(scoreCandidatesDirect(counts, targetFilter, maxItemUsers), k)
+
+  /** [[recommendDirect]] with the partner set capped at each target's
+    * `nNeighbors` most-similar users before scoring — the DOCUMENTED
+    * graduation path off the parity semantics' all-partner scoring
+    * stream (see the neighbor-cap note in [[scoreCandidatesDirect]]):
+    * standard top-n-neighborhood user CF. `nNeighbors` ≥ the user
+    * population reproduces [[recommendDirect]] bit-for-bit (oracle-gated
+    * as q_cf_recommendations_topn); smaller n trades the tail of weak
+    * partners for a scoring stream bounded per target. */
+  def recommendTopNeighbors(counts: DataFrame, k: Int, nNeighbors: Int,
+                            targetFilter: Column => Column,
+                            maxItemUsers: Option[Int] =
+                              Some(DefaultMaxItemUsers)): DataFrame =
+    topK(scoreCandidatesDirect(counts, targetFilter, maxItemUsers,
+      Some(nNeighbors)), k)
 
   /** ALS latent-factor recommendations — the DOCUMENTED extreme-scale
     * alternative to the neighborhood model (SURVEY §7.5's own

@@ -56,10 +56,19 @@ object HeavyHitters {
   /** (term, cnt, share) for every term with `cnt · denom > total`
     * (strictly more than a 1/denom share of all tokens), share rounded
     * to 6 decimals; ordered cnt desc, term asc. The threshold compare is
-    * exact BIGINT — no ratio float ever decides membership. */
-  def frequentTerms(docs: DataFrame, text: String, denom: Int): DataFrame =
-    finish(tokens(docs, text).groupBy(col("term"))
-      .agg(count(lit(1)).as("cnt")), docs, text, denom)
+    * exact BIGINT — no ratio float ever decides membership.
+    *
+    * ONE tokenize scan: the corpus token total is `SUM(cnt)` over the
+    * SAME term-grain aggregate that produces the counts, so the two
+    * consumers share the term-hash Exchange (ReuseExchange — pinned in
+    * VocabOpsSpec) and the second pass is over the vocabulary, not the
+    * corpus. (r14 shipped a separate `tokens(...).count`-shaped total —
+    * a full extra tokenize of every byte; the r14 advice caught it.) */
+  def frequentTerms(docs: DataFrame, text: String, denom: Int): DataFrame = {
+    val counts = tokens(docs, text).groupBy(col("term"))
+      .agg(count(lit(1)).as("cnt"))
+    finish(counts, counts.select(sum(col("cnt")).as("total")), denom)
+  }
 
   /** MG counter budget for a 1/denom threshold: k = denom is the
     * smallest k with the superset guarantee (k + 1 > denom). */
@@ -74,15 +83,23 @@ object HeavyHitters {
   def frequentTermsMG(docs: DataFrame, text: String, denom: Int): DataFrame = {
     val k = mgCounters(denom)
     val toks = tokens(docs, text)
-    val candidates = toks.select(col("term")).as[String](Encoders.STRING)
+    // scan 1 emits ≤ k candidate rows PLUS one sentinel row carrying the
+    // partition's exact token count (term = null, unreachable for real
+    // tokens), so the corpus total rides the same pass — r14 derived it
+    // from a third full tokenize, which the advice flagged. The summary
+    // is ≤ (k+1)·P rows; caching it costs nothing and lets the candidate
+    // and total consumers split it without re-running the scan.
+    val summary = toks.select(col("term")).as[String](Encoders.STRING)
       .mapPartitions { it =>
         // classic MG: k counters; a miss with a full table decrements
         // every counter (amortized O(1) per token: each decrement sweep
         // removes ≥ 1 full "round" of k distinct tokens, so at most
         // n/(k+1) sweeps of cost O(k) occur)
         val counters = new scala.collection.mutable.HashMap[String, Long]
+        var nTokens = 0L
         while (it.hasNext) {
           val t = it.next()
+          nTokens += 1L
           counters.get(t) match {
             case Some(c) => counters.update(t, c + 1L)
             case None if counters.size < k => counters.update(t, 1L)
@@ -94,20 +111,24 @@ object HeavyHitters {
               dead.foreach(counters.remove)
           }
         }
-        counters.keysIterator
-      }(Encoders.STRING)
-      .toDF("term").distinct()
+        counters.keysIterator.map(t => (t, 0L)) ++
+          Iterator((null: String, nTokens))
+      }(Encoders.tuple(Encoders.STRING, Encoders.scalaLong))
+      .toDF("term", "n").cache()
+    val candidates = summary.where(col("term").isNotNull)
+      .select(col("term")).distinct()
+    val total = summary.where(col("term").isNull)
+      .select(sum(col("n")).as("total"))
     finish(toks.join(broadcast(candidates), Seq("term"), "left_semi")
       .groupBy(col("term")).agg(count(lit(1)).as("cnt")),
-      docs, text, denom)
+      total, denom)
   }
 
   /** Shared tail: attach the corpus token total (single-row aggregate,
     * broadcast — never collected), apply the exact BIGINT threshold,
     * surface the rounded share, order. */
-  private def finish(counts: DataFrame, docs: DataFrame, text: String,
+  private def finish(counts: DataFrame, total: DataFrame,
                      denom: Int): DataFrame = {
-    val total = tokens(docs, text).select(count(lit(1)).as("total"))
     counts.crossJoin(broadcast(total))
       .where(col("cnt") * denom > col("total"))
       .select(col("term"), col("cnt"),

@@ -209,8 +209,19 @@ object Terms {
     * the job reads the query terms' blocks, never the index; the
     * doc-grain aggregate then carries only docs that hit ≥ 1 term.
     * (term, doc) is unique by index construction, so a plain count
-    * equals the distinct-term hit count. */
+    * equals the distinct-term hit count.
+    *
+    * `terms` must be non-empty: the ≥1-hit group makes the vacuous
+    * conjunction ("every doc matches zero terms") unrepresentable, so an
+    * empty list is rejected loudly rather than silently returning zero
+    * rows. Doc ids are assumed NUMERIC (the `documents` contract —
+    * postings serialize as comma-joined integers and re-cast to long
+    * here); a non-numeric id would cast to null and corrupt the count
+    * grain, so string-keyed corpora need an id surrogate first. */
   def searchIndex(index: DataFrame, terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty,
+      "searchIndex needs >= 1 query term: the empty conjunction (all " +
+        "docs) has no blocked-index plan — scan the corpus instead")
     val want = terms.distinct
     index.where(col("term").isin(want: _*))
       .select(explode(split(col("postings"), ",")).as("doc"))

@@ -145,6 +145,36 @@ class AssociationRulesSpec extends SparkSpec {
     fam.unpersist()
   }
 
+  test("fpGrowthPairRules equals MLlib FP-Growth's 1-antecedent slice " +
+      "exactly") {
+    // the native relational plan and MLlib's PFP traversal share NO code
+    // path — agreement cross-validates both (the tripleRules precedent).
+    // Every metric compared at full double precision: both sides divide
+    // the same exact integer counts.
+    val p = Params(minSupport = 0.1, minConfidence = 0.05)
+    def key(a: String, b: String) = (a, b)
+    val fp = AssociationRules.fpGrowthRules(fixture, "basket_id", "item", p)
+      .where(size($"antecedent") === 1 && size($"consequent") === 1)
+      .collect().map { r =>
+        key(r.getSeq[String](0).head, r.getSeq[String](1).head) ->
+          (r.getAs[Double]("support"), r.getAs[Double]("confidence"),
+            r.getAs[Double]("lift"))
+      }.toMap
+    val nat = AssociationRules.fpGrowthPairRules(fixture, "basket_id",
+        "item", p)
+      .collect().map { r =>
+        key(r.getAs[String]("antecedent"), r.getAs[String]("consequent")) ->
+          (r.getAs[Double]("support"), r.getAs[Double]("confidence"),
+            r.getAs[Double]("lift"))
+      }.toMap
+    assert(nat.keySet == fp.keySet, s"rule sets differ: $nat vs $fp")
+    assert(nat.nonEmpty)
+    nat.foreach { case (k, (s, c, l)) =>
+      val (fs, fc, fl) = fp(k)
+      assert(s == fs && c == fc && l == fl, s"metrics differ at $k")
+    }
+  }
+
   test("FPGrowth agrees with pairwise confidence on single-item antecedents") {
     val fp = AssociationRules.fpGrowthRules(fixture, "basket_id", "item",
       Params(minSupport = 0.1, minConfidence = 0.1))

@@ -141,4 +141,55 @@ class DunnhumbyFixtureSpec extends SparkSpec {
         s"churners ${meanP(true)} <= active ${meanP(false)}")
     } finally { scored.unpersist(); () }
   }
+
+  test("EP-4 from disk: differential dispatcher over the fixture yields " +
+      "the golden chi-squared / t / U / KS quadruple") {
+    // quarter mode on the fixture's integer day axis (the reference's
+    // 1-91/92-182/183-273/274+ convention, FIXTURES.md) — the same
+    // basketTotals → cappedSample → compare pipeline compareQuarters
+    // composes, with the group column expressed over day numbers. The
+    // fixture is a closed-form function of the row index, so every
+    // statistic below is a GOLDEN value: stableRound(…, 6) exact, not a
+    // tolerance band. Provenance: the pipeline is oracle-gated
+    // cross-engine by q_differential_quarters; these pins were
+    // additionally re-derived from first principles (numpy-style rank /
+    // cdf / moment arithmetic over the exported capped sample) and
+    // matched to the last printed digit.
+    val quarterOf = when(col("day") <= 91, "Q1")
+      .when(col("day") <= 182, "Q2")
+      .when(col("day") <= 273, "Q3").otherwise("Q4")
+    val capped = operators.Differential.cappedSample(
+      operators.Differential.basketTotalsByGroup(
+        tx, quarterOf, col("basket_id"), col("sales_value")), 2500)
+    val res = operators.Differential.compare(capped, "Q1", "Q2")
+      .collect().map(r => r.getAs[String]("test_name") ->
+        (r.getAs[Double]("statistic"), r.getAs[Long]("n1"),
+          r.getAs[Long]("n2"))).toMap
+    assert(res("welch_t") == (GOLDEN_T, GOLDEN_N1, GOLDEN_N2))
+    assert(res("mann_whitney_u") == (GOLDEN_U, GOLDEN_N1, GOLDEN_N2))
+    assert(res("ks_2samp") == (GOLDEN_KS, GOLDEN_N1, GOLDEN_N2))
+    // the chi-squared leg: demographic-association mode — quarter ×
+    // age over transactions ⋈ household (the engineered churners'
+    // day ≤ 300 activity skews their quarter mix, so the contingency
+    // carries real signal; the pure dimension table is exactly
+    // independent by construction and would pin a degenerate 0.0)
+    val chi = operators.Stats.chiSquare(
+      tx.join(household, Seq("household_key"))
+        .where(col("age_desc").isNotNull),
+      quarterOf, col("age_desc")).head()
+    assert(chi.getAs[Double]("chi2") == GOLDEN_CHI2)
+    // and the scipy boundary produces in-range p-values off the triple
+    val p = operators.Differential.pValues(
+      operators.Differential.compare(capped, "Q1", "Q2").collect(),
+      welchDof = (GOLDEN_N1 + GOLDEN_N2 - 2).toDouble)
+    assert(p.values.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
+  // golden EP-4 values (see the test above for provenance)
+  private val GOLDEN_T = -2.259542
+  private val GOLDEN_U = 463211.0
+  private val GOLDEN_KS = 0.093379
+  private val GOLDEN_CHI2 = 2.956841
+  private val GOLDEN_N1 = 931L
+  private val GOLDEN_N2 = 1062L
 }

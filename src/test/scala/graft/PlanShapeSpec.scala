@@ -38,14 +38,16 @@ class PlanShapeSpec extends SparkSpec {
   private val materializingGates = Set(
     // MLlib training inside fn; result frame is not a pipeline plan
     "q_model_metrics", "q_model_store", "q_churn_model_bands",
-    "q_quality_classifier", "q_fpgrowth_rules", "q_fpgrowth_pairs",
+    // (q_fpgrowth_pairs left this set in r15: the native pair miner is
+    // a pure pipeline plan, so it now takes the cartesian-free assert)
+    "q_quality_classifier", "q_fpgrowth_rules",
     "q_minhash_neardup",
     // real writeStream drains
     "q_stream_windows", "q_stream_dedup", "q_stream_join",
     "q_stream_sessions",
     // write-side round trips
     "q_sink_roundtrip", "q_csv_roundtrip", "q_jdbc_roundtrip",
-    "q_upsert", "q_rec_cache", "q_ann_ivf_indexed")
+    "q_upsert", "q_rec_cache", "q_ann_ivf_indexed", "q_ann_ivf_build")
 
   private def cartesians(plan: SparkPlan): Int = {
     var n = 0

@@ -266,6 +266,30 @@ class SinksAndMlSpec extends SparkSpec {
     }
   }
 
+  test("recommendTopNeighbors: population-sized cap is bit-equal to the " +
+      "uncapped path, and n=1 scores only the single best partner") {
+    // hand-computable fixture: target u1; partners u2 (shares i1,i2 →
+    // cos ≈ 0.845) and u3 (shares i1 → cos ≈ 0.186). u2's unpurchased
+    // item is i4, u3's is i3 — so n=1 must recommend ONLY i4 (via the
+    // top partner) while any n ≥ 2 adds i3; n ≥ population reproduces
+    // recommendDirect bit-for-bit (the q_cf_recommendations_topn gate's
+    // identity contract).
+    val counts = Seq((1L, 1L, 3L), (1L, 2L, 1L), (2L, 1L, 3L),
+      (2L, 2L, 1L), (2L, 4L, 2L), (3L, 3L, 5L), (3L, 1L, 1L))
+      .toDF("u", "i", "c")
+    val filt = (u: org.apache.spark.sql.Column) => u === 1
+    val uncapped = operators.Collab.recommendDirect(counts, 5, filt)
+      .collect().map(_.toSeq).toSet
+    val capped = operators.Collab
+      .recommendTopNeighbors(counts, 5, 1000, filt)
+      .collect().map(_.toSeq).toSet
+    assert(capped == uncapped && capped.nonEmpty)
+    val one = operators.Collab.recommendTopNeighbors(counts, 5, 1, filt)
+      .collect()
+    assert(one.map(r => (r.getAs[Long]("u"), r.getAs[Long]("i"))).toSeq ==
+      Seq((1L, 4L)))
+  }
+
   test("ALS scale path: shape contract + recall overlap vs neighborhood CF") {
     // the documented 100 TB alternative to the neighborhood model
     // (Collab.recommendAls scaladoc): a different algorithm by design,

@@ -99,21 +99,28 @@ class VocabOpsSpec extends SparkSpec {
       (2L, "totally different corpus document about spark plans and " +
         "shuffle exchange reuse in catalyst land")
     ).toDF("id", "text")
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_nd_idx").toString
-    NearDup.minHashSignatures(corp, "id", "text")
-      .write.mode("overwrite").parquet(dir)
-    val index = spark.read.parquet(dir) // the standing, persisted index
-    val batch = Seq(
-      (101L, corp.where($"id" === 1L).head().getString(1)), // exact copy
-      (102L, "entirely fresh text with no overlap at all whatsoever " +
-        "none zero zilch nada nothing here matches")
-    ).toDF("id", "text")
-    val out = NearDup.minHashIncremental(index,
-        NearDup.minHashSignatures(batch, "id", "text"))
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    assert(out.contains((101L, 1L, 16L)))
-    assert(!out.exists(_._1 == 102L))
+    val dirPath = java.nio.file.Files.createTempDirectory("graft_nd_idx")
+    val dir = dirPath.toString
+    try {
+      NearDup.minHashSignatures(corp, "id", "text")
+        .write.mode("overwrite").parquet(dir)
+      val index = spark.read.parquet(dir) // the standing, persisted index
+      val batch = Seq(
+        (101L, corp.where($"id" === 1L).head().getString(1)), // exact copy
+        (102L, "entirely fresh text with no overlap at all whatsoever " +
+          "none zero zilch nada nothing here matches")
+      ).toDF("id", "text")
+      val out = NearDup.minHashIncremental(index,
+          NearDup.minHashSignatures(batch, "id", "text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(out.contains((101L, 1L, 16L)))
+      assert(!out.exists(_._1 == 102L))
+    } finally { // r14 advice: the temp index leaked a dir per test run
+      import java.nio.file.{Files, Path}
+      import scala.jdk.CollectionConverters._
+      Files.walk(dirPath).iterator().asScala.toSeq.reverse
+        .foreach((p: Path) => Files.deleteIfExists(p))
+    }
   }
 
   test("incremental near-dup: a one-word tail edit survives the " +
@@ -154,5 +161,27 @@ class VocabOpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin") ||
       plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("index search: an empty conjunction is rejected loudly, not " +
+      "answered with zero rows") {
+    val idx = Terms.invertedIndex(skewed, "doc_id", "text", 2)
+    intercept[IllegalArgumentException] {
+      Terms.searchIndex(idx, Seq.empty)
+    }
+  }
+
+  test("heavy hitters parity plan: the token total rides the term " +
+      "aggregate's exchange (one tokenize scan, ReusedExchange)") {
+    // r14 derived the total from a second full tokenize of the corpus
+    // (the advice's finding); the fix sums the vocab aggregate itself,
+    // sharing the term-hash exchange — pinned here so a refactor can't
+    // silently reintroduce the extra corpus scan. AQE materializes the
+    // reuse at execution (the initial plan carries two structurally
+    // equal exchanges), so the query runs before the plan is read.
+    val q = HeavyHitters.frequentTerms(skewed, "text", 8)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"), plan)
   }
 }
