@@ -208,6 +208,51 @@ object InvariantsCheck extends Properties("graft.invariants") {
       capped.subsetOf(exact)
     }
 
+  property("CF: recommendTopNeighbors with a population-sized cap is " +
+      "bit-equal to recommendDirect for any purchase matrix") =
+    forAll(Gen.nonEmptyListOf(for {
+      u <- Gen.choose(1L, 8L)
+      i <- Gen.choose(1L, 5L)
+    } yield (u, i))) { rows =>
+      val counts = graft.operators.Collab.userItemCounts(
+        rows.toDF("u0", "i0"), "u0", "i0")
+      val filt = (u: org.apache.spark.sql.Column) => u % 2 === 0
+      def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)) ->
+          r.getDouble(2)).toMap
+      // 8 ≥ the whole user population, so the neighbor cap must select
+      // everything — the q_cf_recommendations_topn identity contract
+      key(graft.operators.Collab.recommendTopNeighbors(counts, 3, 8, filt)) ==
+        key(graft.operators.Collab.recommendDirect(counts, 3, filt))
+    }
+
+  property("fpGrowthPairRules metrics equal brute-force pairwise " +
+      "counting for arbitrary baskets (both directions, exact doubles)") =
+    forAll(basketGen) { rows =>
+      val got = AssociationRules.fpGrowthPairRules(
+        rows.toDF("basket_id", "item"), "basket_id", "item",
+        Params(0.0, 0.0)).collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (r.getAs[Double]("confidence"), r.getAs[Double]("lift"),
+            r.getAs[Double]("support"))).toMap
+      // brute force in plain Scala, zero shared code with the operator
+      val baskets = rows.distinct.groupBy(_._1).values
+        .map(_.map(_._2).toSet).filter(s => s.size >= 2 && s.size <= 500)
+        .toList
+      val n = baskets.size.toDouble
+      val itemN = baskets.flatten.groupBy(identity)
+        .map { case (k, v) => k -> v.size.toDouble }
+      val want = (for {
+        b <- baskets; a <- b; c <- b if a != c
+      } yield (a, c)).groupBy(identity)
+        .map { case ((a, c), hits) =>
+          val pab = hits.size.toDouble
+          (a, c) -> (pab / itemN(a), (pab / itemN(a)) / (itemN(c) / n),
+            pab / n)
+        }
+      got == want
+    }
+
   private val piiTextGen: Gen[String] = for {
     words <- Gen.listOfN(6, Gen.oneOf("call", "me", "at", "the", "office",
       "now", "or", "email"))
