@@ -88,7 +88,9 @@ object HeavyHitters {
     // tokens), so the corpus total rides the same pass — r14 derived it
     // from a third full tokenize, which the advice flagged. The summary
     // is ≤ (k+1)·P rows; caching it costs nothing and lets the candidate
-    // and total consumers split it without re-running the scan.
+    // and total consumers split it without re-running the scan (the
+    // cache is query-local by the harness convention — the runners
+    // clearCache() after each query).
     val summary = toks.select(col("term")).as[String](Encoders.STRING)
       .mapPartitions { it =>
         // classic MG: k counters; a miss with a full table decrements

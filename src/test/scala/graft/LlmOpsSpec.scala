@@ -219,6 +219,39 @@ class LlmOpsSpec extends SparkSpec {
       s"expected a partition-pruned candidate scan in:\n$plan")
   }
 
+  test("ensureIvfIndex builds once: the second call honors the marker " +
+      "and leaves the layout untouched") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dirPath = java.nio.file.Files.createTempDirectory("graftens")
+    val path = dirPath.toString + "/idx"
+    try {
+      assert(Ann.ensureIvfIndex(e, "vec_id", "embedding", path, 8) == path)
+      def mtimes = {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(path)).iterator()
+          .asScala.map(p =>
+            p.toString -> java.nio.file.Files.getLastModifiedTime(p))
+          .toMap
+      }
+      val before = mtimes
+      // second call: marker present → NO rebuild, nothing rewritten
+      assert(Ann.ensureIvfIndex(e, "vec_id", "embedding", path, 8) == path)
+      assert(mtimes == before)
+      // and the standing index answers identically to the inline plan
+      val indexed = Ann.ivfIndexedTopK(e, "vec_id", "embedding", path, 10, 2)
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+      val inline = Ann.ivfFlatTopK(e, "vec_id", "embedding", 10, 8, 2)
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+      assert(indexed == inline)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dirPath).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("embedding moments: hand-checked sums, partition invariance, and " +
       "covariance derivation") {
     // vectors quantize exactly on the lattice: 1024·x integral
