@@ -2640,6 +2640,22 @@ object Queries {
 
   // ================================================= LLM-pipeline operators
 
+  /** MD5-prefix fingerprint of the embeddings parquet's file metadata
+    * (names, sizes, mtimes) — keys the standing IVF index path so a
+    * regenerated corpus can never be served from a stale /tmp index
+    * (see the q_ann_ivf_indexed comment). Metadata-only: no data read. */
+  private def embeddingsFingerprint(dir: String): String = {
+    val root = new java.io.File(dir, "embeddings.parquet")
+    val files =
+      if (root.isDirectory) root.listFiles().toSeq.filter(_.isFile)
+      else Seq(root)
+    val sig = files.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .sorted.mkString("|")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sig.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+  }
+
   /** Strided-sample IVF mirror ([[Ann.ivfFlatTopK]]), shared by the
     * in-memory and persisted-index variants (identical math). */
   /** Strided-sample quantizer assignment CTEs (through `ranked`) — the
@@ -3042,6 +3058,12 @@ object Queries {
         GROUP BY cell ORDER BY cell""")),
 
     // ----------------------- ANN via a PERSISTED, cell-partitioned index
+    // The standing-index path is keyed by BOTH the testdata dir and a
+    // fingerprint of the embeddings parquet (file names/sizes/mtimes):
+    // /tmp outlives test-data regeneration, and a stale index under a
+    // bare dir-keyed marker would silently serve last round's vectors
+    // into the correctness gate. A changed corpus changes the
+    // fingerprint, lands on a fresh path, and rebuilds.
     // ivfIndexedTopK against a STANDING index ([[Ann.ensureIvfIndex]] —
     // built on first touch, reused after; keyed by testdata dir): same
     // quantizer/probe/scoring math as q_ann_ivf_flat but candidates come
@@ -3056,7 +3078,8 @@ object Queries {
       (s, dir) => {
         val path = Ann.ensureIvfIndex(t(s, dir).embeddings, "vec_id",
           "embedding", "/tmp/graft_sink/ivf_index_standing_" +
-            dir.replaceAll("[^A-Za-z0-9.]", "_"), 16)
+            dir.replaceAll("[^A-Za-z0-9.]", "_") + "_" +
+            embeddingsFingerprint(dir), 16)
         Ann.ivfIndexedTopK(t(s, dir).embeddings, "vec_id", "embedding",
           path, 10, 2).orderBy(col("query_id"), col("rn"))
       },
