@@ -506,7 +506,11 @@ object Queries {
           FROM both_dir bd CROSS JOIN nb
           JOIN cnt ca ON ca.item = bd.antecedent
           JOIN cnt cb ON cb.item = bd.consequent
-          WHERE CAST(bd.pab AS DOUBLE) / nb.n >= 0.02
+          -- MLlib's integer frequency floor, ceil computed over the SAME
+          -- IEEE double product as Scala's math.ceil (CAST forces the
+          -- 0.02 literal out of DECIMAL, whose exact arithmetic would
+          -- diverge from MLlib at FP boundaries like 0.02*550)
+          WHERE bd.pab >= CEIL(CAST(0.02 AS DOUBLE) * nb.n)
             AND CAST(bd.pab AS DOUBLE) / ca.c >= 0.05)
         SELECT antecedent, consequent,
           floor((confidence) * 1e6 + 0.5) / 1e6 AS confidence,
@@ -2647,7 +2651,11 @@ object Queries {
   private def embeddingsFingerprint(dir: String): String = {
     val root = new java.io.File(dir, "embeddings.parquet")
     val files =
-      if (root.isDirectory) root.listFiles().toSeq.filter(_.isFile)
+      // listFiles() is null on IO error / permission failure, not just
+      // on non-directories (r15 advice) — treat it as empty
+      if (root.isDirectory)
+        Option(root.listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+          .filter(_.isFile)
       else Seq(root)
     val sig = files.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
       .sorted.mkString("|")
@@ -3076,10 +3084,25 @@ object Queries {
     // q_neardup_incremental already get).
     Spec("q_ann_ivf_indexed",
       (s, dir) => {
+        val prefix = "ivf_index_standing_" +
+          dir.replaceAll("[^A-Za-z0-9.]", "_") + "_"
+        val name = prefix + embeddingsFingerprint(dir)
+        // GC stale siblings BEFORE building: every corpus regeneration
+        // mints a new fingerprint-keyed path, and without the sweep the
+        // orphaned trees accumulate in /tmp across rounds (r15 advice).
+        // Same-dir-prefix only — other corpora's indexes are untouched.
+        Option(new java.io.File("/tmp/graft_sink").listFiles())
+          .getOrElse(Array.empty[java.io.File])
+          .filter(f => f.isDirectory && f.getName.startsWith(prefix) &&
+            f.getName != name)
+          .foreach { stale =>
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(stale.toPath).iterator().asScala
+              .toSeq.reverse.foreach(p => java.nio.file.Files
+                .deleteIfExists(p))
+          }
         val path = Ann.ensureIvfIndex(t(s, dir).embeddings, "vec_id",
-          "embedding", "/tmp/graft_sink/ivf_index_standing_" +
-            dir.replaceAll("[^A-Za-z0-9.]", "_") + "_" +
-            embeddingsFingerprint(dir), 16)
+          "embedding", "/tmp/graft_sink/" + name, 16)
         Ann.ivfIndexedTopK(t(s, dir).embeddings, "vec_id", "embedding",
           path, 10, 2).orderBy(col("query_id"), col("rn"))
       },

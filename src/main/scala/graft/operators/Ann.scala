@@ -299,20 +299,37 @@ object Ann {
     * contract of an IVF index is a STANDING artifact — built once (or on
     * a re-train cadence), read by every query batch — so callers that
     * model the query path go through here and pay the build only when
-    * the index does not yet exist (an atomic-rename marker dropped after
-    * both writes land). The r14 bench priced a full per-run build inside
-    * the read query and was adjudicated weak for exactly that shape
-    * (2.40×, "prices a per-run k-means build"); the build is now its own
-    * gated query (q_ann_ivf_build). Returns `path` for chaining.
-    * Callers must key `path` by corpus (the registry keys it by the
-    * testdata dir) — the marker declares "this path holds a finished
-    * index", not "this index matches your input". */
+    * the index does not yet exist (marker dropped after both writes
+    * land, via temp-file + ATOMIC_MOVE so a reader can never race a
+    * half-created marker inode). The r14 bench priced a full per-run
+    * build inside the read query and was adjudicated weak for exactly
+    * that shape (2.40×, "prices a per-run k-means build"); the build is
+    * now its own gated query (q_ann_ivf_build). Returns `path` for
+    * chaining. Callers must key `path` by corpus (the registry keys it
+    * by the testdata dir + a content fingerprint) — the marker declares
+    * "this path holds a finished index", not "this index matches your
+    * input". Crash-safe: a build that dies before the move leaves no
+    * marker, so the next caller rebuilds. Two CONCURRENT processes on
+    * the same path may both run the build (both see no marker); the
+    * loser's move lands on an existing marker and is ignored — a benign
+    * double-build, acceptable for the single-process harness; guard
+    * with a distributed lock if multi-process builds ever share a
+    * path. */
   def ensureIvfIndex(df: DataFrame, id: String, vec: String, path: String,
                      nCells: Int = 16): String = {
     val marker = new java.io.File(path, "_GRAFT_INDEX_READY")
     if (!marker.exists()) {
       writeIvfIndex(df, id, vec, path, nCells)
-      marker.createNewFile()
+      val dir = marker.toPath.getParent
+      val tmp = java.nio.file.Files.createTempFile(dir, ".marker", ".tmp")
+      try java.nio.file.Files.move(tmp, marker.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        // another builder won the race — its finished index is as good
+        // as ours (same input → same deterministic layout)
+        case _: java.nio.file.FileAlreadyExistsException =>
+          java.nio.file.Files.deleteIfExists(tmp); ()
+      }
     }
     path
   }

@@ -447,9 +447,17 @@ object AssociationRules {
     *   support    = pair_baskets / n      (n = baskets after size filter)
     *   confidence = pair_baskets / antecedent_baskets
     *   lift       = confidence / (consequent_baskets / n)
-    * with rules emitted in BOTH directions and filtered by
-    * `support >= minSupport && confidence >= minConfidence` (MLlib's
-    * gates). Equality with [[fpGrowthRules]]' own 1→1 slice is pinned in
+    * with rules emitted in BOTH directions and filtered by MLlib's OWN
+    * gates computed MLlib's own way: the support gate is the INTEGER
+    * count compare `pair_baskets >= ceil(minSupport · n)` (mllib
+    * FPGrowth's `minCount = math.ceil(minSupport * count).toLong` —
+    * a double ratio compare diverges at FP boundaries, e.g.
+    * 0.02·550 = 11.000000000000002 where MLlib requires 12 baskets but
+    * `pair/n >= 0.02` keeps 11; r15 advice), and the confidence gate is
+    * the ratio compare MLlib itself uses. By downward closure the
+    * single-item antecedent/consequent of any pair clearing minCount
+    * clear it too, so itemset-level frequency needs no separate check.
+    * Equality with [[fpGrowthRules]]' own 1→1 slice is pinned in
     * AssociationRulesSpec; the multi-itemset path stays on MLlib.
     *
     * Why this exists: MLlib FPGrowth pays a per-partition conditional-
@@ -483,6 +491,10 @@ object AssociationRules {
     // broadcast: profiled, the lazy form spent two single-task jobs
     // (~0.5 s of pure scheduling floor) materializing one number
     val nBaskets = baskets.count()
+    // MLlib's frequency floor, computed MLlib's way (same double ceil) —
+    // the one gate where integer-vs-ratio semantics can differ at FP
+    // boundaries (see the scaladoc)
+    val minCount = math.ceil(params.minSupport * nBaskets).toLong
     // item counts checkpointed too (item-grain, vocabulary-sized):
     // lazily, EACH of the two broadcast subtrees below re-explodes every
     // basket array to re-derive them (profiled as the plan's 2nd-worst
@@ -495,7 +507,11 @@ object AssociationRules {
     // union — and the reverse direction is then a pure PROJECTION
     // (swap roles, divide by the other count), the bothDirections
     // trick; ReuseExchange shares the pair aggregate under the union.
+    // the frequency floor binds at the PAIR grain, before the direction
+    // union: both directions share the same pair_baskets, so gating here
+    // is equivalent and halves the union's input
     val pairs = explodePairs(baskets)
+      .where(col("pair_baskets") >= lit(minCount))
       .join(broadcast(counts.toDF("item_a", "ca")), Seq("item_a"))
       .join(broadcast(counts.toDF("item_b", "cb")), Seq("item_b"))
     def dir(ant: Column, cons: Column, cAnt: Column,
@@ -509,7 +525,6 @@ object AssociationRules {
     dir(col("item_a"), col("item_b"), col("ca"), col("cb"))
       .unionByName(
         dir(col("item_b"), col("item_a"), col("cb"), col("ca")))
-      .where(col("support") >= params.minSupport
-        && col("confidence") >= params.minConfidence)
+      .where(col("confidence") >= params.minConfidence)
   }
 }

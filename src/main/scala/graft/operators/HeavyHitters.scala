@@ -79,7 +79,16 @@ object HeavyHitters {
     * oracle. The candidate frame is ≤ k terms per partition, deduped by
     * one candidate-grain exchange (≤ k·P rows, trivially small) and then
     * BROADCAST — the token stream is filtered map-side, never collected
-    * to the driver. */
+    * to the driver.
+    *
+    * CACHING CONTRACT (r15 advice — this is a public API note, not an
+    * implementation detail): the returned plan holds a `.cache()` of the
+    * tiny (≤ (k+1)·P rows) MG summary so its two consumers (candidates +
+    * token total) split one scan. The cache registers in the session
+    * catalog and is NOT self-releasing — call
+    * `spark.catalog.clearCache()` (the graft harness does so after every
+    * query) or `unpersist` the frame when the result has been consumed,
+    * or repeated library calls accumulate summary blocks. */
   def frequentTermsMG(docs: DataFrame, text: String, denom: Int): DataFrame = {
     val k = mgCounters(denom)
     val toks = tokens(docs, text)
