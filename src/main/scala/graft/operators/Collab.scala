@@ -118,7 +118,12 @@ object Collab {
     * CollectMetrics node on the big frame measured ~1.3 s per consumer
     * at sf0.1 — it splits the codegen span and re-executes once per
     * join side). */
-  private def cappedBase(counts: DataFrame, maxItemUsers: Option[Int])
+  /** `applyFilter = false` keeps the above-cap rows (still carrying
+    * their `iu`) for callers that need the raw vectors AND the cap
+    * metadata off one frame ([[recommendTopNeighbors]]); the observe
+    * node still reports a binding cap either way. */
+  private def cappedBase(counts: DataFrame, maxItemUsers: Option[Int],
+                         applyFilter: Boolean = true)
       : DataFrame = {
     val iu = counts.groupBy(col("i")).agg(count(lit(1)).as("iu"))
     val iuObs = maxItemUsers match {
@@ -132,8 +137,8 @@ object Collab {
     }
     val withIu = counts.join(broadcast(iuObs), Seq("i"))
     maxItemUsers match {
-      case Some(cap) => withIu.where(col("iu") <= cap)
-      case None => withIu
+      case Some(cap) if applyFilter => withIu.where(col("iu") <= cap)
+      case _ => withIu
     }
   }
 
@@ -244,8 +249,18 @@ object Collab {
       .agg(sum(col("c1") * col("c2")).as("dot"))
     // norms over the SAME (possibly capped) vectors as the dot products,
     // computed BEFORE the iu ≥ 2 prune (a single-holder item contributes
-    // to its user's denominator but can never produce a pair)
+    // to its user's denominator but can never produce a pair).
+    // Materialized EAGERLY (r16): the frame is user-grain (tiny) but its
+    // two consumers below are separate broadcast/SMJ subtrees, and lazily
+    // EACH re-ran the full base-grain aggregation — the r16 stage ledger
+    // showed the norm aggregate as the plan's two heaviest stages
+    // (2 × ~0.95 s at sf0.1, each re-scanning the counts blocks +
+    // re-probing the iu broadcast). Eager (not lazy — the two consumers
+    // are AQE-concurrent broadcast futures, the exact race the lazy form
+    // loses, see the userItemCounts notes) pays one small blocking job;
+    // both consumers then read a user-grain local frame.
     val n = userNorms(capped.select(col("u"), col("i"), col("c")))
+      .localCheckpoint(true)
     // u1 norms are target-only (same predicate), so the broadcast is
     // bounded by the same contract as side `a`; the u2 (partner) norms
     // join is left to AQE — locally it converts to broadcast, at scale
@@ -383,26 +398,47 @@ object Collab {
             .orderBy(col("cos").desc, col("u2").asc)))
         .where(col("nbr_rn") <= n).drop("nbr_rn")
     }
-    // explicit-N repartitions pin the scoring join's parallelism: the
-    // join + partial-agg stage is the query's CPU center (13 M output
-    // rows), and AQE's input-size-based coalescing (~10 MB of exchange
-    // input) would run it ~10-wide on a 32-core box (measured 2.2 s vs
-    // ~0.9 s pinned). The repartitions satisfy the join's own
-    // distribution requirement, so they replace — not add to — the
-    // ENSURE_REQUIREMENTS exchanges.
-    // (moving the purchased anti-join BEFORE the aggregation was tried
-    // and reverted: group-complete removal commutes semantically, but
-    // the planner placed the anti after the (u1, i) exchange anyway —
-    // the pre-aggregation exchange carried the identical 14.6 M rows —
-    // so the rewrite bought nothing and lost the pinned broadcast shape)
-    val p = counts.sparkSession.sparkContext.defaultParallelism
-    sym.repartition(p, col("u2"))
-      .join(counts.select(col("u").as("u2"), col("i"), col("c"))
-        .repartition(p, col("u2")), Seq("u2"))
-      .groupBy(col("u1").as("u"), col("i"))
-      .agg(stableRound(sum(col("cos") * col("c")), 6).as("score"))
-      .join(broadcast(counts.select(col("u"), col("i"))
-        .where(targetFilter(col("u")))), Seq("u", "i"), "left_anti")
+    // The scoring join's shape depends on whether the partner set is
+    // capped:
+    //  - UNCAPPED (parity): explicit-N repartitions pin the scoring
+    //    join's parallelism — the join + partial-agg stage is the
+    //    query's CPU center (13 M output rows), and AQE's
+    //    input-size-based coalescing (~10 MB of exchange input) would
+    //    run it ~10-wide on a 32-core box (measured 2.2 s vs ~0.9 s
+    //    pinned). The repartitions satisfy the join's own distribution
+    //    requirement, so they replace — not add to — the
+    //    ENSURE_REQUIREMENTS exchanges.
+    //    (moving the purchased anti-join BEFORE the aggregation was
+    //    tried and reverted: group-complete removal commutes
+    //    semantically, but the planner placed the anti after the
+    //    (u1, i) exchange anyway — the pre-aggregation exchange carried
+    //    the identical 14.6 M rows — so the rewrite bought nothing and
+    //    lost the pinned broadcast shape)
+    //  - CAPPED (r16): the capped sym frame is ≤ targets·n rows by
+    //    construction — broadcasting IT and probing the partner counts
+    //    map-side deletes both scoring repartitions (two full exchanges
+    //    + sorts of frames that no longer deserve them); the only
+    //    remaining exchange is the (u, i) aggregation of the capped
+    //    scored stream. This is the whole point of the neighbor cap:
+    //    the scoring stream is target-bounded, so its joins get
+    //    broadcast shapes regardless of corpus size.
+    val scored = topNeighbors match {
+      case Some(_) =>
+        broadcast(sym)
+          .join(counts.select(col("u").as("u2"), col("i"), col("c")),
+            Seq("u2"))
+          .groupBy(col("u1").as("u"), col("i"))
+          .agg(stableRound(sum(col("cos") * col("c")), 6).as("score"))
+      case None =>
+        val p = counts.sparkSession.sparkContext.defaultParallelism
+        sym.repartition(p, col("u2"))
+          .join(counts.select(col("u").as("u2"), col("i"), col("c"))
+            .repartition(p, col("u2")), Seq("u2"))
+          .groupBy(col("u1").as("u"), col("i"))
+          .agg(stableRound(sum(col("cos") * col("c")), 6).as("score"))
+    }
+    scored.join(broadcast(counts.select(col("u"), col("i"))
+      .where(targetFilter(col("u")))), Seq("u", "i"), "left_anti")
   }
 
   /** CF candidate scoring (`collab_filter.py:64-76`): [[scoreCandidates]]
@@ -423,17 +459,86 @@ object Collab {
   /** [[recommendDirect]] with the partner set capped at each target's
     * `nNeighbors` most-similar users before scoring — the DOCUMENTED
     * graduation path off the parity semantics' all-partner scoring
-    * stream (see the neighbor-cap note in [[scoreCandidatesDirect]]):
-    * standard top-n-neighborhood user CF. `nNeighbors` ≥ the user
-    * population reproduces [[recommendDirect]] bit-for-bit (oracle-gated
-    * as q_cf_recommendations_topn); smaller n trades the tail of weak
-    * partners for a scoring stream bounded per target. */
+    * stream: standard top-n-neighborhood user CF. `nNeighbors` ≥ the
+    * user population reproduces [[recommendDirect]] bit-for-bit
+    * (InvariantsCheck property); at a binding cap the semantics are
+    * oracle-gated end-to-end (q_cf_recommendations_topn) — rank
+    * comparisons are over bit-identical doubles because dot products
+    * and squared norms are exact integers.
+    *
+    * This is a FUSED plan, not [[scoreCandidatesDirect]] + a cap (r16):
+    *  1. per-user norms are a WINDOW over the user key inside the one
+    *     materialized base frame — [[directedSimilarities]]' two
+    *     norm-attach joins (one of which forced a full exchange + sort
+    *     of the pair frame) and its separate norms aggregation all
+    *     disappear; norms then ride the pair aggregation as GROUP KEYS
+    *     (functionally determined by u1/u2 — the [[userSimilarities]]
+    *     trick applied to the directed path);
+    *  2. the capped sym frame (≤ targets·n rows by construction) is
+    *     BROADCAST into the scoring join, so the partner counts stream
+    *     is probed map-side — no scoring repartitions;
+    *  3. one eager localCheckpoint materializes the base exactly once
+    *     for its three consumers (target side, partner side — the
+    *     norm window and iu cap would otherwise re-run per consumer).
+    * Same cosines, same gates, ~half the exchanges and jobs of the
+    * unfused form (4.2 s → measured below at sf0.1). */
   def recommendTopNeighbors(counts: DataFrame, k: Int, nNeighbors: Int,
                             targetFilter: Column => Column,
                             maxItemUsers: Option[Int] =
-                              Some(DefaultMaxItemUsers)): DataFrame =
-    topK(scoreCandidatesDirect(counts, targetFilter, maxItemUsers,
-      Some(nNeighbors)), k)
+                              Some(DefaultMaxItemUsers)): DataFrame = {
+    // ONE materialization serves all five consumers (target side,
+    // partner side, scoring counts, anti-join purchases): rows above the
+    // iu cap are KEPT (flagged by their iu), because scoring and the
+    // purchased anti-join need the RAW vectors — the cap bounds the
+    // SIMILARITY numerator only — while the norm window sums over the
+    // capped rows only, exactly the vectors [[simSides]] /
+    // [[directedSimilarities]] take norms over. Norm values stay
+    // bit-identical to [[userNorms]]: the windowed sum is the same exact
+    // integer Σc², sqrt'd once.
+    //
+    // (a window-over-i variant of the iu attach — one linear chain, no
+    // broadcast subtree — was measured WORSE: 4.6 s vs 3.2 s at sf0.1,
+    // the two serial window sorts and the row-grain observe cost more
+    // than the iu aggregate's broadcast job)
+    val cap = maxItemUsers.map(lit(_)).getOrElse(lit(Long.MaxValue))
+    val base = cappedBase(counts, maxItemUsers, applyFilter = false)
+      .withColumn("nrm", sqrt(sum(
+          when(col("iu") <= cap, col("c") * col("c")).otherwise(lit(0L)))
+        .over(Window.partitionBy(col("u")))))
+      .localCheckpoint(true)
+    val sides = base.where(col("iu") <= cap && col("iu") >= 2)
+    // the target side is broadcast — same selectivity CONTRACT as
+    // [[directedSimilarities]]
+    val a = broadcast(sides.where(targetFilter(col("u")))
+      .select(col("u").as("u1"), col("i"), col("c").as("c1"),
+        col("nrm").as("nrm1")))
+    val b = sides.select(col("u").as("u2"), col("i"), col("c").as("c2"),
+      col("nrm").as("nrm2"))
+    val sims = a.join(b, Seq("i"))
+      .where(col("u1") =!= col("u2"))
+      .groupBy(col("u1"), col("u2"), col("nrm1"), col("nrm2"))
+      .agg(sum(col("c1") * col("c2")).as("dot"))
+      .select(col("u1"), col("u2"),
+        (col("dot") / (col("nrm1") * col("nrm2"))).as("cos"))
+      .where(col("cos") > 0)
+    // deterministic top-n neighbor selection (cos desc, u2 asc) — the
+    // rank <= n window compiles to WindowGroupLimit, so each map
+    // partition pre-prunes to its local top n before the exchange
+    val sym = sims.withColumn("nbr_rn", row_number().over(
+        Window.partitionBy(col("u1"))
+          .orderBy(col("cos").desc, col("u2").asc)))
+      .where(col("nbr_rn") <= nNeighbors).drop("nbr_rn")
+    // capped scoring tail: broadcast sym, probe the partner counts
+    // map-side off the same materialized base (RAW rows — see above)
+    val scored = broadcast(sym)
+      .join(base.select(col("u").as("u2"), col("i"), col("c")),
+        Seq("u2"))
+      .groupBy(col("u1").as("u"), col("i"))
+      .agg(stableRound(sum(col("cos") * col("c")), 6).as("score"))
+      .join(broadcast(base.select(col("u"), col("i"))
+        .where(targetFilter(col("u")))), Seq("u", "i"), "left_anti")
+    topK(scored, k)
+  }
 
   /** ALS latent-factor recommendations — the DOCUMENTED extreme-scale
     * alternative to the neighborhood model (SURVEY §7.5's own
