@@ -315,13 +315,15 @@ object Bench {
     // see [[CorrectnessOnly]]; the priced CF query is now the
     // production top-n path q_cf_recommendations_topn.
     "q_fpgrowth_pairs" ->
-      "SCALE.md#ledger-r15-q_fpgrowth_pairs (native pair miner since r15, 3.45s->1.74s; residual ~2.9x is scheduling floor: 12 jobs, stage_wall_sum 1.68s vs wall 1.85s, heaviest stage 0.48s)",
+      "SCALE.md#ledger-r16-q_fpgrowth_pairs (r16: basket total folded into the checkpoint as an observe metric, 12 -> 10 jobs; counts-checkpoint removal tried and rejected - the alias-only broadcast pair re-ran the agg twice; remaining 10 jobs named, floor-bound)",
     "q_cf_recommendations_topn" ->
       "SCALE.md#ledger-r16-q_cf_recommendations_topn (fused top-n plan, 4.93s->2.9s across five measured variants; stage-wall 2.09s vs duck 0.86s all-pairs fused pipeline, remainder 16 AQE job floors; the retired parity entry sat at 4.6-5.3x)",
     "q_cf_user_sims" ->
       "SCALE.md#adjudicated-q_cf_user_sims (ledger-minimal: counts agg + 8.9M pair exchange + job floors; window-iu and cache variants measured worse)",
     "q_corpus_dedup" ->
-      "SCALE.md#adjudicated-q_corpus_dedup + #ledger-r14-q_corpus_dedup (24 jobs, job-wall sum 1.12s, largest 0.15s, rest driver inter-job time; AQE-off cuts jobs but raises wall; isolated steady state 1.41s = 1.56x at draw depth 7)",
+      "SCALE.md#ledger-r16-q_corpus_dedup (24 jobs NAMED, all stages <=0.4s, no actions/eager barriers to fold; wall-minus-stage-sum is inter-job driver time; job count measured CONSTANT in corpus size at the r16 10x point, so the floor share self-heals at scale; r15 2.77x-dirty/1.89x-clean straddle = capture noise)",
+    "q_minhash_lsh" ->
+      "SCALE.md#ledger-r16-q_minhash_lsh (first adjudication: 15 jobs, stage-wall 1.45s vs 2.12s isolated steady state, heaviest stage 0.24s banded self-join; ~1.4s is 15 scheduling floors on 0.24s of real work - the LSH candidate-bounding working as designed; job count constant at the 10x point)",
     "q_neardup_components_star" ->
       "SCALE.md#adjudicated-q_neardup_components_star (star-contraction FALLBACK: ~30 star-loop job floors intrinsic to O(log n) rounds at toy scale; the primary propagation path q_neardup_components beats DuckDB)",
     "q_rule_matches" ->
