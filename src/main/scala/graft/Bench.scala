@@ -325,7 +325,7 @@ object Bench {
     "q_minhash_lsh" ->
       "SCALE.md#ledger-r16-q_minhash_lsh (first adjudication: 15 jobs, stage-wall 1.45s vs 2.12s isolated steady state, heaviest stage 0.24s banded self-join; ~1.4s is 15 scheduling floors on 0.24s of real work - the LSH candidate-bounding working as designed; job count constant at the 10x point)",
     "q_neardup_components_star" ->
-      "SCALE.md#adjudicated-q_neardup_components_star (star-contraction FALLBACK: ~30 star-loop job floors intrinsic to O(log n) rounds at toy scale; the primary propagation path q_neardup_components beats DuckDB)",
+      "SCALE.md#adjudicated-q_neardup_components_star (star-contraction FALLBACK; r16 measured round count: 4 alternations = 2 paired actions, 48 AQE stage-jobs total, stage-wall 4.6s vs ~6s wall; the ask-#8 canon-fold was tried and reverted - it removed the shared materialization, same jobs/wall; the primary propagation path q_neardup_components beats DuckDB)",
     "q_rule_matches" ->
       "SCALE.md#adjudicated-q_rule_matches (two intrinsically-different-key 600k exchanges - basket mining vs per-user sets - plus the pair/triple explosion CPU off a checkpoint feeding 4 consumers; ~18 jobs of floors; fluctuates 1.5-2.1x across captures)")
 
