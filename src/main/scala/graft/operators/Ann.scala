@@ -309,26 +309,40 @@ object Ann {
     * by the testdata dir + a content fingerprint) — the marker declares
     * "this path holds a finished index", not "this index matches your
     * input". Crash-safe: a build that dies before the move leaves no
-    * marker, so the next caller rebuilds. Two CONCURRENT processes on
-    * the same path may both run the build (both see no marker); the
-    * loser's move lands on an existing marker and is ignored — a benign
-    * double-build, acceptable for the single-process harness; guard
-    * with a distributed lock if multi-process builds ever share a
-    * path. */
+    * marker, so the next caller rebuilds.
+    *
+    * Concurrency contract (r16 advice fixed both the mechanism and the
+    * claim): IN-PROCESS builders are serialized by a per-path monitor —
+    * the loser blocks, re-checks the marker, and reuses the winner's
+    * index. CROSS-PROCESS builders are NOT guarded: on POSIX an
+    * ATOMIC_MOVE onto an existing path silently REPLACES it rather than
+    * throwing, so the move is a reader-visibility primitive (no
+    * half-written marker inode is ever observable), not a mutual-
+    * exclusion one — and two processes that both saw no marker would
+    * interleave their writeIvfIndex output under the same path. The
+    * harness is single-process; front a shared path with a real lock
+    * (e.g. `Files.createDirectory` on a lockdir, which DOES fail
+    * atomically when present) if multi-process builds ever share
+    * one. */
+  private val ivfBuildLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   def ensureIvfIndex(df: DataFrame, id: String, vec: String, path: String,
                      nCells: Int = 16): String = {
     val marker = new java.io.File(path, "_GRAFT_INDEX_READY")
     if (!marker.exists()) {
-      writeIvfIndex(df, id, vec, path, nCells)
-      val dir = marker.toPath.getParent
-      val tmp = java.nio.file.Files.createTempFile(dir, ".marker", ".tmp")
-      try java.nio.file.Files.move(tmp, marker.toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch {
-        // another builder won the race — its finished index is as good
-        // as ours (same input → same deterministic layout)
-        case _: java.nio.file.FileAlreadyExistsException =>
-          java.nio.file.Files.deleteIfExists(tmp); ()
+      val lock = ivfBuildLocks.computeIfAbsent(path, _ => new Object)
+      lock.synchronized {
+        // double-check under the lock: the monitor's loser arrives here
+        // after the winner's marker landed and must not rebuild
+        if (!marker.exists()) {
+          writeIvfIndex(df, id, vec, path, nCells)
+          val dir = marker.toPath.getParent
+          val tmp = java.nio.file.Files.createTempFile(dir, ".marker",
+            ".tmp")
+          java.nio.file.Files.move(tmp, marker.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        }
       }
     }
     path

