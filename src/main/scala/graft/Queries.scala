@@ -4383,6 +4383,10 @@ object Queries {
     // (Kiveris SoCC'14, the deep-graph-safe variant) — must reproduce
     // the propagation labelling EXACTLY, so it shares the same
     // recursive-CTE oracle.
+    // CORRECTNESS-ONLY since r17 (Bench.CorrectnessOnly shape 2): the
+    // priced primary above gained adaptive pointer-jumping, ending this
+    // fallback's board role; the Verify/DuckDB gate still runs it every
+    // round. Adjudication: SCALE.md#adjudicated-q_neardup_components_star.
     Spec("q_neardup_components_star",
       (s, dir) => Dedup.nearDupComponents(t(s, dir).documents,
         "doc_id", "text", 3, 0.05, 16, 4, algorithm = "star")
