@@ -356,7 +356,14 @@ object Bench {
       "SCALE.md#adjudicated-q_rule_matches (two intrinsically-different-key 600k exchanges - basket mining vs per-user sets - plus the pair/triple explosion CPU off a checkpoint feeding 4 consumers; ~18 jobs of floors; fluctuates 1.5-2.1x across captures)")
 
   /** Queries the CORRECTNESS gate (Verify → DuckDB compare) runs every
-    * round but the priced board deliberately EXCLUDES (r15 judge ask #1).
+    * round and the GRADED board deliberately excludes (r15 judge ask #1).
+    * Since r17 these queries are still TIMED and published in the
+    * artifact's `queries` map and whole-board `value` — the bench
+    * contract never drops an entry from `queries`, and an exclusion that
+    * also stopped timing the query would be unauditable from the
+    * artifact — but they are excluded from `value_substantial` and
+    * `value_graded`, the sums the board is graded on, per the
+    * adjudications below.
     * Membership contract — the exclusion must never hide a fixable
     * plan, and the excluded query's production-path sibling must be
     * (a) registered, (b) oracle-gated, and (c) priced on the board.
@@ -428,13 +435,11 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
     // sorted for run-to-run comparability (Map order is hash-dependent).
-    // [[CorrectnessOnly]] queries are excluded from the priced board —
-    // unless SPARK_GRAFT_ONLY names one explicitly (local diagnosis of
-    // the parity path stays one env var away).
+    // [[CorrectnessOnly]] queries are timed like everything else (the
+    // artifact contract never drops an entry from `queries`); their
+    // exclusion from the graded sums happens at emit time.
     val specs = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .filterNot { case (name, _) =>
-        only.isEmpty && CorrectnessOnly(name) }
       .sortBy(_._1)
 
     // jobs-per-query (round-12 judge ask #6): every >2× adjudication
@@ -851,7 +856,10 @@ object Bench {
     val secs: Map[String, Double] =
       sel.results.map { case (k, d) => k -> d.sec }
     val total = if (secs.nonEmpty) secs.values.sum else 0.0
-    val subResults = secs.filter { case (k, _) => SubstantialSubset(k) }
+    // graded sums exclude the [[CorrectnessOnly]] members (timed and
+    // present in `queries`, adjudicated off the graded board)
+    val subResults = secs.filter { case (k, _) =>
+      SubstantialSubset(k) && !CorrectnessOnly(k) }
     val subTotal = if (subResults.nonEmpty) subResults.values.sum else 0.0
     // DuckDB baseline sums over the SAME query sets, from the stored
     // idle min-of-[[BaselineDraws]] snapshot (its rep count is stamped
@@ -876,6 +884,7 @@ object Bench {
     // deflates their mirror below the 0.5 s duck-side cutoff
     val sparkSubstantial = duckComparable
       .filterNot(SubstantialSubset)
+      .filterNot(CorrectnessOnly)
       .filter(k => sel.consecMin.getOrElse(k, secs(k)) > SparkGradedFloorS)
       .toSeq.sorted
     val gradedSet = subResults.keySet ++ sparkSubstantial
@@ -939,7 +948,8 @@ object Bench {
         s""""noise_factor":${fmt(s.nu)},""" +
         s""""total":${fmt(s.results.values.map(_.sec).sum)},""" +
         s""""total_substantial":${fmt(s.results.collect {
-          case (k, d) if SubstantialSubset(k) => d.sec }.sum)},""" +
+          case (k, d) if SubstantialSubset(k) && !CorrectnessOnly(k) =>
+            d.sec }.sum)},""" +
         s""""n_unstable":${s.unstable.size},""" +
         s""""failed":${strArr(s.failed)},""" +
         s""""sentinel":${s.sentinel},"queries":$qs}"""
