@@ -149,15 +149,25 @@ object AssociationRules {
   }
 
   /** Explode each basket's sorted item array into ordered (a < b) pairs and
-    * count — shared by [[pairCounts]] and [[rulesRaw]]. */
+    * count — shared by [[pairCounts]] and [[rulesRaw]].
+    *
+    * CHAINED GENERATORS, not nested higher-order lambdas (r17, guide §4
+    * "eliminate non-codegen expressions in the hot path"): every
+    * higher-order function is `CodegenFallback`, so the old
+    * `flatten(transform(..., slice ...))`-of-`named_struct`s shape ran
+    * the explosion — the CPU center of the whole rules family —
+    * interpreted, allocating lambda frames and structs per combination.
+    * posexplode/explode are ExplodeBase generators (GenerateExec
+    * codegen) and slice/size are ordinary codegen expressions, so this
+    * shape stays inside whole-stage codegen end to end. Measured
+    * bit-identical (count + xxhash64 checksum) and 12–29% faster on
+    * both registered grains (tools.ExplodeBench, sf0.1 min-of-4:
+    * partkey pairs 0.687→0.605 s, brand triples 0.617→0.437 s). */
   private def explodePairs(baskets: DataFrame): DataFrame =
     baskets
-      .select(explode(expr(
-        """flatten(transform(items, (x, i) ->
-          |  transform(slice(items, i + 2, size(items)), y ->
-          |    named_struct('item_a', x, 'item_b', y))))""".stripMargin))
-        .as("p"))
-      .select(col("p.item_a"), col("p.item_b"))
+      .select(col("items"), posexplode(col("items")).as(Seq("i", "item_a")))
+      .select(col("item_a"), explode(slice(col("items"), col("i") + lit(2),
+        size(col("items")))).as("item_b"))
       .groupBy(col("item_a"), col("item_b"))
       .agg(count(lit(1)).as("pair_baskets"))
 
@@ -316,16 +326,19 @@ object AssociationRules {
   /** Explode each basket's sorted item array into ordered (a < b < c)
     * triples and count — the 3-item analogue of [[explodePairs]], same
     * codegen'd array-lambda shape. Size-2 baskets contribute nothing. */
+  // chained generators for the same codegen reason as [[explodePairs]]
+  // (tools.ExplodeBench: bit-identical, 23–29% faster at sf0.1); the
+  // 1-based slice offsets preserve the exact a<b<c position enumeration
+  // of the old nested-lambda form
   private def explodeTriples(baskets: DataFrame): DataFrame =
     baskets
-      .select(explode(expr(
-        """flatten(transform(items, (x, i) ->
-          |  flatten(transform(slice(items, i + 2, size(items)), (y, j) ->
-          |    transform(slice(items, i + j + 3, size(items)), z ->
-          |      named_struct('item_a', x, 'item_b', y, 'item_c', z))))))"""
-          .stripMargin))
-        .as("t"))
-      .select(col("t.item_a"), col("t.item_b"), col("t.item_c"))
+      .select(col("items"), posexplode(col("items")).as(Seq("i", "item_a")))
+      .select(col("items"), col("i"), col("item_a"),
+        posexplode(slice(col("items"), col("i") + lit(2),
+          size(col("items")))).as(Seq("j", "item_b")))
+      .select(col("item_a"), col("item_b"),
+        explode(slice(col("items"), col("i") + col("j") + lit(3),
+          size(col("items")))).as("item_c"))
       .groupBy(col("item_a"), col("item_b"), col("item_c"))
       .agg(count(lit(1)).as("triple_baskets"))
 
