@@ -3607,21 +3607,36 @@ object Queries {
     Spec("q_corpus_clean",
       (s, dir) => {
         val docs = t(s, dir).documents
-        // both filters are pure column predicates — they run map-side on
-        // the scan; the only exchanges left are the dedup hash aggregate
-        // and the final stats group
-        val filtered = docs.where(
-          TextAnalysis.gopherKeepCol(col("text")) &&
-            TextAnalysis.qualityScoreCol(col("text")) >= 0.3)
-        val canonical = filtered
-          .groupBy(md5(col("text")).as("h"))
+        // ONE pass over the corpus bodies (r17, guide §8 "decide with
+        // small rows"): the old shape kept `filtered` (scan + gopher +
+        // quality predicates) as a frame consumed by BOTH the dedup
+        // aggregate and the final stats side, so the regex/HOF text CPU
+        // ran twice — the profile ledger showed two near-identical
+        // 0.95 s / 0.85 s map stages. This pass evaluates the
+        // predicates, the MD5 digest and the token estimate once and
+        // emits an id-grain metadata frame (doc_id, h, source, lang,
+        // tok — bodies never leave the scan); the dedup keep-min and
+        // the keeper stats are then decided entirely on small rows.
+        // Row-identical: keeper ids ⊆ filtered ids, so semi-joining the
+        // metadata frame equals semi-joining `filtered`, and the token
+        // estimate of a keeper row is the same expression either way.
+        // Eager checkpoint per the house rule (two consumers; a lazy
+        // checkpoint races AQE's concurrent subtrees).
+        val sig = docs.where(
+            TextAnalysis.gopherKeepCol(col("text")) &&
+              TextAnalysis.qualityScoreCol(col("text")) >= 0.3)
+          .select(col("doc_id"), md5(col("text")).as("h"),
+            col("source"), col("lang"),
+            TextAnalysis.tokenCountEstimate(col("text")).as("tok"))
+          .localCheckpoint(true)
+        val canonical = sig
+          .groupBy(col("h"))
           .agg(min(col("doc_id")).as("doc_id"))
-        filtered.join(canonical.select(col("doc_id")), Seq("doc_id"),
+        sig.join(canonical.select(col("doc_id")), Seq("doc_id"),
             "left_semi")
           .groupBy(col("source"), col("lang"))
           .agg(count(lit(1)).as("n_docs"),
-            sum(TextAnalysis.tokenCountEstimate(col("text")))
-              .cast("long").as("total_tokens"))
+            sum(col("tok")).cast("long").as("total_tokens"))
           .orderBy(col("source"), col("lang"))
       },
       Some("""WITH m AS (SELECT doc_id, text, lang, source,

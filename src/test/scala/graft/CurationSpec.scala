@@ -386,4 +386,31 @@ class CurationSpec extends SparkSpec {
     // no-InMemoryRelation pin caught exactly that)
     corpus.unpersist()
   }
+
+  test("q_corpus_clean one-scan rewrite equals the two-pass shape " +
+      "(r17 optimization gate)") {
+    // the r17 rewrite folds the filter+digest+token pass into ONE scan
+    // and decides dedup/stats on id-grain rows; this pins row equality
+    // against the original shape (filter frame consumed by both the
+    // dedup aggregate and the stats side) on the real fixture corpus
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val filtered = docs.where(
+      graft.operators.TextAnalysis.gopherKeepCol(col("text")) &&
+        graft.operators.TextAnalysis.qualityScoreCol(col("text")) >= 0.3)
+    val canonical = filtered
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val twoPass = filtered
+      .join(canonical.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(graft.operators.TextAnalysis.tokenCountEstimate(col("text")))
+          .cast("long").as("total_tokens"))
+      .orderBy(col("source"), col("lang"))
+      .collect().toSeq
+    val oneScan = SparkEntry.queries("q_corpus_clean")(
+      spark, "/root/testdata/sf0.001").collect().toSeq
+    assert(oneScan == twoPass)
+    assert(oneScan.nonEmpty)
+  }
 }
