@@ -892,11 +892,24 @@ object Bench {
     val duckGradedTotal = gradedSet.intersect(DuckTimes.keySet)
       .toSeq.map(DuckTimes).sum
 
-    // The harness that wraps this main keeps only a short tail of stdout
-    // (~2000 chars), so the final line must stay well under that: inline
-    // only the heaviest queries and dump the full per-query map to a side
-    // file (and stderr, which is captured separately).
-    val meta =
+    // duck-comparable pair EXCLUDING the CorrectnessOnly members (r17
+    // advice #2: their r17 re-inclusion shifted the comparable board
+    // ratio for a non-plan reason; publishing the ex-correctness-only
+    // pair makes that shift auditable from the artifact alone)
+    val duckComparableEx = duckComparable.filterNot(CorrectnessOnly)
+    val duckTotalEx = duckComparableEx.toSeq.map(DuckTimes).sum
+    val sparkComparableEx = duckComparableEx.toSeq.map(secs).sum
+    // metaSlim goes on STDOUT; the bulky sentinel array rides only the
+    // details file. r16/r17 history: the stdout line used to carry the
+    // full sentinel (~4 KB), and the hard 1800-char budget below then
+    // crowded the `queries` map down to 5 entries — the r17 driver
+    // artifact (BENCH_r17.json) parsed that ~5 KB line in full
+    // (`parsed.sentinel` is complete, rc 0), which disproves the old
+    // "~2000-char stdout tail" assumption: the driver parses the whole
+    // stdout line, the short tail is only its log excerpt. So: slim
+    // meta on stdout, ALL queries inline (r17 judge ask #2 — per-query
+    // round-over-round visibility), generous cap as a pure safety rail.
+    val metaHead =
       s""""value_substantial":${fmt(subTotal)},""" +
         s""""nqueries_substantial":${subResults.size},""" +
         s""""value_graded":${fmt(gradedTotal)},""" +
@@ -906,9 +919,12 @@ object Bench {
         s""""duck_total_graded":${fmt(duckGradedTotal)},""" +
         s""""spark_total_duck_comparable":${fmt(sparkComparable)},""" +
         s""""nqueries_duck_comparable":${duckComparable.size},""" +
+        s""""spark_total_duck_comparable_ex_correctness_only":${fmt(sparkComparableEx)},""" +
+        s""""duck_total_ex_correctness_only":${fmt(duckTotalEx)},""" +
         s""""rerun_skipped_budget":$rerunSkippedBudget,""" +
-        s""""budget_s":${fmt(budgetS)},""" +
-        s""""sentinel":${sel.sentinel},"contaminated":${sel.contaminated},""" +
+        s""""budget_s":${fmt(budgetS)},"""
+    val metaTail =
+      s""""contaminated":${sel.contaminated},""" +
         s""""n_unstable":${sel.unstable.size},""" +
         s""""noise_factor":${fmt(sel.nu)},""" +
         s""""corr_ratio":${fmt(corrRatio(sel.nu))},""" +
@@ -917,6 +933,8 @@ object Bench {
         s""""selected_session":$selectedIdx,""" +
         s""""baseline_draws":$BaselineDraws,""" +
         s""""baseline_snapshot_reps":$BaselineSnapshotReps"""
+    val metaSlim = metaHead + metaTail
+    val meta = metaHead + s""""sentinel":${sel.sentinel},""" + metaTail
     val full = secs.toSeq.sortBy(_._1)
     val drawsJson = full.map { case (k, _) =>
       "\"" + k + "\":" + sel.drawCounts(k) }.mkString("{", ",", "}")
@@ -976,13 +994,19 @@ object Bench {
       (fullJson + "\n").getBytes("UTF-8"))
     System.err.println(fullJson)
 
-    val top = secs.toSeq.sortBy(-_._2).take(30)
+    // ALL queries on stdout, heaviest first (so a cap-shrink can only
+    // ever drop the tail): the driver's per-query round-over-round
+    // comparison (PERF n_common) reads this line, and r17's 5-entry map
+    // blinded it. The shrink loop is a safety rail only — the slim meta
+    // plus 181 entries is ~7 KB, and the r17 artifact proves the driver
+    // parses lines of that order (see metaSlim note above).
+    val top = secs.toSeq.sortBy(-_._2)
     var line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nqueries":${full.size},$meta,"queries":${toJson(top)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nqueries":${full.size},$metaSlim,"queries":${toJson(top)},"sf":"$sfDir"}"""
     var n = top.size
-    while (line.length > 1800 && n > 5) { // hard cap for the tail window
+    while (line.length > 24000 && n > 5) { // safety rail, not a budget
       n -= 1
-      line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nqueries":${full.size},$meta,"queries":${toJson(top.take(n))},"sf":"$sfDir"}"""
+      line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","nqueries":${full.size},$metaSlim,"queries":${toJson(top.take(n))},"sf":"$sfDir"}"""
     }
     println(line)
     System.out.flush()
