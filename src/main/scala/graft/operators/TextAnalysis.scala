@@ -18,15 +18,61 @@ object TextAnalysis {
   /** Whitespace tokens. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
+  /** Count of tokens equal to a stopword — r18 codegen rewrite of
+    * `size(filter(tokens(t), x => array_contains(stopArr, x)))`, whose
+    * lambda `filter` is CodegenFallback: tokens are exactly the maximal
+    * non-whitespace runs, so "token == stopword" is the anchored
+    * alternation `(?<!\S)(?:the|a|…)(?!\S)` and the count is one
+    * `regexp_count` (ordinary codegen). Null-in → null-out either way.
+    * Bit-identical on the corpus (tools.TextFnBench) and ~29% faster at
+    * the sf0.1 grain; oracle-gated in every consumer. */
+  private def stopwordCount(text: Column): Column =
+    regexp_count(text,
+      lit("(?<!\\S)(?:" + stopwords.mkString("|") + ")(?!\\S)"))
+      .cast("long")
+
+  /** Number of DISTINCT stopwords present among the tokens — r18
+    * codegen rewrite of `size(filter(stopArr, sw =>
+    * array_contains(words, sw)))`, which not only ran interpreted (HOF)
+    * but re-evaluated the `split` inside the lambda once per stopword
+    * (16 splits per document — tools.TextFnBench measured it as the
+    * most expensive text shape, 0.60 s at the sf0.1 grain). One split +
+    * one set intersection (`array_intersect` returns the distinct
+    * common elements) is bit-identical (TextFnBench, 5000-doc corpus)
+    * and 5× faster (0.12 s). The null guard mirrors the HOF, where a
+    * null-text predicate drops every stopword → 0. */
+  private def distinctStopwordHits(text: Column): Column =
+    when(text.isNull, lit(0L))
+      .otherwise(size(array_intersect(array(stopwords.map(lit): _*),
+        tokens(text))).cast("long"))
+
+  /** Count of tokens containing at least one ASCII letter — r18 codegen
+    * rewrite of `size(filter(words, w => w.rlike("[A-Za-z]")))`: one
+    * match per qualifying token (the lazy `\S*?` stops at the first
+    * letter; the `(?<!\S)` anchor forbids a second match inside the
+    * same token). Bit-identical (TextFnBench) and ~12% faster. */
+  private def alphaWordCount(text: Column): Column =
+    regexp_count(text, lit("(?<!\\S)\\S*?[A-Za-z]")).cast("long")
+
   /** BPE-ish subword count estimate: whitespace tokens plus an extra token
     * per 4 chars of long words (a deterministic stand-in for a real BPE
-    * vocab, which would be a broadcast lookup at the same plumbing). */
-  def tokenCountEstimate(text: Column): Column = {
-    val words = tokens(text)
-    aggregate(words, lit(0L),
-      (acc, w) => acc + greatest(lit(1L),
-        ceil(length(w).cast("double") / 4.0).cast("long")))
-  }
+    * vocab, which would be a broadcast lookup at the same plumbing).
+    *
+    * r18 rewrite (guide §1.2 step 2 — the `aggregate` higher-order
+    * function is CodegenFallback, so this rode every curation map stage
+    * INTERPRETED): Σ_w max(1, ⌈len(w)/4⌉) equals the number of greedy
+    * `\S{1,4}` matches — each maximal non-whitespace run of length L
+    * yields exactly ⌈L/4⌉ chunks (4,4,…,remainder), and tokens ARE the
+    * maximal non-whitespace runs of the trimmed text. `greatest(1, ·)`
+    * reproduces the blank/empty-document case, where
+    * `split(trim(t), "\s+")` yields `[""]` and the old fold counted 1;
+    * the `when` preserves null-in → null-out. Bit-identical on the
+    * corpus (tools.TextFnBench, count + Σ xxhash64 per doc) and ~19%
+    * faster at the sf0.1 grain; oracle-gated in every consumer. */
+  def tokenCountEstimate(text: Column): Column =
+    when(text.isNull, lit(null).cast("long"))
+      .otherwise(greatest(lit(1L),
+        regexp_count(text, lit("\\S{1,4}")).cast("long")))
 
   /** Per-document quality metrics (length / punctuation / stopword /
     * digit ratios — the standard pre-training quality filters). */
@@ -35,7 +81,6 @@ object TextAnalysis {
     val w = tokens(t)
     val nChars = length(t).cast("long")
     val nWords = size(w).cast("long")
-    val stopArr = array(stopwords.map(lit): _*)
     docs.select(col(id).as("id"),
       nChars.as("n_chars"),
       nWords.as("n_words"),
@@ -44,7 +89,7 @@ object TextAnalysis {
         / nChars, 6).as("punct_ratio"),
       stableRound(length(regexp_replace(t, "[^0-9]", "")).cast("double")
         / nChars, 6).as("digit_ratio"),
-      stableRound(size(filter(w, x => array_contains(stopArr, x))).cast("double")
+      stableRound(stopwordCount(t).cast("double")
         / nWords, 6).as("stopword_ratio"),
       tokenCountEstimate(t).as("token_estimate"))
   }
@@ -60,10 +105,8 @@ object TextAnalysis {
     val w = tokens(text)
     val nChars = length(text).cast("long")
     val nWords = size(w).cast("long")
-    val stopArr = array(stopwords.map(lit): _*)
     val stopwordRatio = stableRound(
-      size(filter(w, x => array_contains(stopArr, x))).cast("double")
-        / nWords, 6)
+      stopwordCount(text).cast("double") / nWords, 6)
     val punctRatio = stableRound(
       length(regexp_replace(text, "[^.,;:!?]", "")).cast("double")
         / nChars, 6)
@@ -92,9 +135,13 @@ object TextAnalysis {
     val w = lower(col(text))
     val toks = tokens(w)
     val scores = profiles.map { case (lang, words) =>
-      val arr = array(words.map(lit): _*)
-      (size(filter(toks, x => array_contains(arr, x))).cast("double")
-        / size(toks)).as(s"score_$lang")
+      // r18: anchored-alternation regexp_count instead of the filter
+      // HOF (CodegenFallback, and the lambda re-evaluated the split per
+      // profile) — same "token == profile word" counts bit-for-bit,
+      // the tokenCountEstimate/stopwordCount technique (profiles are
+      // plain letters, regex-safe)
+      (regexp_count(w, lit("(?<!\\S)(?:" + words.mkString("|") + ")(?!\\S)"))
+        .cast("double") / size(toks)).as(s"score_$lang")
     }
     val scored = docs.select((col(id).as("id") +: scores): _*)
     val best = profiles.map(_._1).foldLeft(
@@ -121,7 +168,6 @@ object TextAnalysis {
     val lines = split(t, "\n")
     val nWords = size(words).cast("long")
     val nLines = size(lines).cast("long")
-    val stopArr = array(stopwords.map(lit): _*)
     val meanWordLen = length(regexp_replace(t, "\\s+", "")).cast("double") /
       nWords
     // non-overlapping "..." count via length difference — the same
@@ -134,10 +180,8 @@ object TextAnalysis {
       .cast("double") / nLines
     val ellipsisLineRatio = size(filter(lines, l => l.rlike("\\.\\.\\.$")))
       .cast("double") / nLines
-    val alphaRatio = size(filter(words, w => w.rlike("[A-Za-z]")))
-      .cast("double") / nWords
-    val stopHits = size(filter(stopArr, sw => array_contains(words, sw)))
-      .cast("long")
+    val alphaRatio = alphaWordCount(t).cast("double") / nWords
+    val stopHits = distinctStopwordHits(t)
     docs.select(col(id).as("id"), nWords.as("n_words"), nLines.as("n_lines"),
         meanWordLen.as("mean_word_len"),
         symbolRatio.as("symbol_word_ratio"),
@@ -165,7 +209,6 @@ object TextAnalysis {
     val lines = split(text, "\n")
     val nWords = size(words).cast("long")
     val nLines = size(lines).cast("long")
-    val stopArr = array(stopwords.map(lit): _*)
     val meanWordLen = length(regexp_replace(text, "\\s+", ""))
       .cast("double") / nWords
     val ellipses = (length(text) -
@@ -176,10 +219,8 @@ object TextAnalysis {
       .cast("double") / nLines
     val ellipsisLineRatio = size(filter(lines, l => l.rlike("\\.\\.\\.$")))
       .cast("double") / nLines
-    val alphaRatio = size(filter(words, w => w.rlike("[A-Za-z]")))
-      .cast("double") / nWords
-    val stopHits = size(filter(stopArr, sw => array_contains(words, sw)))
-      .cast("long")
+    val alphaRatio = alphaWordCount(text).cast("double") / nWords
+    val stopHits = distinctStopwordHits(text)
     nWords.between(50L, 100000L) &&
       meanWordLen.between(3.0, 10.0) &&
       symbolRatio < 0.1 &&

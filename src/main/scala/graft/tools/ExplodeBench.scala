@@ -124,7 +124,14 @@ object ExplodeBench {
         val dt = (System.nanoTime() - t0) / 1e9
         println(f"[explode] $grain $name rep$r wall=$dt%.3f s " +
           f"jobs=${jobs.get() - j0} rows=${s._1} hash=${s._2}")
-        sigs(name) = s
+        // every rep must reproduce the shape's first-rep checksum —
+        // last-wins would let a nondeterministic early rep slip past
+        // the cross-shape requires below (r17 advice #1)
+        sigs.get(name) match {
+          case None => sigs(name) = s
+          case Some(f) => require(f == s,
+            s"$grain $name rep$r nondeterministic: $s vs $f")
+        }
       }
       require(sigs("hof_pairs") == sigs("gen_pairs"),
         s"$grain pair shapes disagree: ${sigs("hof_pairs")} vs " +
