@@ -70,4 +70,43 @@ class RfmSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("avg_basket_value")
       - r.getAs[Double]("monetary") / r.getAs[Long]("frequency")) < 1e-9)
   }
+
+  test("distributed exact ntile backend equals the window backend on " +
+    "tie-heavy data, incl. boundary-straddling tie groups (r18)") {
+    // 23 customers, frequency heavily tied (1,1,1,...,2,2,...) so
+    // quintile boundaries FALL INSIDE tie groups — the case where
+    // approx-edge scoring diverges but exact ntile must split ties by
+    // the customer tiebreak; 23 % 5 != 0 exercises the uneven-bucket
+    // arithmetic (first n mod 5 buckets one larger).
+    val txTies = (1 to 23).flatMap { c =>
+      (1 to (c / 8 + 1)).map(b =>
+        (c.toLong, c * 100L + b, 5.0 * ((c % 3) + 1), 700 - (c % 4) * 10))
+    }.toDF("household_key", "basket_id", "sales_value", "day")
+    def run(distributed: Boolean) = {
+      val prev = sys.props.get("graft.rfm.ntile.distributed")
+      try {
+        sys.props("graft.rfm.ntile.distributed") = distributed.toString
+        Rfm.scores(txTies, "household_key", "basket_id", "sales_value",
+          "day").orderBy($"customer").collect().toSeq
+      } finally prev match {
+        case Some(v) => sys.props("graft.rfm.ntile.distributed") = v
+        case None => sys.props.remove("graft.rfm.ntile.distributed")
+      }
+    }
+    assert(run(distributed = true) === run(distributed = false))
+    // and on the tiny original fixture (n = 10 < bucket count edge is
+    // covered by InvariantsCheck-style small n: 10 rows, 5 buckets)
+    def runTx(distributed: Boolean) = {
+      val prev = sys.props.get("graft.rfm.ntile.distributed")
+      try {
+        sys.props("graft.rfm.ntile.distributed") = distributed.toString
+        Rfm.scores(tx, "household_key", "basket_id", "sales_value",
+          "day").orderBy($"customer").collect().toSeq
+      } finally prev match {
+        case Some(v) => sys.props("graft.rfm.ntile.distributed") = v
+        case None => sys.props.remove("graft.rfm.ntile.distributed")
+      }
+    }
+    assert(runTx(distributed = true) === runTx(distributed = false))
+  }
 }
